@@ -3,36 +3,50 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real implementations live in ``matrixinversion_spark``; this
+module only re-exports the registry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Importing these modules populates the registry.
+import matrixinversion_spark.relational.queries  # noqa: F401,E402
+
+try:  # pipeline/matrix registrations land as they are implemented
+    import matrixinversion_spark.pipeline.dedup  # noqa: F401,E402
+    import matrixinversion_spark.pipeline.similarity  # noqa: F401,E402
+    import matrixinversion_spark.pipeline.text  # noqa: F401,E402
+    import matrixinversion_spark.pipeline.multimodal  # noqa: F401,E402
+except ImportError:
+    pass
+try:
+    import matrixinversion_spark.matrix.queries  # noqa: F401,E402
+except ImportError:
+    pass
+
+from matrixinversion_spark.registry import ORACLE, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    return dict(ORACLE)

@@ -1,0 +1,1 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""

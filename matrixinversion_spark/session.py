@@ -1,0 +1,85 @@
+"""SparkSession factory with scale-conscious defaults.
+
+The reference hand-tunes physical execution (par_num=128 fan-out cap,
+~1 GB per-task strips, replication-20 hot files — see SURVEY.md §4).
+Here the equivalent knobs are Spark confs: AQE for runtime re-planning
+(skew joins, dynamic coalesce), a shuffle-partition count sized to the
+test harness, and Arrow for the few pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32]/128GiB test harness; on a real
+# cluster these are overridden by spark-submit conf (shuffle partitions
+# ~2-3x total cores, maxPartitionBytes 128-256MB).
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    # TESTDATA's events.ts is parquet TIMESTAMP(NANOS), which Spark has
+    # no native type for; read as int64 nanos and convert in read_table
+    # (truncating to micros — exactly what DuckDB's µs TIMESTAMP does).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.sql.session.timeZone": "UTC",
+    # local mode: keep the UI off (startup speed, no port contention)
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "matrixinversion_spark",
+              master: str | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one TESTDATA table, normalizing nano-timestamps to µs.
+
+    Parquet TIMESTAMP(NANOS) columns arrive as int64 (see
+    ``nanosAsLong`` conf); integer-DIV by 1000 truncates to micros,
+    matching DuckDB's µs TIMESTAMP semantics bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                tables: tuple[str, ...] = (
+                    "region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents",
+                    "embeddings",
+                )) -> dict[str, "object"]:
+    """Load the TESTDATA star schema as temp views + return the dict.
+
+    Plain parquet scans — Catalyst handles column pruning / predicate
+    pushdown into the FileScan, so callers just express queries.
+    """
+    out = {}
+    for name in tables:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
