@@ -1,0 +1,432 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each a ``queries()`` entry with a DuckDB oracle:
+
+- exact           — md5 hash-groupBy (one shuffle on the hash).
+- n-gram Jaccard  — 3-token shingles, shingle-inverted-index self-join.
+- MinHash + LSH   — deterministic cross-engine MinHash signatures
+                    (md5-prefix base hash + fixed affine permutations),
+                    banded into LSH buckets; candidate pairs verified
+                    by signature similarity. Fully oracle-checked —
+                    no engine-private hash functions anywhere.
+- SimHash         — 16-bit signed-bit-vote fingerprint per document.
+- embedding cosine near-dup — pairs above a cosine threshold.
+
+Scale notes: exact dedup is a single hash shuffle. The shingle
+self-join's skew hazard (stop-shingles appearing in every doc) is
+the reason MinHash/LSH exists: signature computation is embarrassingly
+parallel per doc, and the only shuffle is on (band, band-hash) —
+bounded fan-out per bucket. At 100 TB, run LSH, not the exact join;
+both are implemented here and cross-checked at test scale.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic hashing
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = 2147483647  # 2^31 - 1; keeps a*h+b inside signed 64-bit
+
+# 16 fixed affine permutations (a, b) drawn once with a fixed seed and
+# frozen here so Spark and the SQL oracle share them verbatim.
+_rng = random.Random(20140612)  # HPDC'14 publication date as seed
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = tuple(
+    (_rng.randrange(1, MERSENNE31), _rng.randrange(0, MERSENNE31))
+    for _ in range(16)
+)
+N_BANDS, ROWS_PER_BAND = 4, 4  # 16 = 4 bands × 4 rows
+assert N_BANDS * ROWS_PER_BAND == len(MINHASH_COEFFS)
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit string hash: first 8 hex digits of md5.
+
+    Identical in DuckDB as ``('0x' || substr(md5(x),1,8))::UBIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _hash32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS UBIGINT)::BIGINT"
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (space-joined token windows)."""
+    ts = F.split(text, " ")
+    n = F.size(ts)
+    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-indexed like SQL lists
+    windows = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ts, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingles_sql(col: str = "text", k: int = 3) -> str:
+    parts = ", ".join(f"ts[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(ts) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def _affine(a: int, b: int):
+    # closure factory: a plain 1-arg lambda for F.transform (PySpark
+    # counts default args as lambda parameters, so no `lambda h, a=a`)
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
+
+
+def minhash_signature(shingle_col: Column) -> list[Column]:
+    """16 MinHash components over a shingle array column."""
+    base = F.transform(shingle_col, lambda s: hash32(s) % MERSENNE31)
+    return [
+        F.array_min(F.transform(base, _affine(a, b))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+def _minhash_sql_exprs() -> list[str]:
+    base = f"list_transform(sh, s -> {_hash32_sql('s')} % {MERSENNE31})"
+    return [
+        f"list_min(list_transform({base}, h -> ({a} * h + {b}) % {MERSENNE31})) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "p_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def p_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), min doc_id canonical.
+
+    One shuffle on the 128-bit fingerprint — the 100 TB-safe plan
+    (hash partitioning is uniform by construction; no skew possible).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (exact; the oracle baseline for MinHash)
+# ---------------------------------------------------------------------------
+
+_NGRAM_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles_sql()}) AS s FROM tok),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+"""
+
+
+@query("p_dedup_ngram_jaccard", oracle=_NGRAM_SQL)
+def p_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with 3-gram-shingle Jaccard ≥ 0.8.
+
+    Exact inverted-index self-join: explode distinct shingles, join on
+    shingle, count intersections, derive Jaccard from set sizes. This
+    is the *verification* path; at 100 TB the candidate-generation
+    path is p_dedup_minhash_lsh (bounded shuffle), with this join run
+    only on LSH candidates.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sza, "id_a")
+        .join(szb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH dedup (cross-engine deterministic)
+# ---------------------------------------------------------------------------
+
+def _minhash_sig_cte() -> str:
+    mh = ",\n           ".join(_minhash_sql_exprs())
+    return f"""
+sig AS (
+    SELECT doc_id, {mh}
+    FROM (SELECT doc_id, {_shingles_sql()} AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))
+    WHERE len(sh) > 0
+)"""
+
+
+def _band_sql(band: int) -> str:
+    cols = " || ':' || ".join(
+        f"CAST(mh{band * ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
+    )
+    return cols
+
+
+_MINHASH_LSH_SQL = f"""
+WITH {_minhash_sig_cte()},
+bands AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_sql(b)} AS bkey FROM sig"
+        for b in range(N_BANDS)
+    )}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(({" + ".join(
+           f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+           for j in range(len(MINHASH_COEFFS))
+       )}) / {float(len(MINHASH_COEFFS))}, 6) AS est_jaccard
+FROM cand
+JOIN sig sa ON id_a = sa.doc_id
+JOIN sig sb ON id_b = sb.doc_id
+WHERE ({" + ".join(
+    f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END"
+    for j in range(len(MINHASH_COEFFS))
+)}) >= 12
+"""
+
+
+@query("p_dedup_minhash_lsh", oracle=_MINHASH_LSH_SQL)
+def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) near-dup candidates, est. Jaccard ≥ 0.75.
+
+    Signatures are computed per-doc with JVM-side array expressions
+    (no shuffle); candidate generation shuffles once on
+    (band, band-key); verification compares signatures only. The
+    whole pipeline is deterministic and engine-portable: the base
+    hash is an md5 prefix and the 16 permutations are fixed affine
+    maps mod 2^31-1 (coefficients frozen at module import).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    sig = (
+        d.select("doc_id", shingles(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", *minhash_signature(F.col("sh")))
+    )
+    sig.persist()
+
+    band_frames = []
+    for b in range(N_BANDS):
+        key = F.concat_ws(
+            ":",
+            *[
+                F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                for r in range(ROWS_PER_BAND)
+            ],
+        )
+        band_frames.append(
+            sig.select(
+                "doc_id", F.lit(b).alias("band_id"), key.alias("bkey")
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionAll(bf)
+
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(MINHASH_COEFFS))],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(len(MINHASH_COEFFS))],
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(len(MINHASH_COEFFS))
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_match", matches)
+        .filter(F.col("n_match") >= 12)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_match") / float(len(MINHASH_COEFFS)), 6
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+    FROM documents
+), hashed AS (
+    SELECT doc_id, {_hash32_sql('t')} % 65536 AS h FROM tok
+), votes AS (
+    SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash16 FROM votes
+"""
+
+
+@query("p_dedup_simhash", oracle=_simhash_sql())
+def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (signed bit votes over token hashes).
+
+    Near-dups are then pairs with small Hamming distance — grouping by
+    simhash (or by simhash bands for distance>0) needs one shuffle on
+    the 16-bit key. Distinct tokens, md5-prefix base hash: portable.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    )
+    hashed = tok.select("doc_id", (hash32(F.col("t")) % 65536).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(1 << b) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    combined = sum(
+        F.when(F.col(f"v{b}") > 0, 1 << b).otherwise(0)
+        for b in range(_SIMHASH_BITS)
+    )
+    return votes.select(
+        "doc_id", combined.cast("bigint").alias("simhash16")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COSINE_DUP_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), n AS (
+    SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+    FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+"""
+
+
+@query("p_dedup_embedding_cosine", oracle=_COSINE_DUP_SQL)
+def p_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.45 over the embeddings table.
+
+    Brute-force O(n²) pair scan — correct-by-construction baseline.
+    The scale path is p_ann_ivf_topk (pipeline.similarity): cluster-
+    bucketed candidate generation, same scoring expression.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    n = v.select(
+        "vec_id", "e", F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 4).alias("cos"),
+        )
+    )

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns.
+
+- ``p_knn_bruteforce``: exact cosine top-k — the correctness baseline.
+- ``p_ann_ivf_topk``: IVF-style approximate search — assign every
+  vector to its nearest coarse centroid (one broadcast join), then
+  search only within the query's cluster. The 100 TB plan: the
+  centroid table is tiny and broadcast; candidate scoring touches
+  1/n_clusters of the data per query; everything stays JVM-side
+  (``zip_with``/``aggregate`` dot products over array columns).
+- ``p_embedding_stats``: per-label norm/centroid statistics.
+
+Cosines are computed in float64 on both engines and rounded before
+ranking, so Spark and the DuckDB oracle produce identical rankings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+N_QUERIES = 10   # vec_id < 10 are the demo query vectors
+N_CENTROIDS = 8  # vec_id < 8 double as IVF coarse centroids
+TOP_K = 3
+
+
+def dot(x: Column, y: Column) -> Column:
+    """float64 dot product of two array columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    return v.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+
+
+_VEC_CTE = """
+v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), n AS (
+    SELECT vec_id, label, e,
+           sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+    FROM v
+)"""
+
+
+@query(
+    "p_knn_bruteforce",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        FROM n q JOIN n c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def p_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the demo query set.
+
+    Query side is tiny → broadcast; scoring is a single pass over the
+    corpus with codegen'd array math; top-k per query is a window over
+    the (small) scored set. At scale, cap the scored set per query
+    with a coarse filter (see p_ann_ivf_topk).
+    """
+    n = _vectors(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+@query(
+    "p_ann_ivf_topk",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+             WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, label, e, nrm, cid FROM (
+            SELECT x.vec_id, x.label, x.e, x.nrm, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY round(list_dot_product(x.e, cent.ce)
+                                      / (x.nrm * cent.cn), 6) DESC, cent.cid
+                   ) AS arnk
+            FROM n x CROSS JOIN cent
+        ) WHERE arnk = 1
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cos
+        FROM assign q JOIN assign c
+          ON q.cid = c.cid AND q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def p_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (coarse-quantize, search in-cell).
+
+    Assignment joins every vector against the broadcast centroid
+    table (tiny); the search join is co-partitioned on the cluster id
+    — the shuffle is on ``cid``, and each query scores only its own
+    cell instead of the full corpus. Recall < 1 by design (IVF with
+    nprobe=1); the brute-force twin measures the gap.
+    """
+    n = _vectors(spark, sf_dir)
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    acos = F.round(
+        dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("cid"))
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("acos", acos)
+        .withColumn("arnk", F.row_number().over(aw))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "label", "e", "nrm", "cid")
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "cid",
+    )
+    scored = q.join(
+        assign, (q.cid == assign.cid) & (F.col("query_id") != F.col("vec_id"))
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+@query(
+    "p_embedding_stats",
+    oracle=f"""
+    WITH {_VEC_CTE}
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(nrm), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(e[1]), 6) AS avg_dim0
+    FROM n GROUP BY label
+    """,
+)
+def p_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (norms + first-dim mean)."""
+    n = _vectors(spark, sf_dir)
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.avg(F.element_at("e", 1)), 6).alias("avg_dim0"),
+    )

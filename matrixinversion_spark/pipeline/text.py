@@ -1,0 +1,249 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (marker-token scoring), quality scoring (length/punct/
+stopword ratios), token counting (whitespace + regex), and document
+fingerprinting (md5 full-hash + 32-bit rolling-style prefix hash).
+
+All operators are pure ``pyspark.sql.functions`` column expressions —
+JVM-side, whole-stage-codegen'd, no Python in the hot path — so they
+scale linearly over a 100 TB documents table. Each has an exact
+DuckDB oracle built from the same constants.
+
+Reference: the reference repo has no text surface (SURVEY.md §2.2);
+these are the mandated training-pipeline extensions (§2.3 item 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+# Shared constants — embedded in BOTH the Spark expressions and the
+# oracle SQL so the two sides compute identical values.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+PUNCT_CLASS = "[.,!?;:]"
+# marker tokens per language for the heuristic scorer (argmax count,
+# ties broken by list order). On TESTDATA's synthetic corpus every
+# doc shares one vocabulary, so predictions collapse to 'en' — the
+# operator's value here is its (oracle-checked) shape, not accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "zh": ("de5", "le5", "shi4"),  # romanized placeholders
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on single space)."""
+    return F.split(col, " ")
+
+
+def token_count_regex(col: Column) -> Column:
+    """BPE-ish token estimate: punctuation split off as own tokens.
+
+    RE2 (DuckDB) has no lookahead, so both sides use the portable
+    form: space out punctuation, split on whitespace, drop empties.
+    """
+    spaced = F.regexp_replace(col, "([.,!?;:])", " $1")
+    return F.size(
+        F.filter(F.split(spaced, r"\s+"), lambda t: F.length(t) > 0)
+    )
+
+
+def stopword_count(col: Column) -> Column:
+    toks = tokens(col)
+    return F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+
+
+def _isin(markers: tuple[str, ...]):
+    # closure factory — default-arg lambdas break HOF arg counting
+    return lambda t: t.isin(*markers)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, _isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_predict(col: Column) -> Column:
+    """argmax marker count; ties break by LANG_MARKERS order."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        better = scores[lang] > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# queries()/oracle_sql() entries
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "p_text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))                    AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))     AS n_distinct_tokens,
+           length(text)                                    AS n_chars,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ({_STOP_SQL})))       AS n_stopwords
+    FROM documents
+    """,
+)
+def p_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (whitespace tokenizer)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+        stopword_count(F.col("text")).alias("n_stopwords"),
+    )
+
+
+@query(
+    "p_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           round(CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g'))
+                 AS DOUBLE) / length(text), 6)     AS punct_ratio,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS ttr,
+           CASE WHEN length(text) >= 50
+                 AND len(string_split(text, ' ')) >= 10
+                 AND CAST(len(list_filter(string_split(text, ' '),
+                                          t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) BETWEEN 0.01 AND 0.6
+                THEN 1 ELSE 0 END                  AS quality_ok
+    FROM documents
+    """,
+)
+def p_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation/stopword ratios, type-token ratio,
+    and a boolean keep-gate — the standard pretraining-corpus filters."""
+    d = read_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_toks = F.size(tokens(F.col("text")))
+    sw_ratio = stopword_count(F.col("text")).cast("double") / n_toks
+    return d.select(
+        "doc_id",
+        F.round(punct_count(F.col("text")).cast("double") / n_chars, 6).alias(
+            "punct_ratio"
+        ),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(tokens(F.col("text")))).cast("double") / n_toks,
+            6,
+        ).alias("ttr"),
+        F.when(
+            (n_chars >= 50)
+            & (n_toks >= 10)
+            & (sw_ratio >= 0.01)
+            & (sw_ratio <= 0.6),
+            1,
+        )
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+
+
+def _lang_case_sql() -> str:
+    """Build the SQL twin of ``lang_predict`` (same fold order)."""
+    def score(lang: str) -> str:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return (f"len(list_filter(string_split(text, ' '), "
+                f"t -> t IN ({markers})))")
+
+    langs = list(LANG_MARKERS)
+    best, best_score = f"'{langs[0]}'", score(langs[0])
+    for lang in langs[1:]:
+        s = score(lang)
+        best = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best} END"
+        best_score = f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
+    return best
+
+
+@query(
+    "p_text_lang_id",
+    oracle=f"""
+    SELECT lang, lang_pred, count(*) AS n_docs
+    FROM (SELECT lang, {_lang_case_sql()} AS lang_pred FROM documents)
+    GROUP BY lang, lang_pred
+    """,
+)
+def p_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-token argmax) — confusion counts
+    against the labeled ``lang`` column."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_predict(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "p_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           CAST(('0x' || substr(md5(lower(trim(text))), 1, 8)) AS UBIGINT)::BIGINT
+               AS fp32
+    FROM documents
+    """,
+)
+def p_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: normalized md5 + 32-bit prefix hash
+    (the cross-engine base hash used by MinHash/SimHash dedup)."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.conv(F.substring(F.md5(norm), 1, 8), 16, 10).cast("bigint").alias("fp32"),
+    )
+
+
+@query(
+    "p_text_token_regex",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(
+               string_split_regex(
+                   regexp_replace(text, '([.,!?;:])', ' \1', 'g'), '\s+'),
+               t -> length(t) > 0)) AS n_regex_tokens
+    FROM documents
+    """,
+)
+def p_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish) token count: words split, punctuation split off."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_regex(F.col("text")).alias("n_regex_tokens")
+    )
