@@ -1,0 +1,94 @@
+"""Benchmark harness — the driver runs this per-round at sf0.1.
+
+Prints ONE JSON line:
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1}
+
+Headline set: the TPC-H-ish relational core, window/sessionization,
+the dedup/similarity pipeline, and the reference's own workload — a
+full N=2048 dense matrix inverse (its demonstrated problem size,
+`run.csh:6` + out/A.* headers) at leaf=1024 (its `limit=1000`,
+rounded to our block grid).
+
+Every query is materialized with the noop sink — full execution, no
+driver collect bottleneck in the timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_distinct_agg",
+    "q_window_rank",
+    "q_events_sessionize",
+    "p_dedup_exact",
+    "p_dedup_minhash_lsh",
+    "p_knn_bruteforce",
+    "p_text_quality",
+    "la_matmul_coo",
+]
+
+INVERSE_N = 2048
+INVERSE_BLOCK = 512
+INVERSE_LEAF = 1024
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from matrixinversion_spark.matrix import inverse as invmod
+    from matrixinversion_spark.matrix.core import BlockMatrixFrame
+    from matrixinversion_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # the reference's actual workload: dense matrix inversion at its
+    # demonstrated scale (N=2048; `Matrix/run.csh` pipeline O19)
+    t0 = time.time()
+    a = BlockMatrixFrame.random_uniform(
+        spark, INVERSE_N, block_size=INVERSE_BLOCK, seed=45
+    ).persist()
+    a.df.count()
+    ainv = invmod.inverse(a, leaf_size=INVERSE_LEAF)
+    ainv.df.write.format("noop").mode("overwrite").save()
+    timings[f"la_inverse_{INVERSE_N}"] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

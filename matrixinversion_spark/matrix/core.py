@@ -1,0 +1,201 @@
+"""BlockMatrixFrame: a DataFrame-native distributed dense matrix.
+
+The reference stores matrices as a recursive HDFS tree of extent-
+headered binary block files (SURVEY.md §1.1, `Partition.java`,
+`save_matrix` at `LUDecomposition.java:388-408`). Here the same idea
+is one explicit-schema DataFrame:
+
+    (bi INT, bj INT, rows INT, cols INT, data ARRAY<DOUBLE>)
+
+- ``(bi, bj)`` are block-grid coordinates (the reference's extent
+  header, normalized); ``data`` is the row-major dense payload.
+- Zero blocks are simply absent — triangular factors carry ~half the
+  blocks, and every operator treats a missing block as zeros (the
+  join/aggregation algebra does this for free).
+- Lineage and ``persist()`` replace the reference's HDFS side-channel
+  re-reads (`Read_LU.java`); a shuffle on block coordinates replaces
+  its hand-rolled partitioner (`MyPartitioner`,
+  `LUDecomposition.java:653-659`).
+
+Scale: a 1e6×1e6 float64 matrix at block_size=1024 is ~1M blocks of
+8 MB — comfortable partition granularity for a 1000-executor cluster,
+and the (bi, bj) key is perfectly uniform so block shuffles never skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BLOCK_SCHEMA = "bi int, bj int, rows int, cols int, data array<double>"
+DEFAULT_BLOCK_SIZE = 1024
+
+
+def _nblocks(n: int, bs: int) -> int:
+    return (n + bs - 1) // bs
+
+
+@dataclass(frozen=True)
+class BlockMatrixFrame:
+    """A dense distributed matrix as a DataFrame of blocks."""
+
+    df: DataFrame
+    n_rows: int
+    n_cols: int
+    block_size: int
+
+    @property
+    def nbi(self) -> int:
+        return _nblocks(self.n_rows, self.block_size)
+
+    @property
+    def nbj(self) -> int:
+        return _nblocks(self.n_cols, self.block_size)
+
+    def block_rows(self, bi: int) -> int:
+        return min(self.block_size, self.n_rows - bi * self.block_size)
+
+    def block_cols(self, bj: int) -> int:
+        return min(self.block_size, self.n_cols - bj * self.block_size)
+
+    # -- construction -------------------------------------------------
+
+    @staticmethod
+    def from_numpy(spark: SparkSession, a: np.ndarray,
+                   block_size: int = DEFAULT_BLOCK_SIZE,
+                   keep_zeros: bool = False) -> "BlockMatrixFrame":
+        """Driver-side ingest (tests/leaves); zero blocks dropped."""
+        a = np.asarray(a, dtype=np.float64)
+        n, m = a.shape
+        rows = []
+        for bi in range(_nblocks(n, block_size)):
+            for bj in range(_nblocks(m, block_size)):
+                blk = a[bi * block_size:(bi + 1) * block_size,
+                        bj * block_size:(bj + 1) * block_size]
+                if not keep_zeros and not blk.any():
+                    continue
+                rows.append(
+                    (bi, bj, blk.shape[0], blk.shape[1],
+                     blk.ravel().tolist())
+                )
+        df = spark.createDataFrame(rows, BLOCK_SCHEMA)
+        return BlockMatrixFrame(df, n, m, block_size)
+
+    @staticmethod
+    def random_uniform(spark: SparkSession, n: int, m: int | None = None,
+                       block_size: int = DEFAULT_BLOCK_SIZE,
+                       seed: int = 42) -> "BlockMatrixFrame":
+        """Distributed seeded uniform(0,1) matrix (reference O1,
+        `data/MakeData.java:9-33` — but reproducible: each block's RNG
+        is seeded by (seed, bi, bj), independent of partitioning)."""
+        m = n if m is None else m
+        bs = block_size
+        nbi, nbj = _nblocks(n, bs), _nblocks(m, bs)
+
+        grid = spark.range(nbi * nbj).select(
+            (F.col("id") / nbj).cast("int").alias("bi"),
+            (F.col("id") % nbj).cast("int").alias("bj"),
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for bi, bj in zip(pdf["bi"], pdf["bj"]):
+                    r = min(bs, n - bi * bs)
+                    c = min(bs, m - bj * bs)
+                    rng = np.random.default_rng(
+                        np.random.SeedSequence([seed, int(bi), int(bj)])
+                    )
+                    out.append((int(bi), int(bj), r, c,
+                                rng.random(r * c).tolist()))
+                yield pd.DataFrame(
+                    out, columns=["bi", "bj", "rows", "cols", "data"]
+                )
+
+        df = grid.repartition(min(nbi * nbj, 64)).mapInPandas(
+            gen, schema=BLOCK_SCHEMA
+        )
+        return BlockMatrixFrame(df, n, m, bs)
+
+    @staticmethod
+    def identity(spark: SparkSession, n: int,
+                 block_size: int = DEFAULT_BLOCK_SIZE) -> "BlockMatrixFrame":
+        """Identity matrix — diagonal blocks only."""
+        bs = block_size
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for bi in pdf["bi"]:
+                    r = min(bs, n - int(bi) * bs)
+                    out.append((int(bi), int(bi), r, r,
+                                np.eye(r).ravel().tolist()))
+                yield pd.DataFrame(
+                    out, columns=["bi", "bj", "rows", "cols", "data"]
+                )
+
+        grid = spark.range(_nblocks(n, bs)).select(
+            F.col("id").cast("int").alias("bi")
+        )
+        df = grid.mapInPandas(gen, schema=BLOCK_SCHEMA)
+        return BlockMatrixFrame(df, n, n, bs)
+
+    # -- materialization ----------------------------------------------
+
+    def to_numpy(self) -> np.ndarray:
+        """Collect to a driver ndarray (leaves/tests only — bounded by
+        leaf_size in the recursion, same shape as the reference's
+        driver-local leaf solve)."""
+        out = np.zeros((self.n_rows, self.n_cols))
+        bs = self.block_size
+        for row in self.df.collect():
+            blk = np.asarray(row.data).reshape(row.rows, row.cols)
+            out[row.bi * bs:row.bi * bs + row.rows,
+                row.bj * bs:row.bj * bs + row.cols] = blk
+        return out
+
+    def persist(self) -> "BlockMatrixFrame":
+        self.df.persist()
+        return self
+
+    def unpersist(self) -> "BlockMatrixFrame":
+        self.df.unpersist()
+        return self
+
+    # -- block-coordinate slicing (metadata-only, Catalyst prunes) ----
+
+    def slice_blocks(self, bi0: int, bi1: int, bj0: int, bj1: int
+                     ) -> "BlockMatrixFrame":
+        """Sub-matrix [bi0,bi1)×[bj0,bj1) in *block* coordinates,
+        reindexed to origin. The reference materializes these slices
+        as directory trees (`Partition.java:61-157`); here it is a
+        filter + projection — no data movement at all."""
+        bs = self.block_size
+        df = (
+            self.df.filter(
+                (F.col("bi") >= bi0) & (F.col("bi") < bi1)
+                & (F.col("bj") >= bj0) & (F.col("bj") < bj1)
+            )
+            .select(
+                (F.col("bi") - bi0).alias("bi"),
+                (F.col("bj") - bj0).alias("bj"),
+                "rows", "cols", "data",
+            )
+        )
+        n_rows = min(self.n_rows, bi1 * bs) - bi0 * bs
+        n_cols = min(self.n_cols, bj1 * bs) - bj0 * bs
+        return BlockMatrixFrame(df, n_rows, n_cols, bs)
+
+    def shift(self, dbi: int, dbj: int) -> DataFrame:
+        """Block-index translation (for assembling larger matrices)."""
+        return self.df.select(
+            (F.col("bi") + dbi).alias("bi"),
+            (F.col("bj") + dbj).alias("bj"),
+            "rows", "cols", "data",
+        )

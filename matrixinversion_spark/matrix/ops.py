@@ -1,0 +1,244 @@
+"""Distributed block-matrix operators: multiply, add/subtract,
+transpose, row permutation, residual norms.
+
+Reference analogues (SURVEY.md §2.1): the Schur-complement reducer's
+grid matmul + subtract (O11, `LUDecomposition.java:495-651`), the
+final U⁻¹·L⁻¹ multiply (O17, `LUInverse.java:169-389`), and the pivot
+application at read time (P12, `Read_LU.java:66-92,129-132`).
+
+Physical shapes, 100 TB honest:
+
+- ``multiply`` — relational SUMMA: equi-join A(bi,k)⋈B(k,bj) on the
+  inner block index (one shuffle, uniform key), then groupBy (bi,bj)
+  with an Arrow-batched GEMM-accumulate (numpy dgemm per block pair —
+  the dense kernel *is* the payload, so this is the one place Python
+  touches data, at ~8 MB Arrow batches). The reference hand-routes
+  the same dataflow through HDFS files + a task-number partitioner.
+- ``add``/``subtract`` — full-outer join on (bi,bj) + JVM ``zip_with``;
+  absent blocks are zeros. No Python.
+- ``transpose`` — per-block numpy transpose + (bi,bj) swap; block
+  remap only, no shuffle (narrow dependency).
+- ``permute_rows`` — the pivot gather: a driver-built (tiny) block
+  routing table joined to the blocks, then per-output-block row
+  assembly. Replaces the reference's recursive pivot composition and
+  read-time row indirection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.matrix.core import BLOCK_SCHEMA, BlockMatrixFrame
+
+
+def multiply(a: BlockMatrixFrame, b: BlockMatrixFrame) -> BlockMatrixFrame:
+    """C = A·B via join-on-inner-index + GEMM-accumulate per block."""
+    if a.n_cols != b.n_rows or a.block_size != b.block_size:
+        raise ValueError(
+            f"shape mismatch: {a.n_rows}x{a.n_cols} @ {b.n_rows}x{b.n_cols} "
+            f"(block {a.block_size} vs {b.block_size})"
+        )
+    left = a.df.select(
+        F.col("bi"), F.col("bj").alias("k"),
+        F.col("rows").alias("a_rows"), F.col("cols").alias("a_cols"),
+        F.col("data").alias("a_data"),
+    )
+    right = b.df.select(
+        F.col("bi").alias("k"), F.col("bj"),
+        F.col("cols").alias("b_cols"), F.col("data").alias("b_data"),
+    )
+    joined = left.join(right, "k")
+
+    def gemm_sum(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        acc: np.ndarray | None = None
+        for ar, ac, bc, ad, bd in zip(
+            pdf["a_rows"], pdf["a_cols"], pdf["b_cols"],
+            pdf["a_data"], pdf["b_data"],
+        ):
+            blk_a = np.asarray(ad, dtype=np.float64).reshape(ar, ac)
+            blk_b = np.asarray(bd, dtype=np.float64).reshape(ac, bc)
+            p = blk_a @ blk_b
+            acc = p if acc is None else acc + p
+        return pd.DataFrame(
+            [(bi, bj, acc.shape[0], acc.shape[1], acc.ravel().tolist())],
+            columns=["bi", "bj", "rows", "cols", "data"],
+        )
+
+    out = joined.groupBy("bi", "bj").applyInPandas(gemm_sum, BLOCK_SCHEMA)
+    return BlockMatrixFrame(out, a.n_rows, b.n_cols, a.block_size)
+
+
+def _axpy(a: BlockMatrixFrame, b: BlockMatrixFrame,
+          beta: float) -> BlockMatrixFrame:
+    """A + beta·B with absent-block = zeros (full outer join)."""
+    if (a.n_rows, a.n_cols) != (b.n_rows, b.n_cols):
+        raise ValueError("shape mismatch in add/subtract")
+    la = a.df.select(
+        "bi", "bj", F.col("rows").alias("a_rows"),
+        F.col("cols").alias("a_cols"), F.col("data").alias("a_data"),
+    )
+    rb = b.df.select(
+        "bi", "bj", F.col("rows").alias("b_rows"),
+        F.col("cols").alias("b_cols"), F.col("data").alias("b_data"),
+    )
+    joined = la.join(rb, ["bi", "bj"], "full_outer")
+    rows = F.coalesce("a_rows", "b_rows")
+    cols = F.coalesce("a_cols", "b_cols")
+    zeros = F.array_repeat(F.lit(0.0), rows * cols)
+    data = F.zip_with(
+        F.coalesce("a_data", zeros),
+        F.coalesce("b_data", zeros),
+        lambda x, y: x + F.lit(beta) * y,
+    )
+    out = joined.select(
+        "bi", "bj", rows.alias("rows"), cols.alias("cols"),
+        data.alias("data"),
+    )
+    return BlockMatrixFrame(out, a.n_rows, a.n_cols, a.block_size)
+
+
+def add(a: BlockMatrixFrame, b: BlockMatrixFrame) -> BlockMatrixFrame:
+    return _axpy(a, b, 1.0)
+
+
+def subtract(a: BlockMatrixFrame, b: BlockMatrixFrame) -> BlockMatrixFrame:
+    """A − B (the Schur complement's subtract, O11)."""
+    return _axpy(a, b, -1.0)
+
+
+def scale(a: BlockMatrixFrame, alpha: float) -> BlockMatrixFrame:
+    out = a.df.withColumn(
+        "data", F.transform("data", lambda x: x * F.lit(alpha))
+    )
+    return BlockMatrixFrame(out, a.n_rows, a.n_cols, a.block_size)
+
+
+def transpose(a: BlockMatrixFrame) -> BlockMatrixFrame:
+    """Aᵀ: swap block coords, transpose payloads (narrow, no shuffle).
+
+    The reference stores U column-major on disk for this reason
+    (`LUDecomposition.java:129-139`); here it's a cheap map."""
+
+    def tr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for bi, bj, r, c, d in zip(
+                pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+            ):
+                blk = np.asarray(d, dtype=np.float64).reshape(r, c)
+                out.append(
+                    (int(bj), int(bi), int(c), int(r),
+                     np.ascontiguousarray(blk.T).ravel().tolist())
+                )
+            yield pd.DataFrame(
+                out, columns=["bi", "bj", "rows", "cols", "data"]
+            )
+
+    out = a.df.mapInPandas(tr, BLOCK_SCHEMA)
+    return BlockMatrixFrame(out, a.n_cols, a.n_rows, a.block_size)
+
+
+def permute_rows(a: BlockMatrixFrame, perm: np.ndarray) -> BlockMatrixFrame:
+    """Return M with M[i, :] = A[perm[i], :].
+
+    The permutation vector lives on the driver and ships to executors
+    in task closures (N int64s — 8 MB at N=1e6; the reference
+    likewise keeps pivot vectors as driver-side index files,
+    `index.txt`, composed recursively in `Read_LU.java:66-92`).
+    Routing: a tiny (out-block → src-block) table built from ``perm``
+    drives the join, so each output block touches only the source
+    blocks it actually draws rows from.
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    if perm.shape[0] != a.n_rows:
+        raise ValueError("permutation length != n_rows")
+    bs = a.block_size
+    spark = a.df.sparkSession
+
+    # (bi_out, bi_src) routing pairs — driver-side, O(nbi · sources)
+    pairs = sorted(
+        {
+            (int(i // bs), int(p // bs))
+            for i, p in enumerate(perm)
+        }
+    )
+    routing = spark.createDataFrame(pairs, "bi_out int, bi int")
+
+    joined = a.df.join(F.broadcast(routing), "bi")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi_out = int(pdf["bi_out"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        cols = int(pdf["cols"].iloc[0])
+        r0 = bi_out * bs
+        r1 = min(r0 + bs, perm.shape[0])
+        out = np.zeros((r1 - r0, cols))
+        for bi_src, r, c, d in zip(
+            pdf["bi"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            blk = np.asarray(d, dtype=np.float64).reshape(r, c)
+            src0 = int(bi_src) * bs
+            for local_i, global_i in enumerate(range(r0, r1)):
+                src = perm[global_i]
+                if src0 <= src < src0 + int(r):
+                    out[local_i] = blk[src - src0]
+        return pd.DataFrame(
+            [(bi_out, bj, out.shape[0], out.shape[1],
+              out.ravel().tolist())],
+            columns=["bi", "bj", "rows", "cols", "data"],
+        )
+
+    out = joined.groupBy("bi_out", "bj").applyInPandas(
+        assemble, BLOCK_SCHEMA
+    )
+    return BlockMatrixFrame(out, a.n_rows, a.n_cols, bs)
+
+
+def max_abs_diff_from_identity(a: BlockMatrixFrame) -> float:
+    """max|A − I|∞ — the correctness functional ‖A·A⁻¹ − I‖ from
+    SURVEY.md §5 (property-based goldens)."""
+
+    # NB: capture only scalars — closing over `a` itself would drag the
+    # DataFrame/SparkSession into the pickled task closure.
+    def err(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for bi, bj, r, c, d in zip(
+                pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+            ):
+                blk = np.asarray(d, dtype=np.float64).reshape(r, c)
+                if bi == bj:
+                    blk = blk - np.eye(r, c)
+                vals.append(float(np.abs(blk).max()))
+            yield pd.DataFrame({"e": vals or [0.0]})
+
+    row = (
+        a.df.mapInPandas(err, "e double")
+        .agg(F.max("e").alias("max_err"))
+        .collect()[0]
+    )
+    return float(row.max_err)
+
+
+def max_abs_diff(a: BlockMatrixFrame, b: BlockMatrixFrame) -> float:
+    """max|A − B|∞ distributed."""
+    d = subtract(a, b)
+    row = (
+        d.df.select(
+            F.aggregate(
+                F.transform("data", lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("e")
+        )
+        .agg(F.max("e").alias("max_err"))
+        .collect()[0]
+    )
+    return float(row.max_err if row.max_err is not None else 0.0)

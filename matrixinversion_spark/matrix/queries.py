@@ -1,0 +1,124 @@
+"""Driver-contract entries for the linear-algebra layer.
+
+``la_matmul_coo`` is fully oracle-checked: a deterministic matrix is
+derived from the lineitem table, multiplied by its transpose with the
+distributed BlockMatrixFrame pipeline, and compared against a DuckDB
+COO self-join matmul. The LU / inverse entries are self-verifying
+residual checks (no SQL oracle can invert a matrix — the driver
+records them as rows-only; pytest asserts the numerical properties).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.matrix import inverse as invmod
+from matrixinversion_spark.matrix import lu as lumod
+from matrixinversion_spark.matrix import ops
+from matrixinversion_spark.matrix.core import BLOCK_SCHEMA, BlockMatrixFrame
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+_DIM = 64  # derived-matrix edge; one 64×64 block
+
+
+def _lineitem_matrix(spark: SparkSession, sf_dir: str) -> BlockMatrixFrame:
+    """Deterministic 64×64 matrix from lineitem:
+    M[i,j] = round(Σ l_quantity, 6) over (l_partkey%64, l_suppkey%64)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    coo = (
+        li.groupBy(
+            (F.col("l_partkey") % _DIM).cast("int").alias("i"),
+            (F.col("l_suppkey") % _DIM).cast("int").alias("j"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 6).alias("v"))
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        blk = np.zeros((_DIM, _DIM))
+        blk[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf["v"].to_numpy()
+        return pd.DataFrame(
+            [(0, 0, _DIM, _DIM, blk.ravel().tolist())],
+            columns=["bi", "bj", "rows", "cols", "data"],
+        )
+
+    df = coo.withColumn("bi", F.lit(0)).groupBy("bi").applyInPandas(
+        assemble, BLOCK_SCHEMA
+    )
+    return BlockMatrixFrame(df, _DIM, _DIM, _DIM)
+
+
+@query(
+    "la_matmul_coo",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(l_partkey % {_DIM} AS INTEGER) AS i,
+               CAST(l_suppkey % {_DIM} AS INTEGER) AS j,
+               round(sum(l_quantity), 6) AS v
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT a.i, b.i AS j, round(sum(a.v * b.v), 3) AS val
+    FROM m a JOIN m b ON a.j = b.j
+    GROUP BY a.i, b.i
+    HAVING round(sum(a.v * b.v), 3) != 0.0
+    """,
+)
+def la_matmul_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed block matmul G = M·Mᵀ, emitted as COO and checked
+    against a relational matmul oracle (the Schur-complement core O11
+    — `LUDecomposition.java:495-651` — is exactly this dataflow)."""
+    m = _lineitem_matrix(spark, sf_dir)
+    g = ops.multiply(m, ops.transpose(m))
+
+    def to_coo(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bi, bj, r, c, d in zip(
+            pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            blk = np.asarray(d, dtype=np.float64).reshape(r, c)
+            ii, jj = np.nonzero(np.round(blk, 3))
+            for i, j in zip(ii, jj):
+                out.append(
+                    (int(bi) * _DIM + int(i), int(bj) * _DIM + int(j),
+                     float(np.round(blk[i, j], 3)))
+                )
+        return pd.DataFrame(out, columns=["i", "j", "val"])
+
+    return g.df.groupBy("bi", "bj").applyInPandas(
+        to_coo, "i int, j int, val double"
+    )
+
+
+@query("la_lu_residual")
+def la_lu_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying LU: ‖P·A − L·U‖∞ on a seeded 256² matrix
+    (two recursion levels at leaf=64). rows-only driver check;
+    pytest asserts the tolerance."""
+    a = BlockMatrixFrame.random_uniform(spark, 256, block_size=64, seed=42)
+    a.persist()
+    perm, lo, up = lumod.lu(a, leaf_size=64)
+    residual = ops.max_abs_diff(
+        ops.permute_rows(a, perm), ops.multiply(lo, up)
+    )
+    return spark.createDataFrame(
+        [(256, float(residual), bool(residual < 1e-10 * 256))],
+        "n int, max_residual double, ok boolean",
+    )
+
+
+@query("la_inverse_residual")
+def la_inverse_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying full inverse: ‖A·A⁻¹ − I‖∞ ≤ 1e-8·N on a seeded
+    256² uniform matrix (SURVEY.md §5 property golden)."""
+    a = BlockMatrixFrame.random_uniform(spark, 256, block_size=64, seed=42)
+    a.persist()
+    ainv = invmod.inverse(a, leaf_size=64)
+    err = ops.max_abs_diff_from_identity(ops.multiply(a, ainv))
+    return spark.createDataFrame(
+        [(256, float(err), bool(err < 1e-8 * 256))],
+        "n int, identity_err double, ok boolean",
+    )

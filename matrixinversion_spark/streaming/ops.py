@@ -1,0 +1,155 @@
+"""Structured Streaming surface over the events stream.
+
+The reference is strictly batch (SURVEY.md §2.2 — no streaming of any
+kind); this is the mandated capability extension, built on public
+Structured Streaming primitives:
+
+- ``read_events_stream`` — file-source stream of the events table
+  (schema pinned; nano-timestamps normalized like the batch path).
+- ``windowed_counts`` — tumbling event-time window + watermark;
+  identical aggregation expression to the batch ``q_events_tumbling``,
+  so batch output is the streaming oracle (exercised in tests with
+  an availableNow trigger).
+- ``sessionized`` — native session windows (30-min gap), the
+  streaming twin of batch ``q_events_sessionize``.
+- ``running_user_stats`` — custom stateful operator via
+  ``applyInPandasWithState`` (GroupState), the escape hatch the
+  reference-capability checklist calls "custom stateful streaming".
+
+At scale: watermarks bound state; the shuffle key is (window/user)
+which matches the downstream sink partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as int64
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table, µs-normalized."""
+    # file-source streams take directories; select the events file
+    # out of the shared testdata dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_counts(events: DataFrame,
+                    window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window agg with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame,
+                gap: str = "30 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (30-min inactivity gap) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "n long, total double"
+_OUT_SCHEMA = (
+    "event_type string, n_events long, total_value double"
+)
+
+
+def _update_stats(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """GroupState update: cumulative per-event-type counters that
+    survive across micro-batches."""
+    (event_type,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        [(event_type, n, round(total, 2))],
+        columns=["event_type", "n_events", "total_value"],
+    )
+
+
+def running_user_stats(events: DataFrame,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running totals per event_type, updated each micro-batch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_stats,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream: DataFrame, name: str) -> None:
+    """Drain a stream into an in-memory table with availableNow
+    (test/demo harness; production sinks are kafka/parquet/delta)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,77 @@
+"""Registry-level tests: every query runs at sf0.001; a sample is
+hash-compared against its DuckDB oracle in-process (the full gate is
+scripts/check_correctness.py at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR, SF_DIR_MID
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+# queries whose DuckDB twin is compared in-process here (fast subset;
+# the driver + check_correctness cover all of them at sf0.01)
+SAMPLE = [
+    "q1_pricing_summary",
+    "q_join_semi",
+    "q_window_rank",
+    "p_dedup_exact",
+    "p_dedup_minhash_lsh",
+    "p_knn_bruteforce",
+    "p_text_quality",
+]
+
+
+def test_registry_shape():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert len(qs) >= 45
+    assert set(oracles) <= set(qs)
+    # the vast majority must be oracle-checked, not rows-only
+    assert len(oracles) >= len(qs) - 4
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, name):
+    from scripts.check_correctness import canon, compare
+
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR_MID}/{t}.parquet'"
+        )
+    verdict = compare(name, fn(spark, SF_DIR_MID).toPandas(),
+                      con.execute(sql).df())
+    assert verdict.startswith("OK"), verdict
+
+
+def test_all_queries_run_at_smallest_sf(spark):
+    failures = {}
+    for name, fn in entry_mod.queries().items():
+        try:
+            fn(spark, SF_DIR).limit(5).collect()
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"{type(e).__name__}: {e}"
+    assert not failures, failures
+
+
+def test_la_residuals_pass(spark):
+    qs = entry_mod.queries()
+    row = qs["la_inverse_residual"](spark, SF_DIR).collect()[0]
+    assert row.ok, f"identity err {row.identity_err}"
+    row = qs["la_lu_residual"](spark, SF_DIR).collect()[0]
+    assert row.ok, f"LU residual {row.max_residual}"

@@ -1,0 +1,75 @@
+"""Structured Streaming tests: the batch queries are the oracle —
+drain the stream with availableNow, compare against the same
+aggregation computed in batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.session import read_table
+from matrixinversion_spark.streaming import ops as sops
+from tests.conftest import SF_DIR
+
+
+def test_windowed_counts_matches_batch(spark):
+    stream = sops.read_events_stream(spark, SF_DIR)
+    sops.run_to_memory(sops.windowed_counts(stream), "win_counts")
+    got = spark.sql(
+        "SELECT * FROM win_counts ORDER BY window_start, event_type"
+    ).toPandas()
+
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
+
+
+def test_sessionized_runs(spark):
+    stream = sops.read_events_stream(spark, SF_DIR)
+    sops.run_to_memory(sops.sessionized(stream), "sessions")
+    pdf = spark.sql("SELECT * FROM sessions").toPandas()
+    assert len(pdf) > 0
+    assert (pdf["session_end"] >= pdf["session_start"]).all()
+    assert (pdf["n_events"] >= 1).all()
+
+
+def test_stateful_running_stats(spark):
+    stream = sops.read_events_stream(spark, SF_DIR)
+    q = (
+        sops.running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM running_stats").toPandas()
+
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .toPandas()
+    )
+    merged = got.merge(batch, on="event_type", suffixes=("_s", "_b"))
+    assert len(merged) == len(batch)
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    # totals accumulated in a different order — compare with tolerance
+    assert (
+        (merged["total_value_s"] - merged["total_value_b"]).abs() < 0.05
+    ).all()
