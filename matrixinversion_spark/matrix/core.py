@@ -82,9 +82,15 @@ class BlockMatrixFrame:
                     continue
                 rows.append(
                     (bi, bj, blk.shape[0], blk.shape[1],
-                     blk.ravel().tolist())
+                     np.ascontiguousarray(blk).ravel())
                 )
-        df = spark.createDataFrame(rows, BLOCK_SCHEMA)
+        # Arrow path: ndarray payloads serialize without boxing into
+        # Python floats (a leaf factor is ~8 MB — list-of-float
+        # createDataFrame was the driver bottleneck)
+        pdf = pd.DataFrame(
+            rows, columns=["bi", "bj", "rows", "cols", "data"]
+        )
+        df = spark.createDataFrame(pdf, schema=BLOCK_SCHEMA)
         return BlockMatrixFrame(df, n, m, block_size)
 
     @staticmethod
@@ -113,7 +119,7 @@ class BlockMatrixFrame:
                         np.random.SeedSequence([seed, int(bi), int(bj)])
                     )
                     out.append((int(bi), int(bj), r, c,
-                                rng.random(r * c).tolist()))
+                                rng.random(r * c)))
                 yield pd.DataFrame(
                     out, columns=["bi", "bj", "rows", "cols", "data"]
                 )
@@ -135,7 +141,7 @@ class BlockMatrixFrame:
                 for bi in pdf["bi"]:
                     r = min(bs, n - int(bi) * bs)
                     out.append((int(bi), int(bi), r, r,
-                                np.eye(r).ravel().tolist()))
+                                np.eye(r).ravel()))
                 yield pd.DataFrame(
                     out, columns=["bi", "bj", "rows", "cols", "data"]
                 )
@@ -154,10 +160,12 @@ class BlockMatrixFrame:
         driver-local leaf solve)."""
         out = np.zeros((self.n_rows, self.n_cols))
         bs = self.block_size
-        for row in self.df.collect():
-            blk = np.asarray(row.data).reshape(row.rows, row.cols)
-            out[row.bi * bs:row.bi * bs + row.rows,
-                row.bj * bs:row.bj * bs + row.cols] = blk
+        pdf = self.df.toPandas()  # Arrow path: cells arrive as ndarrays
+        for bi, bj, r, c, d in zip(
+            pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            blk = np.asarray(d, dtype=np.float64).reshape(r, c)
+            out[bi * bs:bi * bs + r, bj * bs:bj * bs + c] = blk
         return out
 
     def persist(self) -> "BlockMatrixFrame":

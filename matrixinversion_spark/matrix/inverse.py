@@ -28,10 +28,8 @@ from matrixinversion_spark.matrix.core import BlockMatrixFrame
 from matrixinversion_spark.matrix.lu import DEFAULT_LEAF, _checkpoint, lu
 from matrixinversion_spark.matrix.ops import (
     multiply,
-    permute_rows,
+    permute_cols,
     scale,
-    subtract,
-    transpose,
 )
 
 
@@ -83,6 +81,6 @@ def inverse(a: BlockMatrixFrame,
     up = _checkpoint(up).persist()
     x = multiply(inverse_upper(up, leaf_size),
                  inverse_lower_unit(lo, leaf_size))
-    # A⁻¹ = X·P; applied as (Xᵀ row-gather by perm⁻¹)ᵀ
+    # A⁻¹ = X·P — a single column gather by perm⁻¹ (no transposes)
     perm_inv = np.argsort(perm)
-    return transpose(permute_rows(transpose(x), perm_inv))
+    return permute_cols(x, perm_inv)

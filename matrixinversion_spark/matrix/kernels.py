@@ -3,13 +3,15 @@
 The reference solves recursion leaves with a local Crout LU inside
 the driver JVM (`LUDecomposition.java:55-106` ``ludcmp``, called from
 the leaf branch at `:686-699`). These are the same-shaped kernels in
-vectorized numpy (scipy is not available in this environment):
+*blocked* vectorized numpy (scipy is unavailable here): panel
+factorization + dgemm trailing updates, so the O(n³) bulk runs in
+BLAS instead of Python-level row loops.
 
-- ``ludcmp``: in-place LU with partial pivoting. The reference pivots
-  on the *signed* maximum (`LUDecomposition.java:63`, a quirk); we use
-  the textbook absolute-value pivot and verify via residual properties
-  rather than factor bit-matching (SURVEY.md §4).
-- ``solve_lower_unit`` / ``solve_upper``: dense triangular solves
+- ``ludcmp``: blocked right-looking LU with partial pivoting. The
+  reference pivots on the *signed* maximum (`LUDecomposition.java:63`,
+  a quirk); we use the textbook absolute-value pivot and verify via
+  residual properties rather than factor bit-matching (SURVEY.md §4).
+- ``solve_lower_unit`` / ``solve_upper``: blocked triangular solves
   (used against leaf-sized factor blocks, broadcast to executors).
 """
 
@@ -18,10 +20,11 @@ from __future__ import annotations
 import numpy as np
 
 TINY = 1.0e-300  # zero-pivot clamp (reference uses 1e-20, `:58`)
+PANEL = 128      # panel width: inner loops touch ≤PANEL columns
 
 
 def ludcmp(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """LU-decompose ``a`` with partial pivoting.
+    """LU-decompose ``a`` with partial pivoting (blocked).
 
     Returns ``(lu, perm)`` where ``lu`` holds L (unit diagonal,
     strictly lower part) and U (upper part) packed together, and
@@ -30,18 +33,32 @@ def ludcmp(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     a = np.array(a, dtype=np.float64, copy=True)
     n = a.shape[0]
     perm = np.arange(n)
-    for k in range(n):
-        p = k + int(np.argmax(np.abs(a[k:, k])))
-        if p != k:
-            a[[k, p]] = a[[p, k]]
-            perm[[k, p]] = perm[[p, k]]
-        piv = a[k, k]
-        if abs(piv) < TINY:
-            piv = TINY if piv >= 0 else -TINY
-            a[k, k] = piv
-        a[k + 1:, k] /= piv
-        if k + 1 < n:
-            a[k + 1:, k + 1:] -= np.outer(a[k + 1:, k], a[k, k + 1:])
+    for k0 in range(0, n, PANEL):
+        k1 = min(k0 + PANEL, n)
+        # panel factorization (unblocked over ≤PANEL columns; row
+        # swaps apply to the full rows so L's left part stays aligned)
+        for k in range(k0, k1):
+            p = k + int(np.argmax(np.abs(a[k:, k])))
+            if p != k:
+                a[[k, p]] = a[[p, k]]
+                perm[[k, p]] = perm[[p, k]]
+            piv = a[k, k]
+            if abs(piv) < TINY:
+                piv = TINY if piv >= 0 else -TINY
+                a[k, k] = piv
+            a[k + 1:, k] /= piv
+            if k + 1 < n and k + 1 < k1:
+                a[k + 1:, k + 1:k1] -= np.outer(
+                    a[k + 1:, k], a[k, k + 1:k1]
+                )
+        if k1 < n:
+            # U12 = L11⁻¹ · A12   (small forward substitution)
+            lower11 = np.tril(a[k0:k1, k0:k1], -1) + np.eye(k1 - k0)
+            a[k0:k1, k1:] = _solve_lower_unit_unblocked(
+                lower11, a[k0:k1, k1:]
+            )
+            # trailing dgemm: A22 -= L21 · U12
+            a[k1:, k1:] -= a[k1:, k0:k1] @ a[k0:k1, k1:]
     return a, perm
 
 
@@ -52,23 +69,39 @@ def split_lu(lu: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lower, upper
 
 
-def solve_lower_unit(lower: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Solve L·X = B for unit-lower-triangular L (forward subst.)."""
-    n = lower.shape[0]
+def _solve_lower_unit_unblocked(lower: np.ndarray,
+                                b: np.ndarray) -> np.ndarray:
     x = np.array(b, dtype=np.float64, copy=True)
-    for i in range(1, n):
+    for i in range(1, lower.shape[0]):
         x[i] -= lower[i, :i] @ x[:i]
     return x
 
 
+def solve_lower_unit(lower: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Solve L·X = B for unit-lower-triangular L (blocked forward)."""
+    n = lower.shape[0]
+    x = np.array(b, dtype=np.float64, copy=True)
+    for k0 in range(0, n, PANEL):
+        k1 = min(k0 + PANEL, n)
+        for i in range(k0 + 1, k1):
+            x[i] -= lower[i, k0:i] @ x[k0:i]
+        if k1 < n:
+            x[k1:] -= lower[k1:, k0:k1] @ x[k0:k1]
+    return x
+
+
 def solve_upper(upper: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Solve U·X = B for upper-triangular U (back substitution)."""
+    """Solve U·X = B for upper-triangular U (blocked backward)."""
     n = upper.shape[0]
     x = np.array(b, dtype=np.float64, copy=True)
-    for i in range(n - 1, -1, -1):
-        if i + 1 < n:
-            x[i] -= upper[i, i + 1:] @ x[i + 1:]
-        x[i] /= upper[i, i]
+    for k1 in range(n, 0, -PANEL):
+        k0 = max(k1 - PANEL, 0)
+        for i in range(k1 - 1, k0 - 1, -1):
+            if i + 1 < k1:
+                x[i] -= upper[i, i + 1:k1] @ x[i + 1:k1]
+            x[i] /= upper[i, i]
+        if k0 > 0:
+            x[:k0] -= upper[:k0, k0:k1] @ x[k0:k1]
     return x
 
 

@@ -179,7 +179,7 @@ def _apply_left(mat: np.ndarray, b: BlockMatrixFrame) -> BlockMatrixFrame:
         for bi in range((x.shape[0] + bs - 1) // bs):
             blk = x[bi * bs:(bi + 1) * bs]
             out.append((bi, bj, blk.shape[0], blk.shape[1],
-                        blk.ravel().tolist()))
+                        blk.ravel()))
         return pd.DataFrame(
             out, columns=["bi", "bj", "rows", "cols", "data"]
         )
@@ -204,7 +204,7 @@ def _apply_right(b: BlockMatrixFrame, mat: np.ndarray) -> BlockMatrixFrame:
         for bj in range((x.shape[1] + bs - 1) // bs):
             blk = x[:, bj * bs:(bj + 1) * bs]
             out.append((bi, bj, blk.shape[0], blk.shape[1],
-                        blk.ravel().tolist()))
+                        blk.ravel()))
         return pd.DataFrame(
             out, columns=["bi", "bj", "rows", "cols", "data"]
         )

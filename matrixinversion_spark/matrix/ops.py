@@ -67,7 +67,7 @@ def multiply(a: BlockMatrixFrame, b: BlockMatrixFrame) -> BlockMatrixFrame:
             p = blk_a @ blk_b
             acc = p if acc is None else acc + p
         return pd.DataFrame(
-            [(bi, bj, acc.shape[0], acc.shape[1], acc.ravel().tolist())],
+            [(bi, bj, acc.shape[0], acc.shape[1], acc.ravel())],
             columns=["bi", "bj", "rows", "cols", "data"],
         )
 
@@ -135,7 +135,7 @@ def transpose(a: BlockMatrixFrame) -> BlockMatrixFrame:
                 blk = np.asarray(d, dtype=np.float64).reshape(r, c)
                 out.append(
                     (int(bj), int(bi), int(c), int(r),
-                     np.ascontiguousarray(blk.T).ravel().tolist())
+                     np.ascontiguousarray(blk.T).ravel())
                 )
             yield pd.DataFrame(
                 out, columns=["bi", "bj", "rows", "cols", "data"]
@@ -191,11 +191,57 @@ def permute_rows(a: BlockMatrixFrame, perm: np.ndarray) -> BlockMatrixFrame:
                     out[local_i] = blk[src - src0]
         return pd.DataFrame(
             [(bi_out, bj, out.shape[0], out.shape[1],
-              out.ravel().tolist())],
+              out.ravel())],
             columns=["bi", "bj", "rows", "cols", "data"],
         )
 
     out = joined.groupBy("bi_out", "bj").applyInPandas(
+        assemble, BLOCK_SCHEMA
+    )
+    return BlockMatrixFrame(out, a.n_rows, a.n_cols, bs)
+
+
+def permute_cols(a: BlockMatrixFrame, perm: np.ndarray) -> BlockMatrixFrame:
+    """Return M with M[:, j] = A[:, perm[j]] (column gather).
+
+    Same routing strategy as ``permute_rows`` but on block columns —
+    used to apply the pivot on the right (A⁻¹ = U⁻¹·L⁻¹·P) without
+    paying two full transposes.
+    """
+    perm = np.asarray(perm, dtype=np.int64)
+    if perm.shape[0] != a.n_cols:
+        raise ValueError("permutation length != n_cols")
+    bs = a.block_size
+    spark = a.df.sparkSession
+
+    pairs = sorted(
+        {(int(j // bs), int(p // bs)) for j, p in enumerate(perm)}
+    )
+    routing = spark.createDataFrame(pairs, "bj_out int, bj int")
+    joined = a.df.join(F.broadcast(routing), "bj")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        bj_out = int(pdf["bj_out"].iloc[0])
+        bi = int(pdf["bi"].iloc[0])
+        rows = int(pdf["rows"].iloc[0])
+        c0 = bj_out * bs
+        c1 = min(c0 + bs, perm.shape[0])
+        out = np.zeros((rows, c1 - c0))
+        for bj_src, r, c, d in zip(
+            pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            blk = np.asarray(d, dtype=np.float64).reshape(r, c)
+            src0 = int(bj_src) * bs
+            for local_j, global_j in enumerate(range(c0, c1)):
+                src = perm[global_j]
+                if src0 <= src < src0 + int(c):
+                    out[:, local_j] = blk[:, src - src0]
+        return pd.DataFrame(
+            [(bi, bj_out, out.shape[0], out.shape[1], out.ravel())],
+            columns=["bi", "bj", "rows", "cols", "data"],
+        )
+
+    out = joined.groupBy("bi", "bj_out").applyInPandas(
         assemble, BLOCK_SCHEMA
     )
     return BlockMatrixFrame(out, a.n_rows, a.n_cols, bs)

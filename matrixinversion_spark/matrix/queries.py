@@ -42,7 +42,7 @@ def _lineitem_matrix(spark: SparkSession, sf_dir: str) -> BlockMatrixFrame:
         blk = np.zeros((_DIM, _DIM))
         blk[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf["v"].to_numpy()
         return pd.DataFrame(
-            [(0, 0, _DIM, _DIM, blk.ravel().tolist())],
+            [(0, 0, _DIM, _DIM, blk.ravel())],
             columns=["bi", "bj", "rows", "cols", "data"],
         )
 

@@ -90,11 +90,19 @@ def _affine(a: int, b: int):
     return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
 
 
-def minhash_signature(shingle_col: Column) -> list[Column]:
-    """16 MinHash components over a shingle array column."""
-    base = F.transform(shingle_col, lambda s: hash32(s) % MERSENNE31)
+def base_hashes(shingle_col: Column) -> Column:
+    """md5-prefix base hash per shingle, reduced mod 2^31−1.
+
+    Materialized once per doc — the 16 permutations then map over the
+    precomputed integers (computing md5 inside each permutation would
+    cost 16× the hashing)."""
+    return F.transform(shingle_col, lambda s: hash32(s) % MERSENNE31)
+
+
+def minhash_signature(base_col: Column) -> list[Column]:
+    """16 MinHash components over a precomputed base-hash array."""
     return [
-        F.array_min(F.transform(base, _affine(a, b))).alias(f"mh{j}")
+        F.array_min(F.transform(base_col, _affine(a, b))).alias(f"mh{j}")
         for j, (a, b) in enumerate(MINHASH_COEFFS)
     ]
 
@@ -254,11 +262,18 @@ def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is an md5 prefix and the 16 permutations are fixed affine
     maps mod 2^31-1 (coefficients frozen at module import).
     """
-    d = read_table(spark, sf_dir, "documents")
+    # the test corpus is one parquet file = one input partition; fan
+    # out before the (CPU-heavy) per-doc hashing so signature
+    # computation uses every core — at real scale the file layout
+    # provides this for free
+    d = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sig = (
         d.select("doc_id", shingles(F.col("text")).alias("sh"))
         .filter(F.size("sh") > 0)
-        .select("doc_id", *minhash_signature(F.col("sh")))
+        .select("doc_id", base_hashes(F.col("sh")).alias("hb"))
+        .select("doc_id", *minhash_signature(F.col("hb")))
     )
     sig.persist()
 
