@@ -21,12 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Importing these modules populates the registry.
 import matrixinversion_spark.relational.queries  # noqa: F401,E402
+import matrixinversion_spark.relational.functions  # noqa: F401,E402
+import matrixinversion_spark.relational.io  # noqa: F401,E402
 
 try:  # pipeline/matrix registrations land as they are implemented
     import matrixinversion_spark.pipeline.dedup  # noqa: F401,E402
     import matrixinversion_spark.pipeline.similarity  # noqa: F401,E402
     import matrixinversion_spark.pipeline.text  # noqa: F401,E402
     import matrixinversion_spark.pipeline.multimodal  # noqa: F401,E402
+    import matrixinversion_spark.pipeline.ml_lsh  # noqa: F401,E402
 except ImportError:
     pass
 try:

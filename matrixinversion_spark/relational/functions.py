@@ -1,0 +1,242 @@
+"""Second wave of operator coverage: pivot, explode/lateral,
+exact percentiles, min_by/max_by, null-safe join, union-by-name,
+hopping (sliding) windows, approximate distinct counting.
+
+Each query targets one operator family from SURVEY.md §2.3 that the
+first wave didn't cover; oracle conventions as in relational.queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linenumber = 1 THEN l_quantity END), 0), 2) AS line_1,
+           round(coalesce(sum(CASE WHEN l_linenumber = 2 THEN l_quantity END), 0), 2) AS line_2,
+           round(coalesce(sum(CASE WHEN l_linenumber = 3 THEN l_quantity END), 0), 2) AS line_3
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot (groupBy().pivot() with an explicit value
+    list — the only scale-safe form: an unlisted pivot forces an
+    extra distinct pass over the data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.filter(F.col("l_linenumber") <= 3)
+        .groupBy("l_returnflag")
+        .pivot("l_linenumber", [1, 2, 3])
+        .sum("l_quantity")
+    )
+    return pv.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("1"), F.lit(0.0)), 2).alias("line_1"),
+        F.round(F.coalesce(F.col("2"), F.lit(0.0)), 2).alias("line_2"),
+        F.round(F.coalesce(F.col("3"), F.lit(0.0)), 2).alias("line_3"),
+    )
+
+
+@query(
+    "q_explode_tokens",
+    oracle="""
+    SELECT t AS token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t
+    HAVING count(*) >= 100
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode / lateral-view (UNNEST): corpus token frequencies."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+@query(
+    "q_min_max_by",
+    oracle="""
+    SELECT n_name,
+           arg_max(c_name, c_acctbal) AS richest_customer,
+           arg_min(c_name, c_acctbal) AS poorest_customer,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(min(c_acctbal), 2) AS min_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregation)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+            F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (SELECT CASE WHEN event_type = 'click' THEN NULL
+                           ELSE event_type END AS et, count(*) AS n_a
+               FROM events GROUP BY 1),
+         b AS (SELECT CASE WHEN event_type = 'click' THEN NULL
+                           ELSE event_type END AS et,
+                      round(sum(value), 2) AS v_b
+               FROM events GROUP BY 1)
+    SELECT a.et AS event_type, n_a, v_b
+    FROM a JOIN b ON a.et IS NOT DISTINCT FROM b.et
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM) — NULL keys
+    match each other instead of dropping out."""
+    e = _t(spark, sf_dir, "events")
+    et = F.when(F.col("event_type") == "click", None).otherwise(
+        F.col("event_type")
+    )
+    a = e.select(et.alias("et")).groupBy("et").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = e.select(et.alias("et"), "value").groupBy("et").agg(
+        F.round(F.sum("value"), 2).alias("v_b")
+    )
+    return a.join(b, a.et.eqNullSafe(b.et)).select(
+        a.et.alias("event_type"), "n_a", "v_b"
+    )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT key, round(sum(amount), 2) AS total
+    FROM (
+        SELECT o_custkey AS key, o_totalprice AS amount FROM orders
+        UNION ALL
+        SELECT c_custkey AS key, c_acctbal AS amount FROM customer
+    )
+    GROUP BY key
+    HAVING round(sum(amount), 2) > 1500000
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema-aligned union regardless of column order."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_custkey").alias("key"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("amount"),
+    )
+    return (
+        o.unionByName(c)  # note: o has (amount, key), c has (key, amount)
+        .groupBy("key")
+        .agg(F.round(F.sum("amount"), 2).alias("total"))
+        .filter(F.col("total") > 1500000)
+    )
+
+
+@query(
+    "q_events_hopping",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts) - to_hours(o.off),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    GROUP BY 1
+    """,
+)
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 2h length, 1h slide —
+    every event lands in two windows. Oracle replays the window
+    assignment with an explicit offset unnest."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("q_approx_count_distinct")
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (rows-only: DuckDB's approx
+    sketch differs by construction). The scale story: one pass, fixed
+    memory, no expand — the exact q_distinct_agg is its oracle-adjacent
+    twin. Sanity bound asserted in tests: |est − exact| ≤ 5%."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+
+
+@query("q_sample_seeded")
+def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed (rows-only: sampling is
+    partition-layout-dependent, no cross-engine oracle exists)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=7)
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        )
+    )

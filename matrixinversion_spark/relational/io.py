@@ -1,0 +1,98 @@
+"""Source/sink connectors beyond parquet: CSV and JSON round-trips.
+
+The reference's only formats are its custom binary block files and a
+text sink (SURVEY.md §2.2 "File formats/connectors"); the engine
+surface adds the standard Spark readers/writers. Each round-trip
+query writes a table out through the connector and reads it back, so
+the oracle (reading the original parquet) proves the connector
+preserves content exactly — schema, values, nulls.
+
+Sinks write under ``.tmp_io/`` inside the repo (test scratch; the
+driver's read-only testdata is never touched).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), ".tmp_io")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: write nation as headered CSV, read it back
+    with an explicit schema. Oracle reads the original parquet — the
+    round-trip must be lossless."""
+    path = _scratch("nation_csv")
+    nation = read_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.option("header", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(path)
+    )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip on region."""
+    path = _scratch("region_json")
+    region = read_table(spark, sf_dir, "region")
+    region.write.mode("overwrite").json(path)
+    return (
+        spark.read.schema("r_regionkey int, r_name string").json(path)
+    )
+
+
+@query(
+    "q_partitioned_write",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders WHERE year(o_orderdate) = 1997
+    GROUP BY o_orderpriority
+    """,
+)
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned read.
+
+    Writes orders partitioned by order year, then reads back ONE
+    partition — the scan touches only that directory (partition
+    pruning, the at-rest layout that makes 100 TB scans affordable;
+    the reference's block-extent header pruning, O2/P2, is the same
+    idea hand-rolled)."""
+    path = _scratch("orders_by_year")
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

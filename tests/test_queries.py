@@ -30,10 +30,15 @@ SAMPLE = [
 
 def test_registry_shape():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    assert len(qs) >= 45
+    assert len(qs) >= 60
     assert set(oracles) <= set(qs)
     # the vast majority must be oracle-checked, not rows-only
-    assert len(oracles) >= len(qs) - 4
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {
+        "la_lu_residual", "la_inverse_residual",
+        "q_approx_count_distinct", "q_sample_seeded",
+        "p_ml_minhash_join", "p_ml_brp_neighbors",
+    }, rows_only
 
 
 def test_entry_smoke(spark):
