@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import matrixinversion_spark.relational.queries  # noqa: F401,E402
 import matrixinversion_spark.relational.functions  # noqa: F401,E402
 import matrixinversion_spark.relational.io  # noqa: F401,E402
+import matrixinversion_spark.relational.udf  # noqa: F401,E402
 
 try:  # pipeline/matrix registrations land as they are implemented
     import matrixinversion_spark.pipeline.dedup  # noqa: F401,E402

@@ -84,3 +84,101 @@ def inverse(a: BlockMatrixFrame,
     # A⁻¹ = X·P — a single column gather by perm⁻¹ (no transposes)
     perm_inv = np.argsort(perm)
     return permute_cols(x, perm_inv)
+
+
+def solve(a: BlockMatrixFrame, b: BlockMatrixFrame,
+          leaf_size: int = DEFAULT_LEAF) -> BlockMatrixFrame:
+    """Solve A·X = B for a general square A (LU + two triangular
+    solves — never forms A⁻¹ explicitly; cheaper and better
+    conditioned than inverse()·B when B has few columns)."""
+    from matrixinversion_spark.matrix.lu import solve_lower
+    from matrixinversion_spark.matrix.ops import permute_rows
+
+    if a.n_rows != a.n_cols or a.n_cols != b.n_rows:
+        raise ValueError(
+            f"solve shape mismatch: A is {a.n_rows}x{a.n_cols}, "
+            f"B is {b.n_rows}x{b.n_cols}"
+        )
+
+    perm, lo, up = lu(a, leaf_size)
+    lo = _checkpoint(lo).persist()
+    up = _checkpoint(up).persist()
+    y = solve_lower(lo, permute_rows(b, perm), leaf_size)  # L·Y = P·B
+    return _solve_upper_left(up, y, leaf_size)             # U·X = Y
+
+
+def _solve_upper_left(up: BlockMatrixFrame, b: BlockMatrixFrame,
+                      leaf_size: int) -> BlockMatrixFrame:
+    """Solve U·X = B for upper-triangular U (back substitution,
+    recursive halving like lu.solve_lower)."""
+    from matrixinversion_spark.matrix.lu import _apply_left
+    from matrixinversion_spark.matrix.ops import multiply as mul
+    from matrixinversion_spark.matrix.ops import subtract as sub
+
+    if up.n_rows <= leaf_size or up.nbi == 1:
+        return _apply_left(kernels.inv_upper(up.to_numpy()), b)
+    mb = up.nbi // 2
+    ua = up.slice_blocks(0, mb, 0, mb)
+    ub = up.slice_blocks(0, mb, mb, up.nbj)
+    ud = up.slice_blocks(mb, up.nbi, mb, up.nbj)
+    ba = b.slice_blocks(0, mb, 0, b.nbj)
+    bb = b.slice_blocks(mb, b.nbi, 0, b.nbj)
+    xb = _solve_upper_left(ud, bb, leaf_size)
+    xa = _solve_upper_left(ua, sub(ba, mul(ub, xb)), leaf_size)
+    df = xa.df.unionAll(xb.shift(mb, 0))
+    return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)
+
+
+def determinant(a: BlockMatrixFrame,
+                leaf_size: int = DEFAULT_LEAF) -> float:
+    """det(A) = sign(P) · Π diag(U) from the LU factors.
+
+    The diagonal product is computed distributed (diagonal blocks
+    only — block-coordinate filter prunes everything else); the
+    permutation sign is a driver-side cycle count over the pivot
+    vector (N ints)."""
+    from pyspark.sql import functions as F
+
+    perm, _lo, up = lu(a, leaf_size)
+    bs = up.block_size
+    diag_prod_log = (
+        up.df.filter(F.col("bi") == F.col("bj"))
+        .select(
+            F.aggregate(
+                # diagonal entries of a row-major square block
+                F.transform(
+                    F.sequence(F.lit(0), F.col("rows") - 1),
+                    lambda i: F.element_at(
+                        "data", i * (F.col("cols") + 1) + 1
+                    ),
+                ),
+                F.struct(
+                    F.lit(0.0).alias("logabs"), F.lit(1.0).alias("sgn")
+                ),
+                lambda acc, x: F.struct(
+                    (acc.logabs + F.log(F.abs(x))).alias("logabs"),
+                    (acc.sgn * F.signum(x)).alias("sgn"),
+                ),
+            ).alias("s")
+        )
+        .agg(
+            F.sum("s.logabs").alias("logabs"),
+            F.product("s.sgn").alias("sgn"),
+        )
+        .collect()[0]
+    )
+    # permutation sign: (-1)^(n − number of cycles)
+    perm = np.asarray(perm)
+    seen = np.zeros(len(perm), dtype=bool)
+    cycles = 0
+    for i in range(len(perm)):
+        if not seen[i]:
+            cycles += 1
+            j = i
+            while not seen[j]:
+                seen[j] = True
+                j = perm[j]
+    psign = -1.0 if (len(perm) - cycles) % 2 else 1.0
+    return float(
+        psign * diag_prod_log.sgn * np.exp(diag_prod_log.logabs)
+    )

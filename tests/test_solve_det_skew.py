@@ -1,0 +1,82 @@
+"""solve()/determinant() numerics + salted-join equivalence +
+plan-shape regressions (pushdown, broadcast)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from matrixinversion_spark.matrix import inverse as invmod
+from matrixinversion_spark.matrix.core import BlockMatrixFrame
+from matrixinversion_spark.relational.skew import salted_join
+from matrixinversion_spark.session import read_table
+from tests.conftest import SF_DIR
+
+
+def test_solve_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    a = rng.random((96, 96))
+    b = rng.random((96, 40))
+    x = invmod.solve(
+        BlockMatrixFrame.from_numpy(spark, a, 32),
+        BlockMatrixFrame.from_numpy(spark, b, 32),
+        leaf_size=32,
+    ).to_numpy()
+    assert np.abs(a @ x - b).max() < 1e-9
+
+
+def test_determinant_matches_numpy(spark):
+    rng = np.random.default_rng(4)
+    for n in (32, 96):
+        a = rng.random((n, n))
+        got = invmod.determinant(
+            BlockMatrixFrame.from_numpy(spark, a, 32), leaf_size=32
+        )
+        want = float(np.linalg.det(a))
+        assert abs(got - want) <= 1e-9 * max(abs(want), 1.0), (n, got, want)
+
+
+def test_salted_join_equals_plain(spark):
+    o = read_table(spark, SF_DIR, "orders")
+    c = read_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        o.join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    salted = (
+        salted_join(o, c, "o_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert salted == plain
+
+
+def test_plan_shapes(spark):
+    qs = entry_mod.queries()
+    q1_plan = qs["q1_pricing_summary"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in (
+        q1_plan
+    ), "q1 timestamp filter must push into the parquet scan"
+
+    q5_plan = qs["q5_region_revenue"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in q5_plan, "q5 dims must broadcast"
+
+    rng_plan = qs["q_join_range"](spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in rng_plan, (
+        "range join must be broadcast-nested-loop, never a cartesian "
+        "shuffle"
+    )
