@@ -215,6 +215,32 @@ def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+           count(*) OVER (
+               ORDER BY o_totalprice
+               RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+           ) AS n_within_1k
+    FROM orders
+    WHERE o_custkey <= 50
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): how many
+    orders fall within ±1000 of each order's price."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+    )
+
+
 @query("q_approx_count_distinct")
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate (rows-only: DuckDB's approx

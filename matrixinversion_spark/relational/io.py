@@ -66,6 +66,22 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal FROM supplier",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip on supplier."""
+    path = _scratch("supplier_orc")
+    supplier = read_table(spark, sf_dir, "supplier")
+    supplier.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+
+
+@query(
     "q_partitioned_write",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,
