@@ -27,9 +27,9 @@ from matrixinversion_spark.matrix import kernels
 from matrixinversion_spark.matrix.core import BlockMatrixFrame
 from matrixinversion_spark.matrix.lu import DEFAULT_LEAF, _checkpoint, lu
 from matrixinversion_spark.matrix.ops import (
+    gemm,
     multiply,
     permute_cols,
-    scale,
 )
 
 
@@ -47,7 +47,7 @@ def inverse_lower_unit(lo: BlockMatrixFrame,
     d = lo.slice_blocks(mb, lo.nbi, mb, lo.nbi)
     ia = _checkpoint(inverse_lower_unit(a, leaf_size)).persist()
     id_ = _checkpoint(inverse_lower_unit(d, leaf_size)).persist()
-    corner = scale(multiply(multiply(id_, c), ia), -1.0)
+    corner = gemm(multiply(id_, c), ia, alpha=-1.0)
     df = ia.df.unionAll(corner.shift(mb, 0)).unionAll(id_.shift(mb, mb))
     return BlockMatrixFrame(df, lo.n_rows, lo.n_cols, lo.block_size)
 
@@ -66,7 +66,7 @@ def inverse_upper(up: BlockMatrixFrame,
     d = up.slice_blocks(mb, up.nbi, mb, up.nbj)
     ia = _checkpoint(inverse_upper(a, leaf_size)).persist()
     id_ = _checkpoint(inverse_upper(d, leaf_size)).persist()
-    corner = scale(multiply(multiply(ia, b), id_), -1.0)
+    corner = gemm(multiply(ia, b), id_, alpha=-1.0)
     df = ia.df.unionAll(corner.shift(0, mb)).unionAll(id_.shift(mb, mb))
     return BlockMatrixFrame(df, up.n_rows, up.n_cols, up.block_size)
 
@@ -112,8 +112,6 @@ def _solve_upper_left(up: BlockMatrixFrame, b: BlockMatrixFrame,
     """Solve U·X = B for upper-triangular U (back substitution,
     recursive halving like lu.solve_lower)."""
     from matrixinversion_spark.matrix.lu import _apply_left
-    from matrixinversion_spark.matrix.ops import multiply as mul
-    from matrixinversion_spark.matrix.ops import subtract as sub
 
     if up.n_rows <= leaf_size or up.nbi == 1:
         return _apply_left(kernels.inv_upper(up.to_numpy()), b)
@@ -124,7 +122,7 @@ def _solve_upper_left(up: BlockMatrixFrame, b: BlockMatrixFrame,
     ba = b.slice_blocks(0, mb, 0, b.nbj)
     bb = b.slice_blocks(mb, b.nbi, 0, b.nbj)
     xb = _solve_upper_left(ud, bb, leaf_size)
-    xa = _solve_upper_left(ua, sub(ba, mul(ub, xb)), leaf_size)
+    xa = _solve_upper_left(ua, gemm(ub, xb, c=ba, alpha=-1.0), leaf_size)
     df = xa.df.unionAll(xb.shift(mb, 0))
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)
 

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from matrixinversion_spark.matrix import kernels
 from matrixinversion_spark.matrix.core import BLOCK_SCHEMA, BlockMatrixFrame
-from matrixinversion_spark.matrix.ops import multiply, permute_rows, subtract
+from matrixinversion_spark.matrix.ops import gemm, multiply, permute_rows
 
 DEFAULT_LEAF = 1024  # reference runs limit=1000 (`run.csh:13`)
 
@@ -92,7 +92,7 @@ def lu(a: BlockMatrixFrame, leaf_size: int = DEFAULT_LEAF
     u2 = _checkpoint(u2).persist()
     l2 = _checkpoint(l2).persist()
 
-    s = _checkpoint(subtract(a4, multiply(l2, u2)))
+    s = _checkpoint(gemm(l2, u2, c=a4, alpha=-1.0))
     p3, l3, u3 = lu(s, leaf_size)
 
     l2p = permute_rows(l2, p3)
@@ -133,7 +133,7 @@ def solve_lower(lo: BlockMatrixFrame, b: BlockMatrixFrame,
     ba = b.slice_blocks(0, mb, 0, b.nbj)
     bb = b.slice_blocks(mb, b.nbi, 0, b.nbj)
     xa = solve_lower(la, ba, leaf_size)
-    xb = solve_lower(ld, subtract(bb, multiply(lc, xa)), leaf_size)
+    xb = solve_lower(ld, gemm(lc, xa, c=bb, alpha=-1.0), leaf_size)
     df = xa.df.unionAll(xb.shift(mb, 0))
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)
 
@@ -151,7 +151,7 @@ def solve_upper_right(up: BlockMatrixFrame, b: BlockMatrixFrame,
     ba = b.slice_blocks(0, b.nbi, 0, mb)
     bb = b.slice_blocks(0, b.nbi, mb, b.nbj)
     xa = solve_upper_right(ua, ba, leaf_size)
-    xb = solve_upper_right(ud, subtract(bb, multiply(xa, ub)), leaf_size)
+    xb = solve_upper_right(ud, gemm(xa, ub, c=bb, alpha=-1.0), leaf_size)
     df = xa.df.unionAll(xb.shift(0, mb))
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)
 

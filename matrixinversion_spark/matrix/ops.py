@@ -38,11 +38,28 @@ from matrixinversion_spark.matrix.core import BLOCK_SCHEMA, BlockMatrixFrame
 
 def multiply(a: BlockMatrixFrame, b: BlockMatrixFrame) -> BlockMatrixFrame:
     """C = A·B via join-on-inner-index + GEMM-accumulate per block."""
+    return gemm(a, b)
+
+
+def gemm(a: BlockMatrixFrame, b: BlockMatrixFrame,
+         c: BlockMatrixFrame | None = None,
+         alpha: float = 1.0) -> BlockMatrixFrame:
+    """Fused C + α·(A·B) (C optional, absent blocks = zeros).
+
+    One shuffle total: the product pairs and the bias blocks of C are
+    cogrouped on (bi, bj) and combined inside a single numpy kernel —
+    the Schur complement S = A4 − L2·U2 (reference O11) is
+    ``gemm(l2, u2, c=a4, alpha=-1)`` with no separate subtract pass
+    (which would cost a second join plus a boxing-heavy array
+    ``zip_with`` over megabyte blocks).
+    """
     if a.n_cols != b.n_rows or a.block_size != b.block_size:
         raise ValueError(
             f"shape mismatch: {a.n_rows}x{a.n_cols} @ {b.n_rows}x{b.n_cols} "
             f"(block {a.block_size} vs {b.block_size})"
         )
+    if c is not None and (c.n_rows, c.n_cols) != (a.n_rows, b.n_cols):
+        raise ValueError("bias shape mismatch in gemm")
     left = a.df.select(
         F.col("bi"), F.col("bj").alias("k"),
         F.col("rows").alias("a_rows"), F.col("cols").alias("a_cols"),
@@ -54,24 +71,45 @@ def multiply(a: BlockMatrixFrame, b: BlockMatrixFrame) -> BlockMatrixFrame:
     )
     joined = left.join(right, "k")
 
-    def gemm_sum(pdf: pd.DataFrame) -> pd.DataFrame:
-        bi = int(pdf["bi"].iloc[0])
-        bj = int(pdf["bj"].iloc[0])
+    def gemm_sum(pdf: pd.DataFrame, bias: pd.DataFrame | None = None
+                 ) -> pd.DataFrame:
         acc: np.ndarray | None = None
-        for ar, ac, bc, ad, bd in zip(
-            pdf["a_rows"], pdf["a_cols"], pdf["b_cols"],
-            pdf["a_data"], pdf["b_data"],
+        if bias is not None and len(bias):
+            r0 = int(bias["rows"].iloc[0])
+            c0 = int(bias["cols"].iloc[0])
+            acc = np.asarray(
+                bias["data"].iloc[0], dtype=np.float64
+            ).reshape(r0, c0).copy()
+        bi = bj = None
+        for bi, bj, ar, ac, bc, ad, bd in zip(
+            pdf["bi"], pdf["bj"], pdf["a_rows"], pdf["a_cols"],
+            pdf["b_cols"], pdf["a_data"], pdf["b_data"],
         ):
             blk_a = np.asarray(ad, dtype=np.float64).reshape(ar, ac)
             blk_b = np.asarray(bd, dtype=np.float64).reshape(ac, bc)
-            p = blk_a @ blk_b
+            p = alpha * (blk_a @ blk_b)
             acc = p if acc is None else acc + p
+        if bi is None:  # bias block with no product contributions
+            bi = int(bias["bi"].iloc[0])
+            bj = int(bias["bj"].iloc[0])
         return pd.DataFrame(
-            [(bi, bj, acc.shape[0], acc.shape[1], acc.ravel())],
+            [(int(bi), int(bj), acc.shape[0], acc.shape[1], acc.ravel())],
             columns=["bi", "bj", "rows", "cols", "data"],
         )
 
-    out = joined.groupBy("bi", "bj").applyInPandas(gemm_sum, BLOCK_SCHEMA)
+    if c is None:
+        out = joined.groupBy("bi", "bj").applyInPandas(
+            lambda pdf: gemm_sum(pdf), BLOCK_SCHEMA
+        )
+    else:
+        out = (
+            joined.groupBy("bi", "bj")
+            .cogroup(c.df.groupBy("bi", "bj"))
+            .applyInPandas(
+                lambda left_pdf, right_pdf: gemm_sum(left_pdf, right_pdf),
+                BLOCK_SCHEMA,
+            )
+        )
     return BlockMatrixFrame(out, a.n_rows, b.n_cols, a.block_size)
 
 
