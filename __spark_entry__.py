@@ -31,6 +31,7 @@ try:  # pipeline/matrix registrations land as they are implemented
     import matrixinversion_spark.pipeline.text  # noqa: F401,E402
     import matrixinversion_spark.pipeline.multimodal  # noqa: F401,E402
     import matrixinversion_spark.pipeline.ml_lsh  # noqa: F401,E402
+    import matrixinversion_spark.pipeline.curation  # noqa: F401,E402
 except ImportError:
     pass
 try:

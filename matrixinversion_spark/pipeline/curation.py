@@ -1,0 +1,179 @@
+"""Corpus curation: dedup-cluster canonicalization + the end-to-end
+quality→dedup→stats pipeline a training-data run actually executes.
+
+- ``p_dedup_canonicalize`` — connected components over the near-dup
+  pair graph (iterative label propagation: every doc converges to the
+  minimum doc_id reachable from it), then one canonical doc per
+  cluster. This is the standard "dedup at scale" shape: LSH emits
+  pairs, components glue transitive chains (A~B, B~C ⇒ one cluster).
+  Iterative driver loop, one join+agg per round, O(log diameter)
+  rounds — the oracle replays it with a DuckDB recursive CTE.
+- ``p_corpus_curate`` — the composite pipeline: quality-gate the
+  corpus, drop exact duplicates (keep min doc_id), report per-lang
+  survivor stats. Each stage is a previously-verified operator; this
+  entry checks their composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.pipeline.dedup import shingles
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+_PAIR_THRESHOLD = 0.6  # shingle-Jaccard edge threshold for the graph
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edges: 3-gram Jaccard ≥ 0.6 (same logic as
+    p_dedup_ngram_jaccard at a looser threshold so chains exist)."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sza, "id_a").join(szb, "id_b")
+        .filter(jac >= _PAIR_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+
+_PAIRS_SQL = f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(ts) - 2, 0)),
+               i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS s
+           FROM tok),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_PAIR_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "p_dedup_canonicalize",
+    oracle=(_PAIRS_SQL + """
+    , edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+        SELECT u AS doc_id, u AS reach FROM edges
+        UNION
+        SELECT e.u, w.reach FROM edges e JOIN walk w ON e.v = w.doc_id
+    )
+    SELECT doc_id, CAST(min(reach) AS BIGINT) AS canonical_id
+    FROM walk GROUP BY doc_id
+    HAVING doc_id != min(reach)
+    """).replace("WITH tok", "WITH RECURSIVE tok"),
+)
+def p_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs → canonical mapping.
+
+    Label propagation to fixpoint: each doc's label is the min doc_id
+    among itself and its neighbors' labels; converges in O(log D)
+    rounds (D = component diameter). Each round is one shuffle
+    (join + min-agg); the frontier DataFrame is checkpointed so the
+    iterative lineage stays flat — the reference's recursion (O12)
+    has the same driver-loop-over-Spark-jobs shape.
+    """
+    pairs = _ngram_pairs(spark, sf_dir)
+    pairs = pairs.localCheckpoint(eager=True)
+
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v")
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = edges.select(F.col("u").alias("doc_id")).distinct() \
+        .withColumn("label", F.col("doc_id"))
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.filter(F.col("doc_id") != F.col("label"))
+        .select("doc_id", F.col("label").alias("canonical_id"))
+    )
+
+
+@query(
+    "p_corpus_curate",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE length(text) >= 50
+          AND len(string_split(text, ' ')) >= 10
+    ),
+    dedup AS (
+        SELECT min(doc_id) AS doc_id, md5(text) AS fp,
+               min(lang) AS lang
+        FROM kept GROUP BY md5(text)
+    )
+    SELECT dedup.lang,
+           count(*) AS n_docs,
+           CAST(sum(length(t.text)) AS BIGINT) AS total_chars
+    FROM dedup JOIN kept t USING (doc_id)
+    GROUP BY dedup.lang
+    """,
+)
+def p_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality gate → exact dedup → lang stats.
+
+    The composition check: every stage is an already-verified
+    operator; the whole pipeline stays one declarative plan (no
+    intermediate materialization — Catalyst fuses the gate into the
+    scan and the dedup into one shuffle)."""
+    d = read_table(spark, sf_dir, "documents")
+    kept = d.filter(
+        (F.length("text") >= 50) & (F.size(F.split("text", " ")) >= 10)
+    )
+    dedup = (
+        kept.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"))
+    )
+    survivors = dedup.join(kept.select("doc_id", "text"), "doc_id")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
