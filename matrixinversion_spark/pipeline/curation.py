@@ -177,3 +177,22 @@ def p_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+@query("p_sample_stratified", oracle=None)  # seeded sampling: rows-only check
+def p_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) seeded sampling — `sampleBy` keeps
+    ~60% of 'en' docs and ~20% of everything else, then reports
+    per-(lang, source) survivor counts. Sampling is executed
+    map-side per partition (no shuffle before the count agg); the
+    driver records a rows-only check since Spark's and DuckDB's
+    samplers can't agree bit-for-bit.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    langs = [r[0] for r in d.select("lang").distinct().collect()]
+    fractions = {lg: (0.6 if lg == "en" else 0.2) for lg in langs}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

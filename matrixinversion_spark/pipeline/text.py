@@ -247,3 +247,58 @@ def p_text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", token_count_regex(F.col("text")).alias("n_regex_tokens")
     )
+
+
+@query(
+    "p_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT doc_id, token,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+    FROM (
+        SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, n.n_docs,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+                            DESC, tf.token) AS rn
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ) ranked
+    WHERE rn <= 3
+    """,
+)
+def p_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF.
+
+    All-DataFrame: token explode → per-doc term frequencies → corpus
+    document frequencies (broadcast — vocabulary ≪ corpus) → scores →
+    per-doc top-k window. The two aggregations are partial+final;
+    the only wide shuffle is on token for the DF count. Scales to a
+    100 TB corpus because the vocabulary table (distinct tokens) is
+    what gets broadcast, never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("token"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round("_score", 6).alias("score"))
+    )

@@ -7,4 +7,4 @@ DataFrame API so Catalyst does pushdown, pruning, join planning, and
 AQE does runtime re-planning.
 """
 
-from matrixinversion_spark.relational import functions, io, queries, tpch, udf  # noqa: F401  (registers)
+from matrixinversion_spark.relational import analytics, asof, functions, io, queries, tpch, udf  # noqa: F401  (registers)

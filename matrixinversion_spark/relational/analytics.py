@@ -1,0 +1,126 @@
+"""Analytic-function completions: distribution windows (ntile /
+percent_rank / cume_dist), navigation windows (first / last /
+nth_value), positional explode, and bucketed histograms.
+
+All pure ``pyspark.sql.functions`` — JVM-side, codegen'd. The window
+queries shuffle once on their partition key; the histogram is a
+partial+final aggregation over a derived bucket column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)            OVER w AS bal_quartile,
+           round(percent_rank() OVER w, 6) AS bal_pct_rank,
+           round(cume_dist()    OVER w, 6) AS bal_cume_dist
+    FROM customer
+    WHERE c_nationkey <= 4
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile assignment, percent
+    rank, cumulative distribution per nation."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") <= 4)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@query(
+    "q_window_navigation",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price,
+           round(last_value(o_totalprice)  OVER w, 2) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions over full-partition frames:
+    first / last / 2nd order price per customer history."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id <= 50) d,
+         unnest(generate_series(1, len(toks))) AS u(i)
+    WHERE u.i <= 5
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UNNEST WITH ORDINALITY): first 5 tokens of
+    each document with their positions."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .filter(F.col("pos") < 5)
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) + 1 AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS bucket_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket (20 buckets over
+    [0, 1e6) — equivalent to floor-division binning; the oracle uses
+    the floor form since DuckDB lacks width_bucket)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(1000000.0), F.lit(20))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_revenue"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+``asof_join(left, right, on, ts)`` attaches, to every left row, the
+most recent right row with the same keys and ``right.ts <= left.ts``
+(backward as-of, inclusive — the semantics of DuckDB/pandas
+``ASOF JOIN`` / ``merge_asof``).
+
+Implementation is the scalable union-marker pattern, NOT a range
+join: tag both inputs, union them, and carry the right side's payload
+forward with ``last(..., ignorenulls=True)`` over a
+``(keys, ts, marker)``-ordered running window. Cost is ONE shuffle on
+the join keys (the window's partitioning) regardless of how many
+right rows precede each left row — a naive ``l.ts >= r.ts`` range
+join explodes quadratically per key and then needs an argmax to pick
+the latest match. At 100 TB the union-marker plan is the only viable
+shape; it is also skew-tolerant (a hot key costs one fat partition,
+not a quadratic blowup).
+
+The reference implements no joins at all (SURVEY.md §2.2); this is
+part of the mandated query-surface extension (§2.3 item 2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+_MARKER = "__asof_side__"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join (right.ts <= left.ts, latest wins).
+
+    Returns every left row plus the matched right row's non-key
+    columns renamed ``<col><suffix>`` (NULL when no right row
+    precedes the left row — i.e. LEFT OUTER as-of semantics; filter
+    on ``<ts><suffix> IS NOT NULL`` for INNER).
+    """
+    on = list(on)
+    right_payload = [c for c in right.columns if c not in (*on, ts)]
+    left_cols = left.columns
+
+    # Right rows sort before left rows at the same timestamp
+    # (marker 0 < 1) so an exact-ts right row is visible to the left
+    # row — the inclusive `<=` of ASOF semantics.
+    lhs = left.withColumn(_MARKER, F.lit(1))
+    for c in right_payload:
+        lhs = lhs.withColumn(c + suffix, F.lit(None).cast(right.schema[c].dataType))
+    lhs = lhs.withColumn(ts + suffix, F.lit(None).cast(right.schema[ts].dataType))
+
+    # Rename the right payload FIRST — left and right may share payload
+    # column names (both sides of an event table carry event_id), and
+    # the null backfill below must not clobber real right-side values.
+    rhs = right.withColumn(_MARKER, F.lit(0)).withColumn(ts + suffix, F.col(ts))
+    for c in right_payload:
+        rhs = rhs.withColumnRenamed(c, c + suffix)
+    for c in left_cols:
+        if c not in (*on, ts) and c not in rhs.columns:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    out_cols = left_cols + [c + suffix for c in right_payload] + [ts + suffix]
+    unioned = lhs.select(*out_cols, _MARKER).unionByName(
+        rhs.select(*out_cols, _MARKER)
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts).asc(), F.col(_MARKER).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+        for c in [*right_payload, ts]
+    ]
+    return (
+        unioned.select(*left_cols, F.col(_MARKER), *carried)
+        .filter(F.col(_MARKER) == 1)
+        .drop(_MARKER)
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT p.user_id, p.event_id, v.event_id AS view_event_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent prior view —
+    checked against DuckDB's native ASOF JOIN."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(purchases, views, on=["user_id"], ts="ts")
+    return joined.filter(F.col("ts_right").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.col("event_id_right").alias("view_event_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_right"))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
