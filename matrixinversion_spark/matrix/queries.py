@@ -122,3 +122,44 @@ def la_inverse_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(256, float(err), bool(err < 1e-8 * 256))],
         "n int, identity_err double, ok boolean",
     )
+
+
+@query(
+    "la_add_transpose_coo",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(l_partkey % {_DIM} AS INTEGER) AS i,
+               CAST(l_suppkey % {_DIM} AS INTEGER) AS j,
+               round(sum(l_quantity), 6) AS v
+        FROM lineitem GROUP BY 1, 2
+    ), t AS (SELECT j AS i, i AS j, v FROM m)
+    SELECT coalesce(m.i, t.i) AS i, coalesce(m.j, t.j) AS j,
+           round(2.0 * coalesce(m.v, 0) + coalesce(t.v, 0), 3) AS val
+    FROM m FULL OUTER JOIN t ON m.i = t.i AND m.j = t.j
+    WHERE round(2.0 * coalesce(m.v, 0) + coalesce(t.v, 0), 3) != 0.0
+    """,
+)
+def la_add_transpose_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed B = 2·M + Mᵀ emitted as COO — oracle-checks the
+    add / scale / transpose block ops (the element-wise layer under
+    the Schur update, reference `LUDecomposition.java:624-628`)."""
+    m = _lineitem_matrix(spark, sf_dir)
+    b = ops.add(ops.scale(m, 2.0), ops.transpose(m))
+
+    def to_coo(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bi, bj, r, c, d in zip(
+            pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            blk = np.asarray(d, dtype=np.float64).reshape(r, c)
+            ii, jj = np.nonzero(np.round(blk, 3))
+            for i, j in zip(ii, jj):
+                out.append(
+                    (int(bi) * _DIM + int(i), int(bj) * _DIM + int(j),
+                     float(np.round(blk[i, j], 3)))
+                )
+        return pd.DataFrame(out, columns=["i", "j", "val"])
+
+    return b.df.groupBy("bi", "bj").applyInPandas(
+        to_coo, "i int, j int, val double"
+    )

@@ -124,3 +124,77 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("bucket_revenue"),
         )
     )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           count(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): supplier roster per
+    nation. Expressed as collect_list → array_sort → concat_ws so the
+    ordering is deterministic regardless of partitioning."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q_from_json_struct",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS k_decile,
+           count(*) AS n_events,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (from_json → struct field access),
+    vs. q_json_funcs' path-extraction form."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        F.from_json("props", "k INT").alias("p"), F.col("value")
+    )
+    return (
+        parsed.groupBy(F.floor(F.col("p.k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+_LATERAL_SQL = """
+SELECT n_name, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+FROM nation, LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey = n_nationkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@query("q_lateral_topk", oracle=_LATERAL_SQL)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    (top-2 orders per nation) — shared SQL text on both engines."""
+    from matrixinversion_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ("nation", "orders", "customer"))
+    return spark.sql(_LATERAL_SQL)

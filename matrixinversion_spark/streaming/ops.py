@@ -153,3 +153,48 @@ def run_to_memory(stream: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_view_join(events_a: DataFrame, events_b: DataFrame,
+                       max_gap: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's views within the preceding ``max_gap``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions — the two requirements that let Spark
+    evict join state instead of buffering the streams forever (the
+    only viable shape for an unbounded 100 TB/day stream).
+    """
+    p = (
+        events_a.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    v = (
+        events_b.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+    ).select("p_user", "purchase_id", "view_id", "p_ts", "v_ts")
+
+
+def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps
+    state only inside the watermark horizon (bounded memory), vs.
+    plain dropDuplicates whose state grows without bound."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -73,3 +73,67 @@ def test_stateful_running_stats(spark):
     assert (
         (merged["total_value_s"] - merged["total_value_b"]).abs() < 0.05
     ).all()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    a = sops.read_events_stream(spark, SF_DIR)
+    b = sops.read_events_stream(spark, SF_DIR)
+    q = (
+        sops.purchase_view_join(a, b)
+        .writeStream.format("memory")
+        .queryName("pv_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT p_user, purchase_id, view_id FROM pv_join "
+        "ORDER BY purchase_id, view_id"
+    ).toPandas()
+
+    e = read_table(spark, SF_DIR, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    batch = (
+        p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        )
+        .select("p_user", "purchase_id", "view_id")
+        .orderBy("purchase_id", "view_id")
+        .toPandas()
+    )
+    assert len(got) > 0
+    assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
+
+
+def test_streaming_dedup(spark):
+    # duplicate the stream by unioning it with itself, then dedup
+    dup = sops.read_events_stream(spark, SF_DIR).unionAll(
+        sops.read_events_stream(spark, SF_DIR)
+    )
+    q = (
+        sops.deduped_stream(dup)
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT count(*) AS n FROM deduped").collect()[0]["n"]
+    n_distinct = (
+        read_table(spark, SF_DIR, "events").select("event_id").distinct().count()
+    )
+    assert n == n_distinct
