@@ -38,6 +38,7 @@ def test_registry_shape():
         "la_lu_residual", "la_inverse_residual",
         "q_approx_count_distinct", "q_sample_seeded",
         "p_ml_minhash_join", "p_ml_brp_neighbors",
+        "p_sample_stratified",
     }, rows_only
 
 
