@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Importing these modules populates the registry.
 import matrixinversion_spark.relational.queries  # noqa: F401,E402
 import matrixinversion_spark.relational.tpch  # noqa: F401,E402
+import matrixinversion_spark.relational.tpch_final  # noqa: F401,E402
 import matrixinversion_spark.relational.analytics  # noqa: F401,E402
 import matrixinversion_spark.relational.asof  # noqa: F401,E402
 import matrixinversion_spark.relational.functions  # noqa: F401,E402
