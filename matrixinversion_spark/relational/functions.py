@@ -266,3 +266,72 @@ def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
         )
     )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT p_partkey,
+           'retail,size' AS keys_sorted,
+           CAST(p_size AS DOUBLE) AS size_val,
+           round(p_retailprice * 2, 2) AS retail_doubled,
+           CAST(CASE WHEN p_size > 25 THEN 1 ELSE 0 END
+              + CASE WHEN p_retailprice > 25 THEN 1 ELSE 0 END AS INT) AS n_big,
+           round(p_retailprice + p_size, 2) AS values_sum
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map scalar-function family: create_map, map_keys, element_at,
+    transform_values / map_filter (map higher-order functions), and a
+    fold over map_values — all JVM-side Catalyst expressions inside
+    one whole-stage-codegen span (no shuffle, no UDF). The oracle
+    computes the same scalars directly from the source columns."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    m = F.create_map(
+        F.lit("size"), F.col("p_size").cast("double"),
+        F.lit("retail"), F.col("p_retailprice"),
+    )
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, F.lit("size")).alias("size_val"),
+        F.round(
+            F.element_at(F.transform_values(m, lambda k, v: v * 2), F.lit("retail")), 2
+        ).alias("retail_doubled"),
+        F.size(F.map_filter(m, lambda k, v: v > 25)).alias("n_big"),
+        F.round(
+            F.aggregate(F.map_values(m), F.lit(0.0), lambda acc, v: acc + v), 2
+        ).alias("values_sum"),
+    )
+
+
+@query(
+    "q_map_aggregate",
+    oracle="""
+    SELECT l_returnflag, l_linestatus AS status, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_map_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map-typed aggregate (map_from_entries over
+    collect_list(struct(k, v))) then explode it back to rows. The
+    collect_list sits on an already-reduced group (at most a handful
+    of statuses per flag), so the map never exceeds a few entries —
+    the scale-safe pattern for map aggregation: reduce first, collect
+    the small reduced set, never collect raw rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_status = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    as_map = per_status.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("l_linestatus"), F.col("qty")))
+        ).alias("qty_by_status")
+    )
+    return as_map.select(
+        "l_returnflag",
+        F.explode("qty_by_status").alias("status", "qty_raw"),
+    ).select("l_returnflag", "status", F.round("qty_raw", 2).alias("qty"))

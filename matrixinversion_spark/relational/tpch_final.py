@@ -72,13 +72,16 @@ def _derived_partsupp_cost(li: DataFrame) -> DataFrame:
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2: minimum-cost supplier per part in a region.
 
-    The correlated min subquery is decorrelated into a per-part min
-    aggregate joined back on (partkey, cost) — one extra pass over the
-    (already small) eligible set instead of a per-row rescan. The
+    The correlated min subquery is decorrelated into a window min over
+    ``ps_partkey`` with an equality filter — one shuffle on the part
+    key instead of an aggregate-plus-self-join (which costs three
+    exchanges and a sort-merge join of eligible against itself). The
     supplier/nation/region side collapses to <= one row per supplier
-    and is broadcast; the only shuffle is the lineitem groupBy that
-    derives the partsupp stand-in.
+    and is broadcast; total shuffles: the lineitem groupBy deriving
+    the partsupp stand-in, then the window repartition.
     """
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     ps = _derived_partsupp_cost(li)
     s = _t(spark, sf_dir, "supplier")
@@ -99,16 +102,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
         "n_name",
     )
-    min_cost = eligible.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    w = Window.partitionBy("ps_partkey")
     return (
-        eligible.join(
-            min_cost,
-            (eligible.ps_partkey == min_cost.ps_partkey)
-            & (eligible.ps_supplycost == min_cost.min_cost),
-        )
-        .drop(min_cost.ps_partkey)
+        eligible.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
