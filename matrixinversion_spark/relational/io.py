@@ -112,3 +112,45 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "q_binaryfile_source",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the scan path multimodal corpora use
+    (image/audio blobs as whole files). Fixture: the first 20 document
+    payloads written as ``doc_<id>.bin`` (driver-side, test scaffolding
+    only — at scale the files already exist in object storage). The
+    read is the real distributed path: one task per file,
+    ``pathGlobFilter`` pruning, doc_id recovered from the file path,
+    content hashed JVM-side. Oracle hashes the same payloads from the
+    documents table."""
+    path = _scratch("docs_bin")
+    os.makedirs(path, exist_ok=True)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for row in docs:
+        with open(os.path.join(path, f"doc_{row['doc_id']}.bin"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )

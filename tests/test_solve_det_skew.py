@@ -80,3 +80,36 @@ def test_plan_shapes(spark):
         "range join must be broadcast-nested-loop, never a cartesian "
         "shuffle"
     )
+
+
+def test_tpch_wave3_plan_shapes(spark):
+    """Wave-3 shuffle budgets: the shapes documented in tpch_final.py
+    must hold in the physical plan, not just in the docstring."""
+    qs = entry_mod.queries()
+
+    def plan(name):
+        return (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # Q2: window-min decorrelation — partsupp groupBy + window
+    # repartition only, and never a sort-merge self-join
+    q2 = plan("q2_min_cost_supplier")
+    assert q2.count("Exchange hashpartitioning") <= 2, q2
+    assert "SortMergeJoin" not in q2, "q2 must not self-join eligible"
+
+    # Q9: dims broadcast; the single shuffle is the final aggregation
+    # (at sf0.01 orders broadcasts too; at scale it would SMJ — either
+    # way the dim joins must not add exchanges)
+    q9 = plan("q9_product_profit")
+    assert q9.count("Exchange hashpartitioning") <= 2, q9
+    assert "BroadcastHashJoin" in q9
+
+    # Q21: the EXISTS/NOT-EXISTS self-joins and the orders join all
+    # reuse one orderkey layout — a single exchange feeds semi, anti
+    # and inner joins plus the aggregation
+    q21 = plan("q21_suppliers_kept_waiting")
+    assert q21.count("Exchange hashpartitioning") <= 2, q21
