@@ -302,3 +302,100 @@ def p_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", F.round("_score", 6).alias("score"))
     )
+
+
+@query(
+    "p_text_repetition",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_count
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+           round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_word_frac
+    FROM per_doc
+    """,
+)
+def p_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: distinct-token ratio and
+    top-token fraction per document (high top-word fraction / low
+    distinct ratio flag boilerplate and degenerate pages).
+
+    Computed entirely with JVM array expressions, O(n log n) per row:
+    sort the token array once, find run boundaries (positions where
+    the sorted value changes), and read distinct count / max run
+    length off the boundary positions. No explode, no shuffle, no
+    per-token map rebuild: a 100 TB corpus streams through map-side
+    only."""
+    d = read_table(spark, sf_dir, "documents")
+    ts = F.array_sort(tokens(F.col("text")))
+    n = F.size(ts)
+    # 1-indexed positions where a new run of equal tokens starts
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.element_at(ts, i) != F.element_at(ts, i - 1)),
+    )
+    # run length = gap to the next start (sentinel n+1 closes the last)
+    run_lens = F.zip_with(
+        starts,
+        F.concat(F.slice(starts, 2, F.size(starts)), F.array(n + 1)),
+        lambda a, b: b - a,
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(F.size(starts).cast("double") / n, 6).alias("distinct_ratio"),
+        F.round(F.array_max(run_lens).cast("double") / n, 6).alias(
+            "top_word_frac"
+        ),
+    )
+
+
+# redaction patterns (RE2-safe: no lookahead — DuckDB oracle parity)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONGNUM_RE = "[0-9]{4,}"
+
+
+@query(
+    "p_text_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(lower(text), '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{LONGNUM_RE}', '<NUM>', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def p_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus canonicalization + PII-style redaction: lowercase,
+    replace e-mail addresses and long digit runs with typed
+    placeholders, collapse whitespace. Pure regexp_replace chain —
+    JVM-side, one codegen span, embarrassingly parallel at 100 TB
+    (the synthetic corpus contains no e-mails, so those patterns are
+    exercised as no-ops while the case/whitespace normalization does
+    real work — both sides of the oracle agree either way)."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), EMAIL_RE, "<EMAIL>"),
+                LONGNUM_RE,
+                "<NUM>",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
