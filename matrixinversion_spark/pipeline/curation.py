@@ -196,3 +196,34 @@ def p_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+def curate_with_metrics(spark: SparkSession, sf_dir: str):
+    """``p_corpus_curate`` instrumented with ``Observation`` metrics.
+
+    Production curation runs need row-level accounting (how many docs
+    arrived, how many passed the gate) without paying extra passes
+    over a 100 TB corpus; ``df.observe`` accumulates the counters on
+    the task side during the one real pass. Returns (result_df, obs);
+    ``obs.get`` blocks until the result has been materialized."""
+    from pyspark.sql import Observation
+
+    d = read_table(spark, sf_dir, "documents")
+    gate = (F.length("text") >= 50) & (F.size(F.split("text", " ")) >= 10)
+    obs = Observation("curation_input")
+    d = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(gate.cast("long")).alias("n_pass_gate"),
+    )
+    kept = d.filter(gate)
+    dedup = (
+        kept.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang"))
+    )
+    survivors = dedup.join(kept.select("doc_id", "text"), "doc_id")
+    result = survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    return result, obs

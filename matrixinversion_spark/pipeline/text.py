@@ -399,3 +399,65 @@ def p_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", norm.alias("norm_text"))
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "p_doc_chunking",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, ts,
+               unnest(generate_series(
+                   1, greatest(len(ts) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+                   {CHUNK_STRIDE})) AS start
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           array_to_string(ts[start:start + {CHUNK_TOKENS - 1}], ' ')
+               AS chunk_text,
+           CAST(least({CHUNK_TOKENS}, len(ts) - start + 1) AS INT)
+               AS n_tokens
+    FROM spans
+    """,
+)
+def p_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: fixed token windows
+    (CHUNK_TOKENS) advancing by CHUNK_STRIDE, overlap retained for
+    training-context continuity — the standard pre-training prep step
+    between curation and tokenization.
+
+    Shape: tokenize once per row, posexplode the window starts
+    (sequence with step), slice per start — all JVM array expressions;
+    the explode multiplies rows ~n_tokens/stride x but involves no
+    shuffle, so it streams at scan parallelism over 100 TB. The final
+    chunk keeps its natural (shorter) tail; a doc shorter than one
+    window yields a single chunk."""
+    d = read_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(ts) - (CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        d.select("doc_id", ts.alias("ts"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias(
+                "chunk_id"
+            ),
+            F.array_join(
+                F.slice(F.col("ts"), F.col("start"), CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("ts") - F.col("start") + 1
+            ).alias("n_tokens"),
+        )
+    )

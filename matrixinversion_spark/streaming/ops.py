@@ -198,3 +198,49 @@ def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+class _RunningStatsProcessor:
+    """transformWithState processor: same cumulative per-event-type
+    counters as ``_update_stats``, on the Spark 4 arbitrary-state API
+    (value state handle, explicit lifecycle)."""
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):
+        n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._agg.update((n, total))
+        yield pd.DataFrame(
+            [(key[0], n, round(total, 2))],
+            columns=["event_type", "n_events", "total_value"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(events: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """``running_user_stats`` on ``transformWithStateInPandas`` — the
+    Spark 4 replacement for GroupState: typed state handles, timers,
+    and state-schema evolution. Same semantics, same oracle (the
+    batch per-type totals)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Proc(_RunningStatsProcessor, StatefulProcessor):
+        pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=Proc(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

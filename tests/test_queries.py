@@ -8,6 +8,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
 from tests.conftest import SF_DIR, SF_DIR_MID
 
 TABLES = (
@@ -81,3 +82,24 @@ def test_la_residuals_pass(spark):
     assert row.ok, f"identity err {row.identity_err}"
     row = qs["la_lu_residual"](spark, SF_DIR).collect()[0]
     assert row.ok, f"LU residual {row.max_residual}"
+
+
+def test_curation_observation_metrics(spark):
+    """Observation counters must equal the direct counts — accounting
+    comes from the same single pass, not a second job."""
+    from matrixinversion_spark.pipeline.curation import curate_with_metrics
+    from matrixinversion_spark.session import read_table
+    from tests.conftest import SF_DIR
+
+    result, obs = curate_with_metrics(spark, SF_DIR)
+    rows = result.collect()
+    metrics = obs.get
+
+    d = read_table(spark, SF_DIR, "documents")
+    n_input = d.count()
+    n_gate = d.filter(
+        (F.length("text") >= 50) & (F.size(F.split("text", " ")) >= 10)
+    ).count()
+    assert metrics["n_input"] == n_input
+    assert metrics["n_pass_gate"] == n_gate
+    assert sum(r["n_docs"] for r in rows) <= n_gate

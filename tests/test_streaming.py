@@ -4,6 +4,8 @@ aggregation computed in batch."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from matrixinversion_spark.session import read_table
@@ -137,3 +139,51 @@ def test_streaming_dedup(spark):
         read_table(spark, SF_DIR, "events").select("event_id").distinct().count()
     )
     assert n == n_distinct
+
+
+def test_stateful_transform_with_state(spark):
+    """transformWithStateInPandas twin must converge to the batch
+    per-type totals (last update per key wins).
+
+    Gated on protobuf: the transformWithState state-server protocol
+    needs google.protobuf, which this container does not ship. The
+    operator itself is plain public PySpark and runs wherever
+    pyspark's [connect] extra (protobuf) is installed; GroupState
+    coverage of the same semantics runs above unconditionally."""
+    pytest.importorskip("google.protobuf")
+    stream = sops.read_events_stream(spark, SF_DIR)
+    q = (
+        sops.running_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("running_stats_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql(
+            """
+            SELECT event_type, n_events, total_value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type ORDER BY n_events DESC
+                ) AS rn FROM running_stats_tws
+            ) WHERE rn = 1
+            """
+        )
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert got.equals(batch)
