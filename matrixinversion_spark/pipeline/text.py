@@ -461,3 +461,67 @@ def p_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_tokens"),
         )
     )
+
+
+SEQ_LEN = 256  # token budget per packed training sequence
+
+
+@query(
+    "p_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM toks
+    )
+    SELECT source,
+           CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM placed
+    GROUP BY source, seq_id
+    """,
+)
+def p_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget
+    training sequences by cumulative offset, sharded by ``source``.
+
+    Each doc lands in the sequence where its start offset falls
+    (contiguous packing — docs may straddle a boundary; the
+    tokenizer's truncate/pad step resolves that downstream). The
+    window partitions by source shard, so the cumulative sum is a
+    per-shard scan, not a global single-partition sort — the layout a
+    100 TB corpus already has (one shard ≈ one dump/crawl slice).
+    One shuffle on source, then one partial+final agg."""
+    d = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = d.select(
+        "source", "doc_id", n_tok.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        placed.groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tokens")) / SEQ_LEN)
+            .cast("bigint")
+            .alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
