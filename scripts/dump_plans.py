@@ -1,0 +1,165 @@
+"""Regenerate PLANS.md: condensed physical plans for headline queries.
+
+For each selected query: the Catalyst physical-plan tree (the
+`.explain("formatted")` operator section, details elided), a marker
+summary (exchanges / broadcasts / pushed filters / codegen spans),
+and a hand-written note on why that plan is the one we want at
+100 TB. Run from the repo root:
+
+    python scripts/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> why this plan is right at scale
+NOTES: dict[str, str] = {
+    "q1_pricing_summary": (
+        "The shipdate filter is in `PushedFilters` (parquet row-group "
+        "skipping) and `ReadSchema` carries only the 7 referenced "
+        "columns of 16. One exchange: the partial aggregate runs "
+        "map-side, so the shuffle moves 6 grouped rows per partition, "
+        "not 600M lineitems."
+    ),
+    "q5_region_revenue": (
+        "All four dimension joins are `BroadcastHashJoin` — the fact "
+        "table never shuffles for a join; the single exchange is the "
+        "final groupBy. At 1000 executors the dims ship once per "
+        "executor, not once per row."
+    ),
+    "q2_min_cost_supplier": (
+        "The correlated min subquery is a window min over ps_partkey, "
+        "not an aggregate-plus-self-join: two exchanges total (the "
+        "partsupp-derivation groupBy, the window repartition) and no "
+        "SortMergeJoin. The supplier/nation/region side folds to one "
+        "broadcast."
+    ),
+    "q9_product_profit": (
+        "part (pre-filtered by the LIKE), supplier and nation "
+        "broadcast; lineitem joins orders on the order key. One "
+        "hash-partitioning exchange feeds the final agg — the plan "
+        "a 100 TB fact table wants: nothing shuffles twice."
+    ),
+    "q21_suppliers_kept_waiting": (
+        "The EXISTS (leftsemi), NOT EXISTS (leftanti) self-joins and "
+        "the orders join all hash on l_orderkey, so AQE reuses one "
+        "exchange layout across all three; supplier/nation broadcast."
+    ),
+    "q_asof_join": (
+        "As-of join as union-marker + window, not a per-key loop: "
+        "one exchange co-partitions quotes and trades, the window "
+        "carries the last quote forward. No BroadcastNestedLoop, no "
+        "range explosion."
+    ),
+    "p_dedup_exact": (
+        "One exchange on md5(text) — uniform by construction, so no "
+        "skew handling is needed at any scale."
+    ),
+    "p_dedup_minhash_lsh": (
+        "Signatures are JVM array expressions evaluated in the scan "
+        "stage (zero shuffle); the only wide stage is the "
+        "(band, key) candidate self-join. Band keys are md5-derived, "
+        "so the shuffle is uniform; signature verification rides on "
+        "the already-joined rows."
+    ),
+    "p_knn_bruteforce": (
+        "Query vectors broadcast; the corpus scan computes dot "
+        "products map-side and the per-query top-k aggregates "
+        "partially before the single exchange."
+    ),
+    "p_text_repetition": (
+        "Whole pipeline is one `WholeStageCodegen` span over the "
+        "scan — sorted-runs repetition counting is O(n log n) per row "
+        "with zero shuffles, so it streams at scan parallelism."
+    ),
+    "p_doc_chunking": (
+        "Chunking is explode-over-sequence in the scan stage: row "
+        "multiplication without any exchange; output partitioning "
+        "follows the input file layout."
+    ),
+    "p_sequence_pack": (
+        "The running token offset windows over the source shard — "
+        "one exchange on source, never a global single-partition "
+        "sort; the final agg is partial+final on top of the same "
+        "partitioning."
+    ),
+}
+
+
+def condense(plan: str, max_lines: int = 40) -> str:
+    """Keep the operator tree, drop the per-node detail section."""
+    lines = plan.splitlines()
+    out = []
+    for ln in lines:
+        if re.match(r"^\(\d+\)", ln):  # detail section starts
+            break
+        if ln.strip():
+            out.append(ln.rstrip())
+    return "\n".join(out[:max_lines])
+
+
+def markers(plan: str) -> str:
+    # an executed AdaptiveSparkPlan's toString appends the pre-AQE
+    # "== Initial Plan ==" — count only the final plan
+    plan = plan.split("== Initial Plan ==")[0]
+    codegen_ids = set(re.findall(r"\*[(]([0-9]+)[)]", plan))
+    return (
+        f"exchanges={plan.count('Exchange hashpartitioning')} "
+        f"broadcasts={plan.count('BroadcastHashJoin') + plan.count('BroadcastNestedLoopJoin')} "
+        f"sortmerge={plan.count('SortMergeJoin')} "
+        f"codegen_spans={len(codegen_ids)} "
+        f"pushed_filters={'yes' if 'PushedFilters: [' in plan and 'PushedFilters: []' not in plan else 'no'}"
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from matrixinversion_spark.session import get_spark
+
+    spark = get_spark("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    out = [
+        "# PLANS — physical plans of headline queries (generated)",
+        "",
+        f"Regenerated by `python scripts/dump_plans.py` at sf_dir={SF_DIR}.",
+        "Each entry: condensed `.explain(\"formatted\")` operator tree,",
+        "plan markers, and why this is the plan we want at 100 TB.",
+        "",
+    ]
+    for name, note in NOTES.items():
+        df = qs[name](spark, SF_DIR)
+        df.collect()  # run it so AQE finalizes the adaptive plan
+        formatted = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        full = df._jdf.queryExecution().executedPlan().toString()
+        out += [
+            f"## {name}",
+            "",
+            note,
+            "",
+            f"`{markers(full)}`",
+            "",
+            "```",
+            condense(formatted),
+            "```",
+            "",
+        ]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md written ({len(NOTES)} queries)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
