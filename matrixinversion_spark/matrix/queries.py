@@ -163,3 +163,30 @@ def la_add_transpose_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.df.groupBy("bi", "bj").applyInPandas(
         to_coo, "i int, j int, val double"
     )
+
+
+@query("la_cholesky_residual")
+def la_cholesky_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying distributed Cholesky: build SPD
+    A = B·Bᵀ + n·I from a seeded uniform B (256², two recursion
+    levels at leaf=64), factor, and check ‖L·Lᵀ − A‖∞ plus the
+    stable log-determinant. rows-only driver check; pytest asserts
+    the tolerances and the numpy differential."""
+    from matrixinversion_spark.matrix import cholesky as cholmod
+
+    n = 256
+    b = BlockMatrixFrame.random_uniform(spark, n, block_size=64, seed=42)
+    b.persist()
+    a = ops.add(
+        ops.multiply(b, ops.transpose(b)),
+        ops.scale(BlockMatrixFrame.identity(spark, n, block_size=64), float(n)),
+    )
+    a.persist()
+    lo = cholmod.cholesky(a, leaf_size=64)
+    residual = ops.max_abs_diff(ops.multiply(lo, ops.transpose(lo)), a)
+    logdet = cholmod.spd_logdet(a, leaf_size=64)
+    return spark.createDataFrame(
+        [(n, float(residual), float(logdet),
+          bool(residual < 1e-8 * n))],
+        "n int, max_residual double, logdet double, ok boolean",
+    )

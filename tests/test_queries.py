@@ -36,7 +36,7 @@ def test_registry_shape():
     # the vast majority must be oracle-checked, not rows-only
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
-        "la_lu_residual", "la_inverse_residual",
+        "la_lu_residual", "la_inverse_residual", "la_cholesky_residual",
         "q_approx_count_distinct", "q_sample_seeded",
         "p_ml_minhash_join", "p_ml_brp_neighbors",
         "p_sample_stratified",

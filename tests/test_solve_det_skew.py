@@ -113,3 +113,49 @@ def test_tpch_wave3_plan_shapes(spark):
     # and inner joins plus the aggregation
     q21 = plan("q21_suppliers_kept_waiting")
     assert q21.count("Exchange hashpartitioning") <= 2, q21
+
+
+def test_cholesky_distributed_matches_numpy(spark):
+    """Distributed blocked Cholesky vs numpy on a seeded SPD matrix:
+    the factor is unique (positive diagonal), so blocks must match
+    elementwise, and the residual/logdet properties must hold."""
+    import numpy as np
+
+    from matrixinversion_spark.matrix import cholesky as cholmod
+    from matrixinversion_spark.matrix import ops
+    from matrixinversion_spark.matrix.core import BlockMatrixFrame
+
+    rng = np.random.default_rng(7)
+    n = 256
+    c = rng.uniform(-1.0, 1.0, (n, n))
+    a_np = c @ c.T + n * np.eye(n)
+    a = BlockMatrixFrame.from_numpy(spark, a_np, 64)
+    a.persist()
+
+    lo = cholmod.cholesky(a, leaf_size=64)
+    lo_np = lo.to_numpy()
+    expect = np.linalg.cholesky(a_np)
+    assert np.max(np.abs(lo_np - expect)) < 1e-9, "factor mismatch vs numpy"
+    assert np.max(np.abs(np.triu(lo_np, 1))) == 0.0, "L must be lower"
+
+    residual = ops.max_abs_diff(ops.multiply(lo, ops.transpose(lo)), a)
+    assert residual < 1e-8 * n
+
+    logdet = cholmod.spd_logdet(a, leaf_size=64)
+    sign, expect_ld = np.linalg.slogdet(a_np)
+    assert sign == 1.0
+    assert abs(logdet - expect_ld) < 1e-6 * abs(expect_ld)
+
+
+def test_cholesky_rejects_non_spd(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from matrixinversion_spark.matrix import cholesky as cholmod
+    from matrixinversion_spark.matrix.core import BlockMatrixFrame
+
+    bad = BlockMatrixFrame.from_numpy(
+        spark, -np.eye(128), 64
+    )
+    with _pytest.raises(np.linalg.LinAlgError):
+        cholmod.cholesky(bad, leaf_size=64)
