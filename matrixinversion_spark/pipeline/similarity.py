@@ -254,3 +254,135 @@ def p_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             v64, lambda v: F.floor(v / l2 * 127.0 + 0.5).cast("int")
         ).alias("q_int8"),
     )
+
+
+EMB_DIM = 64  # TESTDATA embedding width
+
+
+def _partial_gram(mean):
+    """Closure factory: per-Arrow-batch centered partial Gram.
+
+    Each batch contributes Xc.T @ Xc as 4096 (i, j, s) rows plus one
+    (-1, -1, n) count row — the map-side combine that keeps a 100 TB
+    covariance at shuffle volume O(batches x d^2), independent of row
+    count. ``mean`` is a collected 64-float numpy vector (driver
+    constant in the task closure; the two-pass centered form is the
+    numerically stable one)."""
+    import numpy as np
+    import pandas as pd
+
+    def gram(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            xc = x - mean
+            s = xc.T @ xc
+            d = s.shape[0]
+            i = np.repeat(np.arange(d), d)
+            j = np.tile(np.arange(d), d)
+            out = pd.DataFrame(
+                {"i": i, "j": j, "s": s.ravel()}
+            )
+            out.loc[len(out)] = {"i": -1, "j": -1, "s": float(len(x))}
+            yield out
+
+    return gram
+
+
+def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding columns as (i, j, cov)."""
+    e = read_table(spark, sf_dir, "embeddings").select("embedding")
+    # pass 1: mean vector via per-batch partial column sums
+    import numpy as np
+    import pandas as pd
+
+    def colsums(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = pd.DataFrame(
+                {"i": np.arange(x.shape[1]), "s": x.sum(axis=0)}
+            )
+            out.loc[len(out)] = {"i": -1, "s": float(len(x))}
+            yield out
+
+    sums = (
+        e.mapInPandas(colsums, "i int, s double")
+        .groupBy("i")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    n = next(r["s"] for r in sums if r["i"] == -1)
+    mean = np.zeros(EMB_DIM)
+    for r in sums:
+        if r["i"] >= 0:
+            mean[r["i"]] = r["s"] / n
+
+    # pass 2: centered partial Gram, one shuffle on (i, j)
+    agg = (
+        e.mapInPandas(_partial_gram(mean), "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .filter(F.col("i") >= 0)
+    )
+    return agg.select(
+        "i", "j", (F.col("s") / F.lit(float(n))).alias("cov")
+    )
+
+
+@query(
+    "p_embedding_covariance",
+    oracle=f"""
+    WITH vals AS (
+        SELECT vec_id, u.i - 1 AS i, CAST(embedding[u.i] AS DOUBLE) AS v
+        FROM embeddings,
+             LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    means AS (SELECT i, avg(v) AS m FROM vals GROUP BY i)
+    SELECT a.i AS i, b.i AS j,
+           round(avg(a.v * b.v) - ma.m * mb.m, 6) AS cov
+    FROM vals a
+    JOIN vals b USING (vec_id)
+    JOIN means ma ON ma.i = a.i
+    JOIN means mb ON mb.i = b.i
+    GROUP BY a.i, b.i, ma.m, mb.m
+    """,
+)
+def p_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed feature covariance of the embedding column — the
+    Gram-matrix pattern (PCA/whitening prep): per-batch centered
+    partial products map-side, one (i, j) shuffle of d^2-sized
+    partials, never an explode of N x d^2 rows. Oracle recomputes it
+    relationally (avg(vi*vj) - mi*mj)."""
+    return covariance_matrix(spark, sf_dir).select(
+        "i", "j", F.round("cov", 6).alias("cov")
+    )
+
+
+def pca_top_components(spark: SparkSession, sf_dir: str, k: int = 5):
+    """Top-k PCA eigenvalues/vectors: distribute the covariance,
+    localize the d x d eigendecomposition (numpy eigh on 64x64 —
+    the standard split: N scales out, d stays tiny)."""
+    import numpy as np
+
+    rows = covariance_matrix(spark, sf_dir).collect()
+    cov = np.zeros((EMB_DIM, EMB_DIM))
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    return w[order], v[:, order]
+
+
+@query("p_embedding_pca_variance")
+def p_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explained-variance ratios of the top-5 principal components
+    (rows-only: no SQL oracle can eigendecompose; pytest asserts the
+    numpy differential)."""
+    import numpy as np
+
+    w, _ = pca_top_components(spark, sf_dir, k=5)
+    rows = covariance_matrix(spark, sf_dir).filter("i = j").collect()
+    total = float(sum(r["cov"] for r in rows))
+    return spark.createDataFrame(
+        [(int(i), float(round(val / total, 6))) for i, val in enumerate(w)],
+        "component int, explained_variance_ratio double",
+    )

@@ -39,7 +39,7 @@ def test_registry_shape():
         "la_lu_residual", "la_inverse_residual", "la_cholesky_residual",
         "q_approx_count_distinct", "q_sample_seeded",
         "p_ml_minhash_join", "p_ml_brp_neighbors",
-        "p_sample_stratified",
+        "p_sample_stratified", "p_embedding_pca_variance",
     }, rows_only
 
 
@@ -103,3 +103,41 @@ def test_curation_observation_metrics(spark):
     assert metrics["n_input"] == n_input
     assert metrics["n_pass_gate"] == n_gate
     assert sum(r["n_docs"] for r in rows) <= n_gate
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed covariance + local eigh must match numpy PCA on
+    the collected embeddings (eigenvalues are sign-free)."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.similarity import (
+        covariance_matrix,
+        pca_top_components,
+    )
+    from matrixinversion_spark.session import read_table
+    from tests.conftest import SF_DIR
+
+    x = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in read_table(spark, SF_DIR, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    cov_np = np.cov(x, rowvar=False, bias=True)
+
+    rows = covariance_matrix(spark, SF_DIR).collect()
+    cov = np.zeros_like(cov_np)
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    assert np.max(np.abs(cov - cov_np)) < 1e-9
+
+    w, v = pca_top_components(spark, SF_DIR, k=5)
+    w_np = np.sort(np.linalg.eigvalsh(cov_np))[::-1][:5]
+    assert np.max(np.abs(w - w_np)) < 1e-9
+    # eigenvectors defined up to sign: compare absolute projections
+    for col in range(5):
+        ref = np.linalg.eigh(cov_np)[1][:, np.argsort(
+            np.linalg.eigvalsh(cov_np))[::-1][col]]
+        assert abs(abs(np.dot(v[:, col], ref)) - 1.0) < 1e-8
