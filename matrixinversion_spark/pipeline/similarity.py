@@ -386,3 +386,104 @@ def p_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(i), float(round(val / total, 6))) for i, val in enumerate(w)],
         "component int, explained_variance_ratio double",
     )
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str, k: int = 8,
+                 iters: int = 3):
+    """Lloyd's k-means over the embedding column, deterministic init
+    (the k lowest vec_ids). Returns (centroids ndarray, inertia).
+
+    Scale shape per iteration: centroids ship in the task closure
+    (k x d = 512 doubles); each Arrow batch emits k partial rows
+    (cluster, count, sum-vector) — the treeAggregate pattern — so
+    driver traffic is O(batches x k x d), independent of N. The
+    assignment never materializes an N x k distance matrix in the
+    plan."""
+    import numpy as np
+    import pandas as pd
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init_rows = (
+        e.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in init_rows]
+    )
+
+    def partials_for(cents):
+        def partials(batches):
+            for pdf in batches:
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d2 = (
+                    (x ** 2).sum(1)[:, None]
+                    - 2.0 * x @ cents.T
+                    + (cents ** 2).sum(1)[None, :]
+                )
+                assign = d2.argmin(1)
+                rows = []
+                for c in range(len(cents)):
+                    mask = assign == c
+                    rows.append(
+                        (
+                            c,
+                            int(mask.sum()),
+                            x[mask].sum(0).tolist(),
+                            float(d2[mask, c].sum()),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["cluster", "n", "sums", "sq"]
+                )
+
+        return partials
+
+    schema = "cluster int, n long, sums array<double>, sq double"
+    inertia = float("nan")
+    for _ in range(iters):
+        parts = e.mapInPandas(partials_for(centroids), schema).collect()
+        counts = np.zeros(k)
+        sums = np.zeros_like(centroids)
+        inertia = 0.0
+        for r in parts:
+            counts[r["cluster"]] += r["n"]
+            sums[r["cluster"]] += np.asarray(r["sums"])
+            inertia += r["sq"]
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return centroids, inertia
+
+
+@query("p_kmeans_clusters")
+def p_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means cluster profile after 3 Lloyd iterations (k=8,
+    deterministic init): per-cluster size and inertia share.
+    rows-only (iterative — no SQL oracle); pytest asserts the numpy
+    differential on centroids, counts and inertia."""
+    import numpy as np
+
+    centroids, _ = kmeans_lloyd(spark, sf_dir, k=8, iters=3)
+    e = read_table(spark, sf_dir, "embeddings").select("embedding")
+
+    import pandas as pd
+
+    def label(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (x ** 2).sum(1)[:, None]
+                - 2.0 * x @ centroids.T
+                + (centroids ** 2).sum(1)[None, :]
+            )
+            yield pd.DataFrame({
+                "cluster": d2.argmin(1),
+                "sq": d2.min(1),
+            })
+
+    return (
+        e.mapInPandas(label, "cluster int, sq double")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("sq"), 4).alias("inertia"),
+        )
+    )

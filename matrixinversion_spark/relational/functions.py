@@ -335,3 +335,77 @@ def q_map_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.explode("qty_by_status").alias("status", "qty_raw"),
     ).select("l_returnflag", "status", F.round("qty_raw", 2).alias("qty"))
+
+
+@query(
+    "q_events_gapfill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(h) AS h0, max(h) AS h1
+        FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(h0, h1,
+               INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT s.event_type,
+           strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(coalesce(hourly.n, 0) AS BIGINT) AS n_events,
+           round(last_value(hourly.total IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS total_locf
+    FROM spine s LEFT JOIN hourly
+      ON hourly.event_type = s.event_type AND hourly.h = s.h
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF: densify each event_type to its
+    full hourly spine (sequence + explode — generated, never stored),
+    left-join the real hourly aggregates, zero-fill counts and
+    carry the last observed total forward (last_value ignoreNulls).
+
+    Scale: the spine is rows-per-type x hours — generated at the
+    aggregated grain, so the join is agg-to-agg (tiny vs the raw
+    events); the LOCF window partitions by type, never globally."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.round(
+                F.last("total", ignorenulls=True).over(w), 2
+            ).alias("total_locf"),
+        )
+    )

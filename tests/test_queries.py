@@ -40,6 +40,7 @@ def test_registry_shape():
         "q_approx_count_distinct", "q_sample_seeded",
         "p_ml_minhash_join", "p_ml_brp_neighbors",
         "p_sample_stratified", "p_embedding_pca_variance",
+        "p_kmeans_clusters",
     }, rows_only
 
 
@@ -141,3 +142,36 @@ def test_pca_matches_numpy(spark):
         ref = np.linalg.eigh(cov_np)[1][:, np.argsort(
             np.linalg.eigvalsh(cov_np))[::-1][col]]
         assert abs(abs(np.dot(v[:, col], ref)) - 1.0) < 1e-8
+
+
+def test_kmeans_matches_numpy(spark):
+    """Distributed Lloyd's must track a numpy replay exactly (same
+    init, same iteration count; float tolerance for partial-sum
+    order)."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.similarity import kmeans_lloyd
+    from matrixinversion_spark.session import read_table
+    from tests.conftest import SF_DIR
+
+    rows = (
+        read_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    k, iters = 8, 3
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x**2).sum(1)[:, None] - 2.0 * x @ cents.T
+              + (cents**2).sum(1)[None, :])
+        assign = d2.argmin(1)
+        inertia_np = float(d2[np.arange(len(x)), assign].sum())
+        for c in range(k):
+            if (assign == c).any():
+                cents[c] = x[assign == c].mean(0)
+
+    got_cents, got_inertia = kmeans_lloyd(spark, SF_DIR, k=k, iters=iters)
+    assert np.max(np.abs(got_cents - cents)) < 1e-9
+    assert abs(got_inertia - inertia_np) < 1e-6 * max(1.0, inertia_np)
