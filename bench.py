@@ -36,6 +36,8 @@ HEADLINE = [
     "p_dedup_minhash_lsh",
     "p_knn_bruteforce",
     "p_text_quality",
+    "p_doc_chunking",
+    "p_embedding_covariance",
     "la_matmul_coo",
 ]
 
