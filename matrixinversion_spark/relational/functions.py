@@ -409,3 +409,20 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_locf"),
         )
     )
+
+
+@query("q_approx_percentile")
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (percentile_approx, KLL-style bounded
+    memory) next to their exact twins — rows-only (DuckDB's
+    approx_quantile is a different sketch by construction); pytest
+    bounds the relative error. The scale story: the exact percentile
+    needs a full sort per group, the sketch is one pass in fixed
+    memory."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_approx"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95_exact"),
+    )

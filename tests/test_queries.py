@@ -40,7 +40,7 @@ def test_registry_shape():
         "q_approx_count_distinct", "q_sample_seeded",
         "p_ml_minhash_join", "p_ml_brp_neighbors",
         "p_sample_stratified", "p_embedding_pca_variance",
-        "p_kmeans_clusters",
+        "p_kmeans_clusters", "q_approx_percentile",
     }, rows_only
 
 
@@ -175,3 +175,17 @@ def test_kmeans_matches_numpy(spark):
     got_cents, got_inertia = kmeans_lloyd(spark, SF_DIR, k=k, iters=iters)
     assert np.max(np.abs(got_cents - cents)) < 1e-9
     assert abs(got_inertia - inertia_np) < 1e-6 * max(1.0, inertia_np)
+
+
+def test_approx_percentile_error_bound(spark):
+    """percentile_approx must land within 1% of the exact quantile at
+    accuracy=10000."""
+    rows = entry_mod.queries()["q_approx_percentile"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        for pfx in ("p50", "p95"):
+            exact = r[f"{pfx}_exact"]
+            approx = r[f"{pfx}_approx"]
+            assert abs(approx - exact) <= 0.01 * abs(exact), (r, pfx)
