@@ -241,30 +241,60 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_count_distinct")
+@query(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (rows-only: DuckDB's approx
-    sketch differs by construction). The scale story: one pass, fixed
-    memory, no expand — the exact q_distinct_agg is its oracle-adjacent
-    twin. Sanity bound asserted in tests: |est − exact| ≤ 5%."""
+    """HyperLogLog++ distinct estimate, self-verifying: the sketch value
+    itself is engine-specific (DuckDB's HLL differs by construction), so
+    the emitted row carries the exact count plus an ``ok`` boolean
+    asserting |est − exact| ≤ 5% — the oracle recomputes the exact side
+    and expects ``TRUE`` (same trick as the la_*_residual queries). The
+    scale story: one pass, fixed memory, no expand."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
         F.countDistinct("o_custkey").alias("n_exact"),
+    ).select(
+        "o_orderstatus",
+        "n_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("ok"),
     )
 
 
-@query("q_sample_seeded")
+@query(
+    "q_sample_seeded",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total, TRUE AS ok
+    FROM lineitem
+    """,
+)
 def q_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sampling with a fixed seed (rows-only: sampling is
-    partition-layout-dependent, no cross-engine oracle exists)."""
+    """Bernoulli sampling with a fixed seed, self-verifying: the sampled
+    subset is partition-layout-dependent (no cross-engine oracle), so
+    the row carries the exact population count plus an ``ok`` boolean
+    asserting the realized sample fraction is within ±1.5 percentage
+    points of 10% (≫4σ for any sf ≥ 0.001) — the oracle recomputes
+    the population count and expects ``TRUE``."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.sample(fraction=0.1, seed=7)
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        )
+    sampled = li.sample(fraction=0.1, seed=7).agg(
+        F.count(F.lit(1)).alias("_n_sampled")
+    )
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    return sampled.crossJoin(total).select(
+        "n_total",
+        (
+            F.abs(F.col("_n_sampled") / F.col("n_total") - 0.1) <= 0.015
+        ).alias("ok"),
     )
 
 
@@ -411,18 +441,38 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentile")
+@query(
+    "q_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+           TRUE AS ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based quantiles (percentile_approx, KLL-style bounded
-    memory) next to their exact twins — rows-only (DuckDB's
-    approx_quantile is a different sketch by construction); pytest
-    bounds the relative error. The scale story: the exact percentile
-    needs a full sort per group, the sketch is one pass in fixed
-    memory."""
+    """Sketch-based quantiles (percentile_approx, bounded memory)
+    self-verified against their exact twins: the sketch value is
+    engine-specific, so the row carries the exact interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) plus
+    an ``ok`` boolean asserting both sketch estimates land within 1% —
+    the oracle recomputes the exact side and expects ``TRUE``. The
+    scale story: exact needs a full sort per group, the sketch is one
+    pass in fixed memory."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
-        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_approx"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("p95_exact"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_p50a"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("_p50e"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("_p95a"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("_p95e"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.round("_p50e", 2).alias("p50_exact"),
+        F.round("_p95e", 2).alias("p95_exact"),
+        (
+            (F.abs(F.col("_p50a") - F.col("_p50e")) <= 0.01 * F.abs("_p50e"))
+            & (F.abs(F.col("_p95a") - F.col("_p95e")) <= 0.01 * F.abs("_p95e"))
+        ).alias("ok"),
     )

@@ -60,6 +60,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # nanosAsLong is a runtime-settable SQL conf: set it here so events
+    # reads work on ANY session, including ones built without
+    # DEFAULT_CONFS (e.g. the driver's own correctness-gate session).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (never in practice) — fall through
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
