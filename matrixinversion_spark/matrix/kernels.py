@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 
-TINY = 1.0e-300  # zero-pivot clamp (reference uses 1e-20, `:58`)
 PANEL = 128      # panel width: inner loops touch ≤PANEL columns
 
 
@@ -33,6 +32,11 @@ def ludcmp(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     a = np.array(a, dtype=np.float64, copy=True)
     n = a.shape[0]
     perm = np.arange(n)
+    # Singularity gate: the reference clamps tiny pivots (to 1e-20,
+    # `LUDecomposition.java:58`) and lets garbage propagate; failing
+    # loudly is strictly safer for a distributed factorization, where
+    # a poisoned leaf silently corrupts every downstream block.
+    pivot_floor = np.finfo(np.float64).eps * max(n, 1) * np.abs(a).max()
     for k0 in range(0, n, PANEL):
         k1 = min(k0 + PANEL, n)
         # panel factorization (unblocked over ≤PANEL columns; row
@@ -43,9 +47,11 @@ def ludcmp(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
                 a[[k, p]] = a[[p, k]]
                 perm[[k, p]] = perm[[p, k]]
             piv = a[k, k]
-            if abs(piv) < TINY:
-                piv = TINY if piv >= 0 else -TINY
-                a[k, k] = piv
+            if abs(piv) <= pivot_floor:
+                raise np.linalg.LinAlgError(
+                    f"singular leaf: |pivot|={abs(piv):.3e} at k={k} "
+                    f"(floor {pivot_floor:.3e} = eps*n*max|A|)"
+                )
             a[k + 1:, k] /= piv
             if k + 1 < n and k + 1 < k1:
                 a[k + 1:, k + 1:k1] -= np.outer(

@@ -50,11 +50,6 @@ def _checkpoint(m: BlockMatrixFrame) -> BlockMatrixFrame:
     )
 
 
-def _vstack(top: BlockMatrixFrame, bottom: BlockMatrixFrame,
-            mb: int) -> "pd.DataFrame":
-    raise NotImplementedError  # assembled inline below
-
-
 def lu(a: BlockMatrixFrame, leaf_size: int = DEFAULT_LEAF
        ) -> tuple[np.ndarray, BlockMatrixFrame, BlockMatrixFrame]:
     """Factor P·A = L·U. Returns (perm, L unit-lower, U upper) with

@@ -189,6 +189,10 @@ def p_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     samplers can't agree bit-for-bit.
     """
     d = read_table(spark, sf_dir, "documents")
+    # Driver-side collect is bounded by language cardinality (ISO
+    # codes: a few hundred worldwide, single digits in this corpus) —
+    # sampleBy requires a literal fractions map, so this never scales
+    # with row count.
     langs = [r[0] for r in d.select("lang").distinct().collect()]
     fractions = {lg: (0.6 if lg == "en" else 0.2) for lg in langs}
     sampled = d.sampleBy("lang", fractions, seed=42)

@@ -32,6 +32,7 @@ from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
 _MARKER = "__asof_side__"
+_PAYLOAD = "__asof_payload__"
 
 
 def asof_join(
@@ -47,6 +48,12 @@ def asof_join(
     columns renamed ``<col><suffix>`` (NULL when no right row
     precedes the left row — i.e. LEFT OUTER as-of semantics; filter
     on ``<ts><suffix> IS NOT NULL`` for INNER).
+
+    The right payload travels as ONE struct and ``last(ignorenulls)``
+    carries the whole struct forward, so the output always reflects a
+    single matched right row — including that row's genuine NULL
+    fields. Carrying columns independently would stitch values from
+    different right rows whenever a payload field is NULL (ADVICE r1).
     """
     on = list(on)
     right_payload = [c for c in right.columns if c not in (*on, ts)]
@@ -55,24 +62,27 @@ def asof_join(
     # Right rows sort before left rows at the same timestamp
     # (marker 0 < 1) so an exact-ts right row is visible to the left
     # row — the inclusive `<=` of ASOF semantics.
-    lhs = left.withColumn(_MARKER, F.lit(1))
-    for c in right_payload:
-        lhs = lhs.withColumn(c + suffix, F.lit(None).cast(right.schema[c].dataType))
-    lhs = lhs.withColumn(ts + suffix, F.lit(None).cast(right.schema[ts].dataType))
-
-    # Rename the right payload FIRST — left and right may share payload
-    # column names (both sides of an event table carry event_id), and
-    # the null backfill below must not clobber real right-side values.
-    rhs = right.withColumn(_MARKER, F.lit(0)).withColumn(ts + suffix, F.col(ts))
-    for c in right_payload:
-        rhs = rhs.withColumnRenamed(c, c + suffix)
+    payload = F.struct(
+        *[F.col(c).alias(c + suffix) for c in right_payload],
+        F.col(ts).alias(ts + suffix),
+    )
+    rhs = right.select(
+        *on,
+        F.col(ts),
+        payload.alias(_PAYLOAD),
+        F.lit(0).alias(_MARKER),
+    )
     for c in left_cols:
-        if c not in (*on, ts) and c not in rhs.columns:
+        if c not in rhs.columns:
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    out_cols = left_cols + [c + suffix for c in right_payload] + [ts + suffix]
-    unioned = lhs.select(*out_cols, _MARKER).unionByName(
-        rhs.select(*out_cols, _MARKER)
+    lhs = left.select(
+        *left_cols,
+        F.lit(None).cast(rhs.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        F.lit(1).alias(_MARKER),
+    )
+    unioned = lhs.select(*left_cols, _PAYLOAD, _MARKER).unionByName(
+        rhs.select(*left_cols, _PAYLOAD, _MARKER)
     )
 
     w = (
@@ -80,14 +90,17 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col(_MARKER).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
-        for c in [*right_payload, ts]
-    ]
-    return (
-        unioned.select(*left_cols, F.col(_MARKER), *carried)
+    carried = F.last(_PAYLOAD, ignorenulls=True).over(w).alias(_PAYLOAD)
+    matched = (
+        unioned.select(*left_cols, F.col(_MARKER), carried)
         .filter(F.col(_MARKER) == 1)
-        .drop(_MARKER)
+    )
+    return matched.select(
+        *left_cols,
+        *[
+            F.col(f"{_PAYLOAD}.{c}{suffix}").alias(c + suffix)
+            for c in [*right_payload, ts]
+        ],
     )
 
 

@@ -977,7 +977,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
         SELECT user_id, ts, event_id, value,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -1006,10 +1006,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # Sub-second-exact gap on BOTH sides (unix_micros here, epoch_us in
+    # the oracle): whole-second truncation can flip session boundaries
+    # for gaps within ~1s of the threshold (ADVICE r1).
     prev_ts = F.lag("ts").over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     marked = e.select("user_id", "ts", "event_id", "value", new_session.alias("new_session"))

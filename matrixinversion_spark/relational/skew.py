@@ -24,7 +24,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
 
     ``small`` is exploded n_salts× (only acceptable when it is the
     small side — the explosion is the price of the uniform shuffle).
+
+    Only ``inner`` and ``left`` preserve unsalted-join semantics: with
+    right/full outer, an unmatched small-side row would surface once
+    per salt replica (ADVICE r1), so those modes are rejected.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins, "
+            f"got how={how!r} (small side is replicated {n_salts}x — "
+            f"unmatched small rows would appear {n_salts} times)"
+        )
     salted_big = big.withColumn(
         "__salt", (F.abs(F.hash(*big.columns)) % n_salts).cast("int")
     )

@@ -40,6 +40,28 @@ def test_asof_join_semantics(spark):
     assert out == {5: 11.0, 6: 11.0, 7: None, 8: 100.0, 9: None}
 
 
+def test_asof_join_matched_row_nulls_stay_together(spark):
+    """A NULL field in the matched right row must surface as NULL, not
+    get backfilled from an OLDER right row (ADVICE r1: per-column
+    carry stitched values from different rows; the struct carry keeps
+    the matched row atomic)."""
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:00:00"), 10.0, "early"),
+            # latest match has px = NULL — that NULL must win
+            ("A", _ts("2024-01-01 09:05:00"), None, "late"),
+        ],
+        "sym string, ts timestamp, px double, tag string",
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:06:00"), 1)],
+        "sym string, ts timestamp, qty int",
+    )
+    [row] = asof_join(trades, quotes, on=["sym"], ts="ts").collect()
+    assert row["tag_right"] == "late"
+    assert row["px_right"] is None  # NOT 10.0 from the "early" row
+
+
 def test_asof_join_single_shuffle(spark):
     """The plan must contain exactly one exchange (the window's key
     partitioning) — the property that makes it viable at scale."""

@@ -38,7 +38,15 @@ def test_triangular_solves_and_inverses():
     assert np.allclose(upper @ kernels.inv_upper(upper), np.eye(n))
 
 
-def test_zero_pivot_clamped():
-    a = np.zeros((3, 3))  # singular: should not raise, TINY clamp
-    lu, perm = kernels.ludcmp(a)
-    assert np.isfinite(lu).all()
+def test_singular_leaf_raises():
+    """Singular input must fail loudly, not propagate inf/garbage
+    through the distributed factorization (ADVICE r1; the reference
+    clamps to 1e-20 and produces silent garbage instead)."""
+    import pytest
+
+    with pytest.raises(np.linalg.LinAlgError, match="singular leaf"):
+        kernels.ludcmp(np.zeros((3, 3)))
+    # rank-deficient (row repeated) trips the gate too
+    a = np.array([[1.0, 2.0, 3.0], [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    with pytest.raises(np.linalg.LinAlgError, match="singular leaf"):
+        kernels.ludcmp(a)

@@ -62,6 +62,20 @@ def test_salted_join_equals_plain(spark):
     assert salted == plain
 
 
+def test_salted_join_rejects_outer(spark):
+    """right/full outer would replicate unmatched small-side rows once
+    per salt (ADVICE r1) — the operator must refuse those modes."""
+    import pytest
+
+    o = read_table(spark, SF_DIR, "orders")
+    c = read_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(o, c, "o_custkey", how=how)
+
+
 def test_plan_shapes(spark):
     qs = entry_mod.queries()
     q1_plan = qs["q1_pricing_summary"](spark, SF_DIR)._jdf.queryExecution() \
