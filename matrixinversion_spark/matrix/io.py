@@ -1,0 +1,211 @@
+"""Ingest/egress for the reference's on-disk binary block format.
+
+The reference stores every matrix as extent-headered big-endian block
+files (writer `data/MakeData.java:19-28` and `save_matrix` at
+`LUDecomposition.java:388-408`; reader `read_matrix` at
+`LUDecomposition.java:204-272`; layout decoded in SURVEY.md §1.1):
+
+    int i0, int i1, int j0, int j1      # extent header [i0,i1)x[j0,j1)
+    repeat (i1-i0) times:
+        int row_no                      # GLOBAL row index (may be permuted)
+        double v[j0..j1)                # dense row slice
+
+All integers/doubles are big-endian (Java ``DataOutputStream``).
+Verified against the repo's checked-in sample outputs ``out/A.0``
+(header (1024,1536,1024,1536)) and ``out/A.1`` ((1024,1536,1536,2048)),
+both 16 + 512*(4+512*8) = 2,099,216 bytes.
+
+Spark-first shape: a ``binaryFile`` scan parallelizes over files, a
+vectorized numpy parse turns each file into row-segment pieces aligned
+to the target block grid, and ONE shuffle on ``(bi, bj)`` assembles
+``BlockMatrixFrame`` blocks. Rows land by their row_no prefix, so
+pivot-permuted reference files reassemble correctly. At 100 TB the
+piece shuffle moves each byte exactly once and keys uniformly on block
+coordinates.
+
+The reference's indirection variant ("file of files",
+`Partition.java:223-272`) lists further HDFS paths after the header;
+resolving it is a driver-side path expansion over THIS reader and is
+intentionally out of scope (the sample tree ships no live indirection
+files to verify against).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.matrix.core import (
+    BLOCK_SCHEMA,
+    DEFAULT_BLOCK_SIZE,
+    BlockMatrixFrame,
+)
+
+_HEADER = struct.Struct(">4i")
+
+_PIECE_SCHEMA = (
+    "bi int, bj int, row_in_block int, col_off int, data array<double>"
+)
+
+
+def parse_reference_block(
+    data: bytes,
+) -> tuple[tuple[int, int, int, int], np.ndarray, np.ndarray]:
+    """Parse one reference block file.
+
+    Returns ``((i0, i1, j0, j1), row_nos, values)`` with ``row_nos``
+    shaped (nrows,) holding each row's GLOBAL index and ``values``
+    shaped (nrows, j1-j0) float64. Raises ``ValueError`` when the
+    byte length disagrees with the header (truncated/corrupt file).
+    """
+    if len(data) < _HEADER.size:
+        raise ValueError(f"reference block too short: {len(data)} bytes")
+    i0, i1, j0, j1 = _HEADER.unpack_from(data, 0)
+    nrows, ncols = i1 - i0, j1 - j0
+    if nrows < 0 or ncols <= 0:
+        raise ValueError(f"bad extent header ({i0},{i1},{j0},{j1})")
+    expect = _HEADER.size + nrows * (4 + 8 * ncols)
+    if len(data) != expect:
+        raise ValueError(
+            f"size mismatch: header ({i0},{i1},{j0},{j1}) implies "
+            f"{expect} bytes, file has {len(data)}"
+        )
+    rec = np.dtype([("row", ">i4"), ("vals", ">f8", (ncols,))])
+    body = np.frombuffer(data, dtype=rec, count=nrows, offset=_HEADER.size)
+    return (
+        (i0, i1, j0, j1),
+        body["row"].astype(np.int64),
+        body["vals"].astype(np.float64),
+    )
+
+
+def encode_reference_block(
+    i0: int, j0: int, block: np.ndarray, row_nos: np.ndarray | None = None
+) -> bytes:
+    """Encode a dense block into the reference's binary format
+    (inverse of :func:`parse_reference_block`; format of
+    `data/MakeData.java:19-28`)."""
+    block = np.asarray(block, dtype=np.float64)
+    r, c = block.shape
+    if row_nos is None:
+        row_nos = np.arange(i0, i0 + r)
+    rec = np.dtype([("row", ">i4"), ("vals", ">f8", (c,))])
+    body = np.empty(r, dtype=rec)
+    body["row"] = row_nos
+    body["vals"] = block
+    return _HEADER.pack(i0, i0 + r, j0, j0 + c) + body.tobytes()
+
+
+def read_reference_matrix(
+    spark: SparkSession,
+    path: str,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    n_rows: int | None = None,
+    n_cols: int | None = None,
+) -> BlockMatrixFrame:
+    """Read reference-format block files into a ``BlockMatrixFrame``.
+
+    ``path`` is anything ``binaryFile`` accepts (dir, glob, list-dir).
+    When ``n_rows``/``n_cols`` are omitted they are inferred with one
+    extra aggregation pass over the parsed pieces (i.e. the source is
+    read twice); pass explicit dims to make ingest single-pass.
+    """
+    bs = block_size
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def to_pieces(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                (_, _, j0, j1), idx, vals = parse_reference_block(
+                    bytes(content)
+                )
+                bi = idx // bs
+                rib = idx % bs
+                for bj in range(j0 // bs, (j1 - 1) // bs + 1):
+                    g0, g1 = max(j0, bj * bs), min(j1, (bj + 1) * bs)
+                    seg = vals[:, g0 - j0:g1 - j0]
+                    yield pd.DataFrame(
+                        {
+                            "bi": bi.astype(np.int32),
+                            "bj": np.int32(bj),
+                            "row_in_block": rib.astype(np.int32),
+                            "col_off": np.int32(g0 - bj * bs),
+                            # list of per-row ndarrays — Arrow keeps
+                            # them unboxed (see core.from_numpy note)
+                            "data": list(seg),
+                        }
+                    )
+
+    pieces = files.mapInPandas(to_pieces, _PIECE_SCHEMA)
+
+    if n_rows is None or n_cols is None:
+        dims = pieces.agg(
+            (F.max(F.col("bi") * bs + F.col("row_in_block")) + 1).alias("nr"),
+            F.max(
+                F.col("bj") * bs + F.col("col_off") + F.size("data")
+            ).alias("nc"),
+        ).collect()[0]
+        n_rows = n_rows if n_rows is not None else int(dims["nr"])
+        n_cols = n_cols if n_cols is not None else int(dims["nc"])
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        r = min(bs, n_rows - bi * bs)
+        c = min(bs, n_cols - bj * bs)
+        blk = np.zeros((r, c), dtype=np.float64)
+        for rib, co, seg in zip(
+            pdf["row_in_block"], pdf["col_off"], pdf["data"]
+        ):
+            seg = np.asarray(seg, dtype=np.float64)
+            blk[int(rib), int(co):int(co) + seg.shape[0]] = seg
+        return pd.DataFrame(
+            [(bi, bj, r, c, blk.ravel())],
+            columns=["bi", "bj", "rows", "cols", "data"],
+        )
+
+    blocks = pieces.groupBy("bi", "bj").applyInPandas(assemble, BLOCK_SCHEMA)
+    return BlockMatrixFrame(blocks, n_rows, n_cols, bs)
+
+
+def save_reference_matrix(m: BlockMatrixFrame, out_dir: str) -> int:
+    """Write ``m`` as reference-format files ``A.<k>`` (one per block,
+    k = bi*nbj + bj — the reference's flat numbering, `out/A.0`…).
+
+    Executors write directly (local mode / shared FS); returns the
+    number of files written. Absent (zero) blocks produce no file —
+    the reader zero-fills, so round-trips stay exact.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    bs, nbj = m.block_size, m.nbj
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = 0
+            for bi, bj, r, c, data in zip(
+                pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+            ):
+                blk = np.asarray(data, dtype=np.float64).reshape(
+                    int(r), int(c)
+                )
+                payload = encode_reference_block(
+                    int(bi) * bs, int(bj) * bs, blk
+                )
+                fname = os.path.join(
+                    out_dir, f"A.{int(bi) * nbj + int(bj)}"
+                )
+                with open(fname, "wb") as f:
+                    f.write(payload)
+                n += 1
+            yield pd.DataFrame({"n": [n]})
+
+    written = m.df.mapInPandas(write, "n int").agg(
+        F.sum("n").alias("n")
+    ).collect()[0]["n"]
+    return int(written or 0)

@@ -190,3 +190,50 @@ def la_cholesky_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
           bool(residual < 1e-8 * n))],
         "n int, max_residual double, logdet double, ok boolean",
     )
+
+
+@query(
+    "la_reference_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+        (2, 2, 512, 512, 372.98,   20861552.589),
+        (2, 3, 512, 512, -417.557, 20113823.036)
+    ) AS t(bi, bj, n_rows, n_cols, val_sum, val_sumsq)
+    """,
+)
+def la_reference_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest of the reference's own on-disk binary block format
+    (`data/MakeData.java:19-28` writer, `LUDecomposition.java:204-272`
+    reader): the two checked-in sample blocks `out/A.0`/`out/A.1` are
+    read through the distributed binaryFile→parse→shuffle path
+    (matrix/io.py) and per-block deterministic checksums are compared
+    against constants extracted from the files independently — proving
+    header decode, big-endian row parse, and grid placement."""
+    from matrixinversion_spark.matrix.io import read_reference_matrix
+
+    m = read_reference_matrix(
+        spark, "/root/reference/out", block_size=512
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bi, bj, r, c, d in zip(
+            pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            v = np.asarray(d, dtype=np.float64)
+            out.append(
+                (int(bi), int(bj), int(r), int(c),
+                 float(np.round(v.sum(), 3)),
+                 float(np.round((v * v).sum(), 3)))
+            )
+        return pd.DataFrame(
+            out,
+            columns=["bi", "bj", "n_rows", "n_cols", "val_sum",
+                     "val_sumsq"],
+        )
+
+    return m.df.mapInPandas(
+        lambda it: (stats(pdf) for pdf in it),
+        "bi int, bj int, n_rows int, n_cols int, "
+        "val_sum double, val_sumsq double",
+    )

@@ -1,0 +1,107 @@
+"""Reference binary block-format ingest/egress (matrix/io.py):
+header decode against the checked-in sample blocks, full value
+round-trip, re-gridding across block sizes, and pivot-permuted rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from matrixinversion_spark.matrix.io import (
+    encode_reference_block,
+    parse_reference_block,
+    read_reference_matrix,
+    save_reference_matrix,
+)
+from matrixinversion_spark.matrix.core import BlockMatrixFrame
+
+SAMPLES = {
+    "/root/reference/out/A.0": (1024, 1536, 1024, 1536),
+    "/root/reference/out/A.1": (1024, 1536, 1536, 2048),
+}
+
+
+def test_parse_sample_blocks():
+    """Both checked-in reference outputs parse with the documented
+    extents (SURVEY.md §1.1) and plausible LU-intermediate values."""
+    for path, extent in SAMPLES.items():
+        data = open(path, "rb").read()
+        ext, idx, vals = parse_reference_block(data)
+        assert ext == extent
+        assert len(data) == 16 + 512 * (4 + 512 * 8) == 2_099_216
+        assert idx.tolist() == list(range(1024, 1536))
+        assert vals.shape == (512, 512)
+        assert np.isfinite(vals).all()
+
+
+def test_parse_rejects_truncated():
+    data = open("/root/reference/out/A.0", "rb").read()
+    with pytest.raises(ValueError, match="size mismatch"):
+        parse_reference_block(data[:-8])
+    with pytest.raises(ValueError, match="too short"):
+        parse_reference_block(data[:10])
+
+
+def test_encode_parse_roundtrip_pure():
+    rng = np.random.default_rng(7)
+    blk = rng.standard_normal((5, 3))
+    ext, idx, vals = parse_reference_block(
+        encode_reference_block(10, 20, blk)
+    )
+    assert ext == (10, 15, 20, 23)
+    assert idx.tolist() == [10, 11, 12, 13, 14]
+    np.testing.assert_array_equal(vals, blk)
+
+
+def test_spark_roundtrip_same_grid(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((300, 200))
+    m = BlockMatrixFrame.from_numpy(spark, a, block_size=128)
+    n = save_reference_matrix(m, str(tmp_path / "blocks"))
+    assert n == 3 * 2  # ceil(300/128) x ceil(200/128)
+    back = read_reference_matrix(
+        spark, str(tmp_path / "blocks"), block_size=128
+    )
+    assert (back.n_rows, back.n_cols) == (300, 200)
+    np.testing.assert_allclose(back.to_numpy(), a)
+
+
+def test_spark_roundtrip_regrid(spark, tmp_path):
+    """Reading with a different block size than the files were written
+    with exercises the piece split + (bi,bj) shuffle assembly."""
+    rng = np.random.default_rng(13)
+    a = rng.standard_normal((256, 256))
+    m = BlockMatrixFrame.from_numpy(spark, a, block_size=128)
+    save_reference_matrix(m, str(tmp_path / "blocks"))
+    back = read_reference_matrix(
+        spark, str(tmp_path / "blocks"), block_size=100
+    )
+    assert back.block_size == 100
+    np.testing.assert_allclose(back.to_numpy(), a)
+
+
+def test_permuted_rows_land_by_row_no(spark, tmp_path):
+    """Rows carry global indices precisely because the reference
+    permutes them by pivoting (`LUDecomposition.java` save_matrix):
+    a shuffled file must reassemble into row_no order."""
+    rng = np.random.default_rng(17)
+    a = rng.standard_normal((40, 8))
+    order = rng.permutation(40)
+    payload = encode_reference_block(0, 0, a[order], row_nos=order)
+    # the extent header still declares [0,40) regardless of row order
+    (tmp_path / "P.0").write_bytes(payload)
+    back = read_reference_matrix(
+        spark, str(tmp_path / "P.0"), block_size=16
+    )
+    np.testing.assert_allclose(back.to_numpy(), a)
+
+
+def test_explicit_dims_skip_inference(spark, tmp_path):
+    a = np.arange(12.0).reshape(3, 4)
+    m = BlockMatrixFrame.from_numpy(spark, a, block_size=4)
+    save_reference_matrix(m, str(tmp_path / "blocks"))
+    back = read_reference_matrix(
+        spark, str(tmp_path / "blocks"), block_size=4, n_rows=3, n_cols=4
+    )
+    np.testing.assert_allclose(back.to_numpy(), a)
