@@ -10,11 +10,16 @@ the real thing a multimodal pipeline needs at 100 TB:
   them);
 - decode / feature-extract as Arrow-batched ``mapInPandas`` (bytes in,
   struct rows out, schema declared up front);
-- the actual codec call is stubbed: ``decode_image_real`` raises
+- the full *pixel* codec is stubbed: ``decode_image_real`` raises
   ``NotImplementedError`` (no PIL/ffmpeg in this container), and the
   pipeline runs a deterministic fake decode with the same signature,
   so every piece of plumbing — batch shapes, schema, partitioning —
-  is exercised and oracle-checked.
+  is exercised and oracle-checked;
+- the *header* decode is REAL: ``parse_image_header`` reads PNG IHDR,
+  GIF logical-screen, and JPEG SOFn dimensions straight from payload
+  bytes (public file formats, pure Python — no image library), and
+  ``p_multimodal_header_decode`` runs it over synthesized valid
+  headers with an independent SQL oracle.
 """
 
 from __future__ import annotations
@@ -46,6 +51,107 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
         "image decode requires PIL/opencv — not available in this "
         "environment; use decode_image_fake for plumbing tests"
     )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# JPEG SOFn markers carrying frame dimensions; 0xC4/0xC8/0xCC are
+# DHT/JPG/DAC and do NOT (ITU T.81 Table B.1).
+_JPEG_NON_SOF = (0xC4, 0xC8, 0xCC)
+
+
+def parse_image_header(data: bytes) -> tuple[str, int, int]:
+    """Extract (format, width, height) from real image header bytes.
+
+    Pure-Python parsers for three public formats (no image library):
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian uint32 at offsets 16/20 (PNG spec, RFC 2083 §3.1).
+    - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor —
+      width/height little-endian uint16 at offsets 6/8 (GIF89a spec).
+    - JPEG: walk the marker segments from SOI until a SOFn frame
+      header; height/width are big-endian uint16 after the precision
+      byte (ITU T.81 §B.2.2).
+
+    Raises ``ValueError`` for truncated or unrecognized payloads.
+    """
+    if data[:8] == PNG_SIG:
+        if len(data) < 24 or data[12:16] != b"IHDR":
+            raise ValueError("PNG: missing/short IHDR chunk")
+        return (
+            "png",
+            int.from_bytes(data[16:20], "big"),
+            int.from_bytes(data[20:24], "big"),
+        )
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) < 10:
+            raise ValueError("GIF: truncated logical screen descriptor")
+        return (
+            "gif",
+            int.from_bytes(data[6:8], "little"),
+            int.from_bytes(data[8:10], "little"),
+        )
+    if data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                raise ValueError(f"JPEG: marker desync at byte {i}")
+            marker = data[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone marker, no length field
+                continue
+            seglen = int.from_bytes(data[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                if i + 9 > len(data):
+                    raise ValueError("JPEG: truncated SOF segment")
+                return (
+                    "jpeg",
+                    int.from_bytes(data[i + 7:i + 9], "big"),
+                    int.from_bytes(data[i + 5:i + 7], "big"),
+                )
+            i += 2 + seglen
+        raise ValueError("JPEG: no SOF frame header found")
+    raise ValueError("unrecognized image format")
+
+
+def synth_image_header(fmt: str, width: int, height: int) -> bytes:
+    """Build a minimal VALID header for ``fmt`` with the given
+    dimensions (test/oracle synthesis — each output round-trips
+    through :func:`parse_image_header`)."""
+    if fmt == "png":
+        return (
+            PNG_SIG
+            + (13).to_bytes(4, "big")
+            + b"IHDR"
+            + width.to_bytes(4, "big")
+            + height.to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0])   # depth, color, comp, filter, il
+            + b"\x00\x00\x00\x00"      # CRC placeholder
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little")
+            + bytes([0xF7, 0x00, 0x00])  # GCT flags, bg, aspect
+        )
+    if fmt == "jpeg":
+        app0 = (
+            b"\xff\xe0" + (16).to_bytes(2, "big")
+            + b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+        )
+        sof0 = (
+            b"\xff\xc0" + (17).to_bytes(2, "big")
+            + bytes([8])
+            + height.to_bytes(2, "big")
+            + width.to_bytes(2, "big")
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+        )
+        return b"\xff\xd8" + app0 + sof0
+    raise ValueError(f"unknown format {fmt!r}")
 
 
 def decode_image_fake(payload: bytes) -> tuple[int, int, int]:
@@ -128,4 +234,66 @@ def p_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_payload(read_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "payload").mapInPandas(
         decode_batches, schema=DECODE_SCHEMA
+    )
+
+
+@query(
+    "p_multimodal_header_decode",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg'
+           END AS fmt,
+           CAST(doc_id % 1000 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 700 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def p_multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-header decode over binary payloads.
+
+    Stage 1 synthesizes a valid PNG/GIF/JPEG header per document
+    (format and dimensions derived deterministically from doc_id);
+    stage 2 is the production decode path — Arrow-batched mapInPandas
+    calling ``parse_image_header`` on raw bytes. The oracle recomputes
+    the expected dimensions from doc_id alone, so a parser that
+    misreads endianness, chunk offsets, or JPEG segment walking fails
+    the hash check. Both stages are executor-side; payload bytes never
+    visit the driver.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmts = ("png", "gif", "jpeg")
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        synth_image_header(
+                            fmts[int(i) % 3],
+                            int(i) % 1000 + 1,
+                            int(i) % 700 + 1,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [parse_image_header(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [m[0] for m in meta],
+                    "width": [m[1] for m in meta],
+                    "height": [m[2] for m in meta],
+                }
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode, "doc_id bigint, fmt string, width int, height int"
     )
