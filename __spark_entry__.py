@@ -28,6 +28,7 @@ import matrixinversion_spark.relational.asof  # noqa: F401,E402
 import matrixinversion_spark.relational.functions  # noqa: F401,E402
 import matrixinversion_spark.relational.io  # noqa: F401,E402
 import matrixinversion_spark.relational.udf  # noqa: F401,E402
+import matrixinversion_spark.relational.skew  # noqa: F401,E402
 
 try:  # pipeline/matrix registrations land as they are implemented
     import matrixinversion_spark.pipeline.dedup  # noqa: F401,E402

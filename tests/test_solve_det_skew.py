@@ -76,6 +76,47 @@ def test_salted_join_rejects_outer(spark):
             salted_join(o, c, "o_custkey", how=how)
 
 
+def test_skew_demo_no_straggler(spark):
+    """q_skew_salted_join's physical property: the hot key (≈50% of
+    rows) must NOT produce a straggler partition. AQE is disabled so
+    partition ids reflect the raw hash shuffle (AQE would coalesce the
+    tiny sf0.001 partitions and hide the spread), and broadcast is
+    disabled because salting only matters when the other side can't be
+    broadcast — a broadcast join has no shuffle to skew."""
+    from matrixinversion_spark.relational.skew import (
+        _skewed_events,
+        salted_join,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = _skewed_events(spark, SF_DIR)
+        dim = e.select("skew_key").distinct()
+        total = e.count()
+
+        def max_partition_fraction(df):
+            parts = (
+                df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in parts) / total
+
+        plain_frac = max_partition_fraction(e.join(dim, "skew_key"))
+        salted_frac = max_partition_fraction(
+            salted_join(e, dim, "skew_key", n_salts=16)
+        )
+        # unsalted: the whole hot key lands in one partition
+        assert plain_frac >= 0.45, plain_frac
+        # salted: shattered across 16 (key, salt) combos
+        assert salted_frac <= 0.20, salted_frac
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_plan_shapes(spark):
     qs = entry_mod.queries()
     q1_plan = qs["q1_pricing_summary"](spark, SF_DIR)._jdf.queryExecution() \
