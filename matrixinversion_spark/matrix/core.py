@@ -25,7 +25,7 @@ and the (bi, bj) key is perfectly uniform so block shuffles never skew.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -43,12 +43,25 @@ def _nblocks(n: int, bs: int) -> int:
 
 @dataclass(frozen=True)
 class BlockMatrixFrame:
-    """A dense distributed matrix as a DataFrame of blocks."""
+    """A dense distributed matrix as a DataFrame of blocks.
+
+    ``local`` is an optional driver-side ndarray twin, set when the
+    frame was built FROM driver data (``from_numpy`` — recursion
+    leaves). It lets leaf consumers (triangular solves, checkpoints)
+    skip a pointless driver→cluster→driver round-trip: ``to_numpy``
+    returns it directly, and ``_checkpoint`` skips materializing a
+    frame whose lineage is a single createDataFrame. Never mutate it.
+    Transformed frames (slices excepted) drop the twin — it only ever
+    mirrors an exact from_numpy construction.
+    """
 
     df: DataFrame
     n_rows: int
     n_cols: int
     block_size: int
+    local: np.ndarray | None = field(
+        default=None, compare=False, repr=False
+    )
 
     @property
     def nbi(self) -> int:
@@ -91,7 +104,10 @@ class BlockMatrixFrame:
             rows, columns=["bi", "bj", "rows", "cols", "data"]
         )
         df = spark.createDataFrame(pdf, schema=BLOCK_SCHEMA)
-        return BlockMatrixFrame(df, n, m, block_size)
+        return BlockMatrixFrame(
+            df, n, m, block_size,
+            local=np.array(a, dtype=np.float64, copy=True),
+        )
 
     @staticmethod
     def random_uniform(spark: SparkSession, n: int, m: int | None = None,
@@ -157,7 +173,10 @@ class BlockMatrixFrame:
     def to_numpy(self) -> np.ndarray:
         """Collect to a driver ndarray (leaves/tests only — bounded by
         leaf_size in the recursion, same shape as the reference's
-        driver-local leaf solve)."""
+        driver-local leaf solve). Driver-backed frames return their
+        ``local`` twin without touching the cluster."""
+        if self.local is not None:
+            return self.local
         out = np.zeros((self.n_rows, self.n_cols))
         bs = self.block_size
         pdf = self.df.toPandas()  # Arrow path: cells arrive as ndarrays
@@ -198,7 +217,13 @@ class BlockMatrixFrame:
         )
         n_rows = min(self.n_rows, bi1 * bs) - bi0 * bs
         n_cols = min(self.n_cols, bj1 * bs) - bj0 * bs
-        return BlockMatrixFrame(df, n_rows, n_cols, bs)
+        local = None
+        if self.local is not None:
+            local = np.ascontiguousarray(
+                self.local[bi0 * bs:bi0 * bs + n_rows,
+                           bj0 * bs:bj0 * bs + n_cols]
+            )
+        return BlockMatrixFrame(df, n_rows, n_cols, bs, local=local)
 
     def shift(self, dbi: int, dbj: int) -> DataFrame:
         """Block-index translation (for assembling larger matrices)."""

@@ -25,7 +25,12 @@ import numpy as np
 
 from matrixinversion_spark.matrix import kernels
 from matrixinversion_spark.matrix.core import BlockMatrixFrame
-from matrixinversion_spark.matrix.lu import DEFAULT_LEAF, _checkpoint, lu
+from matrixinversion_spark.matrix.lu import (
+    DEFAULT_LEAF,
+    _checkpoint,
+    _concurrently,
+    lu,
+)
 from matrixinversion_spark.matrix.ops import (
     gemm,
     multiply,
@@ -45,8 +50,10 @@ def inverse_lower_unit(lo: BlockMatrixFrame,
     a = lo.slice_blocks(0, mb, 0, mb)
     c = lo.slice_blocks(mb, lo.nbi, 0, mb)
     d = lo.slice_blocks(mb, lo.nbi, mb, lo.nbi)
-    ia = _checkpoint(inverse_lower_unit(a, leaf_size)).persist()
-    id_ = _checkpoint(inverse_lower_unit(d, leaf_size)).persist()
+    ia, id_ = _concurrently(
+        lambda: _checkpoint(inverse_lower_unit(a, leaf_size)).persist(),
+        lambda: _checkpoint(inverse_lower_unit(d, leaf_size)).persist(),
+    )
     corner = gemm(multiply(id_, c), ia, alpha=-1.0)
     df = ia.df.unionAll(corner.shift(mb, 0)).unionAll(id_.shift(mb, mb))
     return BlockMatrixFrame(df, lo.n_rows, lo.n_cols, lo.block_size)
@@ -64,8 +71,10 @@ def inverse_upper(up: BlockMatrixFrame,
     a = up.slice_blocks(0, mb, 0, mb)
     b = up.slice_blocks(0, mb, mb, up.nbj)
     d = up.slice_blocks(mb, up.nbi, mb, up.nbj)
-    ia = _checkpoint(inverse_upper(a, leaf_size)).persist()
-    id_ = _checkpoint(inverse_upper(d, leaf_size)).persist()
+    ia, id_ = _concurrently(
+        lambda: _checkpoint(inverse_upper(a, leaf_size)).persist(),
+        lambda: _checkpoint(inverse_upper(d, leaf_size)).persist(),
+    )
     corner = gemm(multiply(ia, b), id_, alpha=-1.0)
     df = ia.df.unionAll(corner.shift(0, mb)).unionAll(id_.shift(mb, mb))
     return BlockMatrixFrame(df, up.n_rows, up.n_cols, up.block_size)
@@ -79,8 +88,11 @@ def inverse(a: BlockMatrixFrame,
     perm, lo, up = lu(a, leaf_size)
     lo = _checkpoint(lo).persist()
     up = _checkpoint(up).persist()
-    x = multiply(inverse_upper(up, leaf_size),
-                 inverse_lower_unit(lo, leaf_size))
+    iu, il = _concurrently(
+        lambda: inverse_upper(up, leaf_size),
+        lambda: inverse_lower_unit(lo, leaf_size),
+    )
+    x = multiply(iu, il)
     # A⁻¹ = X·P — a single column gather by perm⁻¹ (no transposes)
     perm_inv = np.argsort(perm)
     return permute_cols(x, perm_inv)

@@ -32,6 +32,9 @@ via ‖P·A − L·U‖ and ‖A·A⁻¹ − I‖ residuals, not factor bit-matc
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 import pandas as pd
 
@@ -45,9 +48,28 @@ DEFAULT_LEAF = 1024  # reference runs limit=1000 (`run.csh:13`)
 
 
 def _checkpoint(m: BlockMatrixFrame) -> BlockMatrixFrame:
+    if m.local is not None:
+        # Driver-backed leaf: lineage is one createDataFrame — a
+        # checkpoint would only add a materialization job.
+        return m
     return BlockMatrixFrame(
         m.df.localCheckpoint(eager=False), m.n_rows, m.n_cols, m.block_size
     )
+
+
+def _concurrently(f1: Callable, f2: Callable) -> tuple:
+    """Run two independent Spark-job-producing thunks on driver
+    threads so their jobs overlap in the scheduler.
+
+    The recursion serializes ~log² dependency sweeps; the U2/L2
+    solves, the (A,D) triangular-inverse pair, and the U⁻¹/L⁻¹ pair
+    are data-independent, so the critical path is max() not sum() of
+    each pair (VERDICT r1: the reference has the same sequential
+    dependency — this is the place Spark can beat it). Nesting depth
+    is log2(n/leaf), so the thread count stays O(n/leaf)."""
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fut1, fut2 = ex.submit(f1), ex.submit(f2)
+        return fut1.result(), fut2.result()
 
 
 def lu(a: BlockMatrixFrame, leaf_size: int = DEFAULT_LEAF
@@ -82,8 +104,10 @@ def lu(a: BlockMatrixFrame, leaf_size: int = DEFAULT_LEAF
     l1 = _checkpoint(l1).persist()
     u1 = _checkpoint(u1).persist()
 
-    u2 = solve_lower(l1, permute_rows(a2, p1), leaf_size)
-    l2 = solve_upper_right(u1, a3, leaf_size)
+    u2, l2 = _concurrently(
+        lambda: solve_lower(l1, permute_rows(a2, p1), leaf_size),
+        lambda: solve_upper_right(u1, a3, leaf_size),
+    )
     u2 = _checkpoint(u2).persist()
     l2 = _checkpoint(l2).persist()
 
