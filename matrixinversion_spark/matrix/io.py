@@ -24,10 +24,12 @@ piece shuffle moves each byte exactly once and keys uniformly on block
 coordinates.
 
 The reference's indirection variant ("file of files",
-`Partition.java:223-272`) lists further HDFS paths after the header;
-resolving it is a driver-side path expansion over THIS reader and is
-intentionally out of scope (the sample tree ships no live indirection
-files to verify against).
+`Partition.java:223-272` writer — "we only store the pos[i]tion of
+data in the original files" — and `read_matrix(String,char)` reader at
+`LUDecomposition.java:299-335`) lists further paths after the 16-byte
+extent header, newline-separated. ``read_reference_indirection``
+resolves those paths driver-side (path lists are metadata — tiny) and
+hands the physical files to the distributed reader above.
 """
 
 from __future__ import annotations
@@ -105,17 +107,18 @@ def encode_reference_block(
 
 def read_reference_matrix(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     block_size: int = DEFAULT_BLOCK_SIZE,
     n_rows: int | None = None,
     n_cols: int | None = None,
 ) -> BlockMatrixFrame:
     """Read reference-format block files into a ``BlockMatrixFrame``.
 
-    ``path`` is anything ``binaryFile`` accepts (dir, glob, list-dir).
-    When ``n_rows``/``n_cols`` are omitted they are inferred with one
-    extra aggregation pass over the parsed pieces (i.e. the source is
-    read twice); pass explicit dims to make ingest single-pass.
+    ``path`` is anything ``binaryFile`` accepts (dir, glob, explicit
+    path list). When ``n_rows``/``n_cols`` are omitted they are
+    inferred with one extra aggregation pass over the parsed pieces
+    (i.e. the source is read twice); pass explicit dims to make
+    ingest single-pass.
     """
     bs = block_size
     files = spark.read.format("binaryFile").load(path).select("content")
@@ -172,6 +175,63 @@ def read_reference_matrix(
 
     blocks = pieces.groupBy("bi", "bj").applyInPandas(assemble, BLOCK_SCHEMA)
     return BlockMatrixFrame(blocks, n_rows, n_cols, bs)
+
+
+def parse_indirection_file(
+    data: bytes,
+) -> tuple[tuple[int, int, int, int], list[str]]:
+    """Parse an indirection ("file of files") block: 16-byte extent
+    header, then newline-separated paths of the files that physically
+    hold the data (`Partition.java:223-272`)."""
+    if len(data) < _HEADER.size:
+        raise ValueError(f"indirection file too short: {len(data)} bytes")
+    i0, i1, j0, j1 = _HEADER.unpack_from(data, 0)
+    paths = [
+        line.strip()
+        for line in data[_HEADER.size:].decode("utf-8").splitlines()
+        if line.strip()
+    ]
+    if not paths:
+        raise ValueError("indirection file lists no data paths")
+    return (i0, i1, j0, j1), paths
+
+
+def write_indirection_file(
+    path: str, extent: tuple[int, int, int, int], data_paths: list[str]
+) -> None:
+    """Write an indirection file (inverse of
+    :func:`parse_indirection_file`)."""
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(*extent))
+        f.write("\n".join(data_paths).encode("utf-8") + b"\n")
+
+
+def read_reference_indirection(
+    spark: SparkSession,
+    path: str,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    n_rows: int | None = None,
+    n_cols: int | None = None,
+) -> BlockMatrixFrame:
+    """Read a matrix through one or more indirection files.
+
+    The indirection layer is metadata (a few KB of paths), so it is
+    resolved driver-side; the physical block files then flow through
+    the distributed :func:`read_reference_matrix` path. Duplicate
+    physical paths across indirection files are read once.
+    """
+    import glob as globmod
+
+    listed: list[str] = []
+    matches = sorted(globmod.glob(path)) or [path]
+    for f in matches:
+        with open(f, "rb") as fh:
+            _, paths = parse_indirection_file(fh.read())
+        listed.extend(paths)
+    unique = list(dict.fromkeys(listed))
+    return read_reference_matrix(
+        spark, unique, block_size=block_size, n_rows=n_rows, n_cols=n_cols
+    )
 
 
 def save_reference_matrix(m: BlockMatrixFrame, out_dir: str) -> int:

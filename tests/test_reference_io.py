@@ -10,9 +10,12 @@ import pytest
 
 from matrixinversion_spark.matrix.io import (
     encode_reference_block,
+    parse_indirection_file,
     parse_reference_block,
+    read_reference_indirection,
     read_reference_matrix,
     save_reference_matrix,
+    write_indirection_file,
 )
 from matrixinversion_spark.matrix.core import BlockMatrixFrame
 
@@ -94,6 +97,25 @@ def test_permuted_rows_land_by_row_no(spark, tmp_path):
     back = read_reference_matrix(
         spark, str(tmp_path / "P.0"), block_size=16
     )
+    np.testing.assert_allclose(back.to_numpy(), a)
+
+
+def test_indirection_roundtrip(spark, tmp_path):
+    """'File of files' variant: an indirection file's extent header is
+    followed by newline-separated physical paths; the reader resolves
+    them driver-side and reads the physical blocks distributed."""
+    rng = np.random.default_rng(19)
+    a = rng.standard_normal((256, 256))
+    m = BlockMatrixFrame.from_numpy(spark, a, block_size=128)
+    blocks_dir = tmp_path / "blocks"
+    save_reference_matrix(m, str(blocks_dir))
+    paths = sorted(str(p) for p in blocks_dir.iterdir())
+    ind = tmp_path / "a.txt"
+    write_indirection_file(str(ind), (0, 256, 0, 256), paths)
+    ext, listed = parse_indirection_file(ind.read_bytes())
+    assert ext == (0, 256, 0, 256)
+    assert listed == paths
+    back = read_reference_indirection(spark, str(ind), block_size=128)
     np.testing.assert_allclose(back.to_numpy(), a)
 
 
