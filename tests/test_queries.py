@@ -33,14 +33,11 @@ def test_registry_shape():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert len(qs) >= 60
     assert set(oracles) <= set(qs)
-    # the vast majority must be oracle-checked, not rows-only
+    # every query is oracle-checked — non-SQL-expressible ops use the
+    # self-verifying pattern (deterministic values + ok booleans with
+    # a literal/exact-side oracle)
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {
-        "la_lu_residual", "la_inverse_residual", "la_cholesky_residual",
-        "p_ml_minhash_join", "p_ml_brp_neighbors",
-        "p_sample_stratified", "p_embedding_pca_variance",
-        "p_kmeans_clusters",
-    }, rows_only
+    assert rows_only == set(), rows_only
 
 
 def test_read_table_events_on_vanilla_session(spark):
@@ -95,9 +92,9 @@ def test_all_queries_run_at_smallest_sf(spark):
 def test_la_residuals_pass(spark):
     qs = entry_mod.queries()
     row = qs["la_inverse_residual"](spark, SF_DIR).collect()[0]
-    assert row.ok, f"identity err {row.identity_err}"
+    assert row.ok and row.identity_err_r6 == 0.0, row
     row = qs["la_lu_residual"](spark, SF_DIR).collect()[0]
-    assert row.ok, f"LU residual {row.max_residual}"
+    assert row.ok and row.residual_r6 == 0.0, row
 
 
 def test_curation_observation_metrics(spark):
