@@ -69,11 +69,16 @@ def minhash_join(spark: SparkSession, sf_dir: str,
 
 
 def exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        audit_mod: int | None = None) -> DataFrame:
     """Exact token-set Jaccard pairs ≥ threshold via an inverted-index
     self-join (the oracle-adjacent baseline for the LSH recall
-    checks — never the scale path; the LSH join is)."""
+    checks — never the scale path; the LSH join is). ``audit_mod``
+    restricts both sides to the deterministic doc_id % audit_mod == 0
+    stratum so the quadratic baseline stays bounded at scale."""
     d = read_table(spark, sf_dir, "documents")
+    if audit_mod is not None:
+        d = d.filter(F.col("doc_id") % audit_mod == 0)
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("t"),
@@ -104,7 +109,7 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
     oracle="""
     WITH toks AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
-        FROM documents
+        FROM documents WHERE doc_id % 10 = 0
     )
     SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
     FROM toks a JOIN toks b ON a.doc_id < b.doc_id
@@ -116,17 +121,24 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
 def p_ml_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH similarity join, self-verified: MLlib seeds
     its hash family internally (no cross-engine signature oracle), so
-    the row carries the EXACT count of Jaccard≥0.5 pairs (computed by
-    the inverted-index baseline, recomputable in SQL) plus a
-    ``recall_ok`` boolean asserting the LSH join recovered ≥90% of
-    them — the recall property the rows-only check couldn't see."""
+    the row carries the EXACT count of Jaccard≥0.5 pairs among a
+    deterministic 10% audit stratum (doc_id % 10 == 0 — recomputable
+    in SQL) plus a ``recall_ok`` boolean asserting the LSH join (run
+    over the FULL corpus) recovered ≥90% of them. The stratum bounds
+    the quadratic exact baseline at any scale — the production path
+    stays the LSH join; the all-pairs check never grows past the
+    audit subset."""
     lsh_pairs = {
         (r["id_a"], r["id_b"])
-        for r in minhash_join(spark, sf_dir, threshold=0.5).collect()
+        for r in minhash_join(spark, sf_dir, threshold=0.5)
+        .filter((F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 == 0))
+        .collect()
     }
     true_pairs = {
         (r["id_a"], r["id_b"])
-        for r in exact_jaccard_pairs(spark, sf_dir, 0.5).collect()
+        for r in exact_jaccard_pairs(
+            spark, sf_dir, 0.5, audit_mod=10
+        ).collect()
     }
     recall = (
         len(lsh_pairs & true_pairs) / len(true_pairs) if true_pairs else 1.0
