@@ -90,6 +90,26 @@ NOTES: dict[str, str] = {
         "sort; the final agg is partial+final on top of the same "
         "partitioning."
     ),
+    "q_skew_salted_join": (
+        "The hot key (50% of rows) joins on (key, salt) so its rows "
+        "hash to 16 distinct shuffle partitions instead of one "
+        "straggler; the small side replicates 16x pre-shuffle. "
+        "test_skew_demo_no_straggler pins the partition-balance "
+        "property physically."
+    ),
+    "la_reference_ingest": (
+        "binaryFile scan parallelizes over block files; the "
+        "vectorized parse emits grid-aligned row segments and ONE "
+        "shuffle on (bi, bj) assembles blocks — each ingested byte "
+        "crosses the wire exactly once, keyed uniformly by block "
+        "coordinate."
+    ),
+    "p_multimodal_header_decode": (
+        "Two chained mapInPandas stages (synthesize -> parse) with no "
+        "exchange between them — payload bytes stay in the same task "
+        "from synthesis through header decode; only (doc_id, dims) "
+        "rows ever move."
+    ),
 }
 
 
