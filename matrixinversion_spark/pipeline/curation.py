@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from matrixinversion_spark.pipeline.dedup import shingles
+from matrixinversion_spark.pipeline.dedup import shingles_from_tokens
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
@@ -30,7 +30,10 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup edges: 3-gram Jaccard ≥ 0.6 (same logic as
     p_dedup_ngram_jaccard at a looser threshold so chains exist)."""
     d = read_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    sh = d.select("doc_id", F.split("text", " ").alias("ts")).select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("ts"))).alias("s"),
+    )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
