@@ -198,3 +198,94 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("nation", "orders", "customer"))
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_events_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregation in batch (the
+    same operator Structured Streaming uses for stateful session
+    windows; SURVEY §2.3 item 4's batch twin through the built-in API
+    rather than the manual gaps-and-islands of q_events_sessionize).
+
+    Semantics pinned by the oracle: native session windows merge
+    events strictly closer than the gap (next.ts < prev.ts + 30min),
+    so the islands replay uses ``>= 1800s`` for a session break —
+    NOT ``> 1800s`` (which is q_events_sessionize's inclusive-merge
+    convention)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant column, then typed path
+    extraction with ``try_variant_get`` — the open-schema path for
+    JSON event payloads (vs the fixed-schema ``from_json`` of
+    q_from_json_struct). At scale variant parsing is JVM-side and
+    columnar; the shredded access never round-trips through strings.
+    """
+    e = read_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.try_variant_get(
+            F.parse_json("props"), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
