@@ -259,3 +259,82 @@ def curate_with_metrics(spark: SparkSession, sf_dir: str):
         F.sum(F.length("text")).alias("total_chars"),
     )
     return result, obs
+
+
+_DECON_SQL = """
+    WITH bench AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ts) - 2, 0)),
+                   i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS s
+        FROM (SELECT string_split(text, ' ') AS ts FROM documents
+              WHERE doc_id % 100 = 0)
+    ),
+    train AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ts) - 2, 0)),
+                   i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2])))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+              WHERE doc_id % 100 != 0)
+    ),
+    hits AS (
+        SELECT t.doc_id, count(*) AS n_hit
+        FROM train t JOIN bench b ON t.s = b.s
+        GROUP BY t.doc_id
+    ),
+    totals AS (
+        SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles, 6)
+               AS overlap_ratio,
+           coalesce(h.n_hit, 0) >= 5 AS flagged
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE coalesce(h.n_hit, 0) > 0
+"""
+
+
+@query("p_decontaminate", oracle=_DECON_SQL)
+def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    3-gram shingles with an evaluation set (here the deterministic
+    doc_id % 100 == 0 stratum stands in for the benchmark corpus).
+
+    The 100 TB shape: the benchmark shingle set is tiny (an eval
+    suite, not a corpus), so it BROADCASTS — the training side scans
+    once, joins map-side against the broadcast set, and aggregates
+    per doc. No shuffle of the corpus on the join key; the only wide
+    exchange is the per-doc hit count. This is the decontamination
+    pass every training-data pipeline runs before release."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("ts")
+    ).select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("ts"))).alias("s")
+    )
+    bench = (
+        toks.filter(F.col("doc_id") % 100 == 0).select("s").distinct()
+    )
+    train = toks.filter(F.col("doc_id") % 100 != 0)
+    totals = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .filter(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_hit").cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_shingles"), 6
+            ).alias("overlap_ratio"),
+            (F.col("n_hit") >= 5).alias("flagged"),
+        )
+    )
