@@ -154,3 +154,70 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("content_md5"),
         )
     )
+
+
+@query(
+    "q_xml_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip on nation (Spark 4's built-in XML
+    data source — rowTag records, schema-on-read). The comment column
+    is dropped before writing: XML escaping round-trips free text,
+    but the oracle projection keeps the key columns deterministic."""
+    path = _scratch("nation_xml")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.format("xml").option("rowTag", "nation").mode(
+        "overwrite"
+    ).save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .load(path)
+    )
+
+
+@query(
+    "q_text_source",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source + regex field extraction: orders exported as
+    pipe-delimited lines, read back with ``spark.read.text`` and
+    parsed JVM-side (regexp_extract — no Python in the parse path).
+    This is the classic log-file ingestion shape: schema imposed at
+    read time over an unstructured line source."""
+    path = _scratch("orders_txt")
+    orders = read_table(spark, sf_dir, "orders")
+    orders.select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.format_number(F.col("o_totalprice"), 2),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", r"^(\d+)\|", 1).cast("bigint").alias(
+            "o_orderkey"
+        ),
+        F.regexp_extract("value", r"^\d+\|([A-Z])\|", 1).alias(
+            "o_orderstatus"
+        ),
+        F.regexp_replace(
+            F.regexp_extract("value", r"\|([\d,]+\.\d{2})$", 1), ",", ""
+        ).cast("double").alias("o_totalprice"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
