@@ -289,3 +289,34 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.round(F.avg("k"), 4).alias("avg_k"),
     )
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE months(m) AS (
+    SELECT DATE '1996-01-01' AS m
+    UNION ALL
+    SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+    WHERE m < DATE '1996-12-01'
+)
+SELECT CAST(year(m) * 100 + month(m) AS BIGINT) AS yyyymm,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS total_price
+FROM months LEFT JOIN orders
+  ON o_orderdate >= m
+ AND o_orderdate < CAST(m + INTERVAL 1 MONTH AS DATE)
+GROUP BY m
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): a month spine generated by the
+    recursion, left-joined to orders for a gap-free monthly report —
+    the date-dimension pattern without a physical calendar table.
+    IDENTICAL SQL text runs on both engines (shared-string oracle,
+    like q_lateral_topk). The spine is 12 rows, so the join
+    broadcasts; orders never shuffles."""
+    from matrixinversion_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_SQL)
