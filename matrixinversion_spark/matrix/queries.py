@@ -258,3 +258,37 @@ def la_reference_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bi int, bj int, n_rows int, n_cols int, "
         "val_sum double, val_sumsq double",
     )
+
+
+@query(
+    "la_reference_datasource",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1024, CAST(512 AS BIGINT), CAST(655104 AS BIGINT), 372.98),
+        (1536, CAST(512 AS BIGINT), CAST(655104 AS BIGINT), -417.557)
+    ) AS t(j0, n_rows, row_no_sum, val_sum)
+    """,
+)
+def la_reference_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference block format as a first-class Spark source via
+    the Spark 4 Python DataSource API (matrix/io.py
+    ReferenceBlockDataSource): one input partition per block file,
+    schema-on-read rows. Checks per-file row counts, row-number sums
+    and value checksums against constants extracted independently
+    from out/A.0 / out/A.1."""
+    from matrixinversion_spark.matrix.io import (
+        register_reference_datasource,
+    )
+
+    register_reference_datasource(spark)
+    df = (
+        spark.read.format("reference_blocks")
+        .option("path", "/root/reference/out/A.*")
+        .load()
+    )
+    row_sum = F.aggregate("values", F.lit(0.0), lambda a, x: a + x)
+    return df.groupBy("j0").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_no").alias("row_no_sum"),
+        F.round(F.sum(row_sum), 3).alias("val_sum"),
+    )

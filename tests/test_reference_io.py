@@ -127,3 +127,23 @@ def test_explicit_dims_skip_inference(spark, tmp_path):
         spark, str(tmp_path / "blocks"), block_size=4, n_rows=3, n_cols=4
     )
     np.testing.assert_allclose(back.to_numpy(), a)
+
+
+def test_python_datasource_reads_samples(spark):
+    """Spark 4 Python DataSource wrapper: one partition per file,
+    rows land with their global row_no and j0 origin."""
+    from matrixinversion_spark.matrix.io import (
+        register_reference_datasource,
+    )
+
+    register_reference_datasource(spark)
+    df = (
+        spark.read.format("reference_blocks")
+        .option("path", "/root/reference/out/A.*")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.groupBy("j0").count().collect()
+    assert {(r["j0"], r["count"]) for r in rows} == {
+        (1024, 512), (1536, 512),
+    }
