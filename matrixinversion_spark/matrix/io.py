@@ -279,7 +279,9 @@ try:  # pragma: no cover - import guard for older PySpark
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
+        WriterCommitMessage,
     )
 
     class _RefBlockPartition(InputPartition):
@@ -331,6 +333,63 @@ try:  # pragma: no cover - import guard for older PySpark
 
         def reader(self, schema):
             return _RefBlockReader(self.options)
+
+        def writer(self, schema, overwrite):
+            return _RefBlockWriter(self.options, overwrite)
+
+    class _RefBlockCommit(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int):
+            self.path = path
+            self.n_rows = n_rows
+
+    class _RefBlockWriter(DataSourceWriter):
+        """Write path of the custom source: each input partition must
+        hold exactly one block's rows (repartition on the block key
+        first); the extent header is derived from the rows present.
+        Mirrors the reference's one-file-per-reduce-task layout."""
+
+        def __init__(self, options, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("reference_blocks: 'path' is required")
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            rows = list(iterator)
+            pid = TaskContext.get().partitionId()
+            if not rows:
+                return _RefBlockCommit("", 0)
+            j0s = {r.j0 for r in rows}
+            if len(j0s) > 1:
+                raise ValueError(
+                    f"partition {pid} mixes column origins {sorted(j0s)};"
+                    " repartition by block before writing"
+                )
+            rows.sort(key=lambda r: r.row_no)
+            idx = np.asarray([r.row_no for r in rows], dtype=np.int64)
+            if idx[-1] - idx[0] + 1 != len(idx) or len(set(idx)) != len(idx):
+                raise ValueError(
+                    f"partition {pid} rows are not a contiguous extent"
+                )
+            vals = np.asarray(
+                [r.values for r in rows], dtype=np.float64
+            )
+            payload = encode_reference_block(
+                int(idx[0]), int(rows[0].j0), vals, row_nos=idx
+            )
+            os.makedirs(self.path, exist_ok=True)
+            out = os.path.join(self.path, f"A.{pid}")
+            with open(out, "wb") as f:
+                f.write(payload)
+            return _RefBlockCommit(out, len(rows))
+
+        def commit(self, messages):
+            return None
+
+        def abort(self, messages):
+            return None
 
     def register_reference_datasource(spark) -> None:
         """Idempotently register the custom source on a session."""

@@ -147,3 +147,62 @@ def test_python_datasource_reads_samples(spark):
     assert {(r["j0"], r["count"]) for r in rows} == {
         (1024, 512), (1536, 512),
     }
+
+
+def test_python_datasource_write_roundtrip(spark, tmp_path):
+    """Writer side of the custom source: repartition rows by block,
+    write through format('reference_blocks'), read back via the
+    reader — values and row placement survive."""
+    from pyspark.sql import functions as F
+
+    from matrixinversion_spark.matrix.io import (
+        register_reference_datasource,
+    )
+
+    register_reference_datasource(spark)
+    rng = np.random.default_rng(23)
+    a = rng.standard_normal((20, 6))
+    rows = [
+        (int(i), 0, [float(v) for v in a[i]]) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "row_no bigint, j0 int, values array<double>"
+    )
+    out = str(tmp_path / "w")
+    # one block [0,20)x[0,6): single partition holds the whole extent
+    df.repartition(1).write.format("reference_blocks").option(
+        "path", out
+    ).mode("append").save()
+    back = read_reference_matrix(spark, out, block_size=8)
+    np.testing.assert_allclose(back.to_numpy(), a)
+
+
+def test_codec_roundtrip_fuzz():
+    """Property fuzz: encode/parse round-trips arbitrary block shapes,
+    origins, and row permutations bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        r=st.integers(min_value=1, max_value=40),
+        c=st.integers(min_value=1, max_value=40),
+        i0=st.integers(min_value=0, max_value=10_000),
+        j0=st.integers(min_value=0, max_value=10_000),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        permute=st.booleans(),
+    )
+    def roundtrip(r, c, i0, j0, seed, permute):
+        rng = np.random.default_rng(seed)
+        blk = rng.standard_normal((r, c))
+        row_nos = np.arange(i0, i0 + r)
+        if permute:
+            row_nos = rng.permutation(row_nos)
+        ext, idx, vals = parse_reference_block(
+            encode_reference_block(i0, j0, blk, row_nos=row_nos)
+        )
+        assert ext == (i0, i0 + r, j0, j0 + c)
+        np.testing.assert_array_equal(idx, row_nos)
+        np.testing.assert_array_equal(vals, blk)
+
+    roundtrip()
