@@ -296,23 +296,28 @@ def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig.persist()
 
-    band_frames = []
-    for b in range(N_BANDS):
-        key = F.concat_ws(
-            ":",
-            *[
-                F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                for r in range(ROWS_PER_BAND)
-            ],
-        )
-        band_frames.append(
-            sig.select(
-                "doc_id", F.lit(b).alias("band_id"), key.alias("bkey")
+    # all N_BANDS band keys in ONE pass over sig (explode of a struct
+    # array) — a per-band union would scan the signature frame
+    # N_BANDS times and quadruple the stage count
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("bkey"),
             )
-        )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionAll(bf)
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band_id").alias("band_id"),
+             F.col("bs.bkey").alias("bkey"))
 
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
