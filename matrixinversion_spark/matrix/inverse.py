@@ -137,7 +137,9 @@ def _solve_upper_left(up: BlockMatrixFrame, b: BlockMatrixFrame,
     ud = up.slice_blocks(mb, up.nbi, mb, up.nbj)
     ba = b.slice_blocks(0, mb, 0, b.nbj)
     bb = b.slice_blocks(mb, b.nbi, 0, b.nbj)
-    xb = _solve_upper_left(ud, bb, leaf_size)
+    # checkpoint: xb is used twice (Schur update + union), see
+    # lu.solve_lower
+    xb = _checkpoint(_solve_upper_left(ud, bb, leaf_size)).persist()
     xa = _solve_upper_left(ua, gemm(ub, xb, c=ba, alpha=-1.0), leaf_size)
     df = xa.df.unionAll(xb.shift(mb, 0))
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)

@@ -167,7 +167,9 @@ def solve_lower(lo: BlockMatrixFrame, b: BlockMatrixFrame,
     ld = lo.slice_blocks(mb, lo.nbi, mb, lo.nbi)
     ba = b.slice_blocks(0, mb, 0, b.nbj)
     bb = b.slice_blocks(mb, b.nbi, 0, b.nbj)
-    xa = solve_lower(la, ba, leaf_size)
+    # xa feeds BOTH the Schur update and the output union — checkpoint
+    # it or the recursive DAG re-executes 2^depth times per action
+    xa = _checkpoint(solve_lower(la, ba, leaf_size)).persist()
     xb = solve_lower(ld, gemm(lc, xa, c=bb, alpha=-1.0), leaf_size)
     df = xa.df.unionAll(xb.shift(mb, 0))
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)
@@ -185,7 +187,8 @@ def solve_upper_right(up: BlockMatrixFrame, b: BlockMatrixFrame,
     ud = up.slice_blocks(mb, up.nbi, mb, up.nbj)
     ba = b.slice_blocks(0, b.nbi, 0, mb)
     bb = b.slice_blocks(0, b.nbi, mb, b.nbj)
-    xa = solve_upper_right(ua, ba, leaf_size)
+    # checkpoint: xa is used twice (see solve_lower)
+    xa = _checkpoint(solve_upper_right(ua, ba, leaf_size)).persist()
     xb = solve_upper_right(ud, gemm(xa, ub, c=bb, alpha=-1.0), leaf_size)
     df = xa.df.unionAll(xb.shift(0, mb))
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)

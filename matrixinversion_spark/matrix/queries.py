@@ -292,3 +292,52 @@ def la_reference_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("row_no").alias("row_no_sum"),
         F.round(F.sum(row_sum), 3).alias("val_sum"),
     )
+
+
+@query(
+    "la_solve_residual",
+    oracle="SELECT 256 AS n, 8 AS n_rhs, 0.0 AS residual_r6, TRUE AS ok",
+)
+def la_solve_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying linear solve A·X = B (LU + two triangular
+    solves, never forming A⁻¹): ‖A·X − B‖∞ on a seeded 256² system
+    with 8 right-hand sides, rounded-residual driver check (see
+    la_lu_residual)."""
+    n, k = 256, 8
+    a = BlockMatrixFrame.random_uniform(spark, n, block_size=64, seed=42)
+    a.persist()
+    b = BlockMatrixFrame.random_uniform(
+        spark, n, m=k, block_size=64, seed=7
+    )
+    b.persist()
+    x = invmod.solve(a, b, leaf_size=64)
+    residual = ops.max_abs_diff(ops.multiply(a, x), b)
+    return spark.createDataFrame(
+        [(n, k, float(round(residual, 6)), bool(residual < 1e-8 * n))],
+        "n int, n_rhs int, residual_r6 double, ok boolean",
+    )
+
+
+@query(
+    "la_determinant",
+    oracle="SELECT 96 AS n, TRUE AS matches_numpy",
+)
+def la_determinant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed determinant (LU diagonal log-product + permutation
+    sign) differentialed against numpy slogdet on the same seeded 96²
+    matrix — the cross-implementation boolean the driver hash-checks
+    (det itself spans hundreds of orders of magnitude; comparing in
+    log space is the stable check)."""
+    n = 96
+    a = BlockMatrixFrame.random_uniform(spark, n, block_size=32, seed=42)
+    a.persist()
+    det = invmod.determinant(a, leaf_size=32)
+    sign_np, log_np = np.linalg.slogdet(a.to_numpy())
+    ok = bool(
+        det != 0.0
+        and np.sign(det) == sign_np
+        and abs(np.log(abs(det)) - log_np) <= 1e-8 * max(1.0, abs(log_np))
+    )
+    return spark.createDataFrame(
+        [(n, ok)], "n int, matches_numpy boolean"
+    )
