@@ -110,6 +110,17 @@ NOTES: dict[str, str] = {
         "from synthesis through header decode; only (doc_id, dims) "
         "rows ever move."
     ),
+    "p_decontaminate": (
+        "The benchmark shingle set broadcasts (an eval suite is tiny "
+        "at any corpus scale); the training side joins map-side — the "
+        "corpus never shuffles on the shingle key. The only wide "
+        "exchanges are the per-doc count aggregations."
+    ),
+    "q_recursive_cte": (
+        "The recursion materializes a 12-row month spine; the join "
+        "against orders is a broadcast of the spine, so the fact "
+        "table is scanned once and never shuffled."
+    ),
 }
 
 
