@@ -320,3 +320,41 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("orders",))
     return spark.sql(_RECURSIVE_SQL)
+
+
+@query(
+    "q_hll_mergeable",
+    oracle="""
+    SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_groups,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS global_exact,
+           TRUE AS ok
+    FROM orders
+    """,
+)
+def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-group sketches built in one
+    pass, then UNIONED into a global estimate without re-reading the
+    data — the re-aggregatable-rollup pattern that makes tiered
+    aggregation possible at 100 TB (store per-partition sketches,
+    merge on demand; exact distinct cannot re-aggregate). Sketch
+    values are engine-specific, so the row self-verifies: the exact
+    global distinct rides along and ``ok`` asserts the merged
+    estimate lands within 5%."""
+    o = read_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("global_exact"))
+    return merged.crossJoin(exact).select(
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        "global_exact",
+        (
+            F.abs(F.col("_est") - F.col("global_exact"))
+            <= 0.05 * F.col("global_exact")
+        ).alias("ok"),
+    )
