@@ -358,3 +358,32 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("global_exact")
         ).alias("ok"),
     )
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counting via Spark 4 bitmap
+    aggregates: keys bucket into 32k-bit bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), per-bucket bitmaps
+    OR-merge, and popcounts sum — unlike HLL (q_hll_mergeable) the
+    rollup stays exact, at O(key-range/8) bytes per group. The tiered
+    pattern: store per-partition bitmaps, merge on demand, never
+    re-scan. Hash-checked against plain COUNT(DISTINCT)."""
+    o = read_table(spark, sf_dir, "orders")
+    per_bucket = o.select(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+    ).groupBy("o_orderstatus", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_distinct")
+    )
