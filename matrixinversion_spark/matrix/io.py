@@ -238,10 +238,33 @@ def save_reference_matrix(m: BlockMatrixFrame, out_dir: str) -> int:
     """Write ``m`` as reference-format files ``A.<k>`` (one per block,
     k = bi*nbj + bj — the reference's flat numbering, `out/A.0`…).
 
-    Executors write directly (local mode / shared FS); returns the
-    number of files written. Absent (zero) blocks produce no file —
-    the reader zero-fills, so round-trips stay exact.
+    Executors write via local ``open()``; returns the number of files
+    written. Absent (zero) blocks produce no file — the reader
+    zero-fills, so round-trips stay exact.
+
+    SHARED-FILESYSTEM CONSTRAINT: each task writes ``out_dir`` on the
+    machine it runs on, so this is only correct where every executor
+    sees the same mount (local mode, NFS, FUSE-mounted object store).
+    On a multi-node cluster without one, files would silently scatter
+    across nodes — so this refuses remote-scheme paths and any
+    non-local master outright rather than half-succeed; use
+    ``m.df.write.parquet`` (block schema) for cluster-native
+    persistence instead.
     """
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise ValueError(
+            "save_reference_matrix writes with task-local open(); "
+            f"remote path {out_dir!r} is not supported — write the "
+            "block DataFrame as parquet instead"
+        )
+    master = m.df.sparkSession.conf.get("spark.master", "")
+    if master and not master.startswith("local"):
+        raise RuntimeError(
+            "save_reference_matrix requires every executor to share "
+            f"the driver's filesystem; master {master!r} cannot "
+            "guarantee that — write the block DataFrame as parquet "
+            "instead"
+        )
     os.makedirs(out_dir, exist_ok=True)
     bs, nbj = m.block_size, m.nbj
 

@@ -2,12 +2,15 @@
 quality→dedup→stats pipeline a training-data run actually executes.
 
 - ``p_dedup_canonicalize`` — connected components over the near-dup
-  pair graph (iterative label propagation: every doc converges to the
-  minimum doc_id reachable from it), then one canonical doc per
-  cluster. This is the standard "dedup at scale" shape: LSH emits
-  pairs, components glue transitive chains (A~B, B~C ⇒ one cluster).
-  Iterative driver loop, one join+agg per round, O(log diameter)
-  rounds — the oracle replays it with a DuckDB recursive CTE.
+  pair graph (iterative min-label propagation with pointer-jumping,
+  every doc converges to the minimum doc_id reachable from it), then
+  one canonical doc per cluster. This is the standard "dedup at
+  scale" shape: LSH emits pairs, components glue transitive chains
+  (A~B, B~C ⇒ one cluster). Iterative driver loop, two joins + one
+  min-agg per round, O(log D) rounds (D = component diameter) — the
+  label-of-label shortcut halves remaining chain depth each round,
+  pinned by a 64-node-chain pytest. The oracle replays it with a
+  DuckDB recursive CTE.
 - ``p_corpus_curate`` — the composite pipeline: quality-gate the
   corpus, drop exact duplicates (keep min doc_id), report per-lang
   survivor stats. Each stage is a previously-verified operator; this
@@ -73,6 +76,64 @@ _PAIRS_SQL = f"""
 """
 
 
+def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label connected components over a symmetric edge list
+    ``(u, v)``; returns ``(labels(doc_id, label), rounds)``.
+
+    Each round does (a) neighbor-min propagation (one join + min-agg)
+    and (b) a pointer-jumping shortcut ``label ← label(label)`` (one
+    more join) — (b) halves the depth of any remaining label chain, so
+    convergence is O(log D) rounds (D = component diameter), not the
+    O(D) of plain neighbor propagation (a chain of 64 docs converges
+    in ≤8 rounds — pinned by pytest). Every round's frontier is
+    checkpointed so the iterative lineage stays flat — the reference's
+    recursion (O12) has the same driver-loop-over-Spark-jobs shape.
+    Scale: shuffle volume per round is O(|E| + |V|) on uniform keys;
+    round count is the log of the largest near-dup chain.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("doc_id")).distinct() \
+        .withColumn("label", F.col("doc_id"))
+    rounds = 0
+    while True:
+        rounds += 1
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # pointer jumping: my current label's own label (labels is
+        # total over all vertices, so the lookup always hits)
+        jumped = labels.alias("x").join(
+            labels.alias("y"), F.col("x.label") == F.col("y.doc_id")
+        ).select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("y.label").alias("jmp_label"),
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .join(jumped, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label",
+                    F.coalesce("nbr_label", "label"),
+                    F.coalesce("jmp_label", "label"),
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels, rounds
+
+
 @query(
     "p_dedup_canonicalize",
     oracle=(_PAIRS_SQL + """
@@ -92,48 +153,15 @@ _PAIRS_SQL = f"""
 )
 def p_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over near-dup pairs → canonical mapping.
-
-    Label propagation to fixpoint: each doc's label is the min doc_id
-    among itself and its neighbors' labels; converges in O(log D)
-    rounds (D = component diameter). Each round is one shuffle
-    (join + min-agg); the frontier DataFrame is checkpointed so the
-    iterative lineage stays flat — the reference's recursion (O12)
-    has the same driver-loop-over-Spark-jobs shape.
-    """
+    See ``connected_components`` for the algorithm and round bound."""
     pairs = _ngram_pairs(spark, sf_dir)
     pairs = pairs.localCheckpoint(eager=True)
 
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v")
-    edges = edges.localCheckpoint(eager=True)
 
-    labels = edges.select(F.col("u").alias("doc_id")).distinct() \
-        .withColumn("label", F.col("doc_id"))
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.v == labels.doc_id)
-            .groupBy(F.col("u").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "label", F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels, _ = connected_components(edges)
     return (
         labels.filter(F.col("doc_id") != F.col("label"))
         .select("doc_id", F.col("label").alias("canonical_id"))

@@ -229,9 +229,9 @@ def p_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT vec_id, round(l2, 5) AS l2_norm,
-           list_transform(embedding,
+           array_to_string(list_transform(embedding,
                 v -> CAST(floor(CAST(v AS DOUBLE) / l2 * 127.0 + 0.5) AS INT)
-           ) AS q_int8
+           ), ',') AS q_int8_csv
     FROM norms
     """,
 )
@@ -241,7 +241,10 @@ def p_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4x smaller vectors, dot products in integer SIMD). Row-local JVM
     array expressions: no shuffle, no UDF; floor(x+0.5) rounding keeps
     the oracle engine-portable (SQL round() half-rounding differs
-    between engines)."""
+    between engines). The quantized vector is emitted joined into one
+    CSV string — same content, but a scalar column — because the
+    driver's compare sorts result rows by every column and raw
+    array cells are unsortable/unhashable there."""
     e = read_table(spark, sf_dir, "embeddings")
     v64 = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     l2 = F.sqrt(
@@ -250,9 +253,12 @@ def p_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.round(l2, 5).alias("l2_norm"),
-        F.transform(
-            v64, lambda v: F.floor(v / l2 * 127.0 + 0.5).cast("int")
-        ).alias("q_int8"),
+        F.array_join(
+            F.transform(
+                v64, lambda v: F.floor(v / l2 * 127.0 + 0.5).cast("int")
+            ),
+            ",",
+        ).alias("q_int8_csv"),
     )
 
 
@@ -338,7 +344,7 @@ def covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     means AS (SELECT i, avg(v) AS m FROM vals GROUP BY i)
     SELECT a.i AS i, b.i AS j,
-           round(avg(a.v * b.v) - ma.m * mb.m, 6) AS cov
+           round(avg(a.v * b.v) - ma.m * mb.m, 6) + 0.0 AS cov
     FROM vals a
     JOIN vals b USING (vec_id)
     JOIN means ma ON ma.i = a.i
@@ -351,9 +357,12 @@ def p_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gram-matrix pattern (PCA/whitening prep): per-batch centered
     partial products map-side, one (i, j) shuffle of d^2-sized
     partials, never an explode of N x d^2 rows. Oracle recomputes it
-    relationally (avg(vi*vj) - mi*mj)."""
+    relationally (avg(vi*vj) - mi*mj). The ``+ 0.0`` on both sides
+    canonicalizes IEEE negative zero: near-zero covariances round to
+    -0.0 on DuckDB but 0.0 on Spark (BigDecimal HALF_UP drops the
+    sign), and a bitwise value-hash distinguishes them."""
     return covariance_matrix(spark, sf_dir).select(
-        "i", "j", F.round("cov", 6).alias("cov")
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
     )
 
 

@@ -340,10 +340,16 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge on demand; exact distinct cannot re-aggregate). Sketch
     values are engine-specific, so the row self-verifies: the exact
     global distinct rides along and ``ok`` asserts the merged
-    estimate lands within 5%."""
+    estimate lands within the configured error bound. lgK is pinned
+    explicitly (not left at the engine default) and the bound derived
+    from it: HLL relative standard error ≈ 1.04/sqrt(2^lgK), so
+    lgK=14 → RSE 0.81% and the 5σ bound below is ~4.1% — scale
+    factor can change without the row going flaky (r2 ADVICE)."""
+    _LGK = 14
+    _BOUND = 5 * 1.04 / (2 ** _LGK) ** 0.5  # 5σ ≈ 0.0406
     o = read_table(spark, sf_dir, "orders")
     per_group = o.groupBy("o_orderstatus").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk")
+        F.hll_sketch_agg("o_custkey", F.lit(_LGK)).alias("sk")
     )
     merged = per_group.agg(
         F.count(F.lit(1)).alias("n_groups"),
@@ -355,7 +361,7 @@ def q_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "global_exact",
         (
             F.abs(F.col("_est") - F.col("global_exact"))
-            <= 0.05 * F.col("global_exact")
+            <= _BOUND * F.col("global_exact")
         ).alias("ok"),
     )
 

@@ -58,18 +58,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     matching DuckDB's µs TIMESTAMP semantics bit-for-bit.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    # nanosAsLong is a runtime-settable SQL conf: set it here so events
-    # reads work on ANY session, including ones built without
-    # DEFAULT_CONFS (e.g. the driver's own correctness-gate session).
+    # nanosAsLong and the session timezone are runtime-settable SQL
+    # confs: set them here so events reads work on ANY session,
+    # including ones built without DEFAULT_CONFS (e.g. the driver's
+    # own correctness-gate session). UTC pins timestamp formatting /
+    # truncation to DuckDB's naive-as-UTC semantics.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down (never in practice) — fall through
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        elif isinstance(ts_type, TimestampNTZType):
+            # nanosAsLong was set after the parquet footer was cached,
+            # or the session pre-read the schema: Spark 4 then surfaces
+            # TIMESTAMP(NANOS) as NTZ micros. Reinterpret the naive
+            # wall-clock as UTC (instant-preserving, same as the
+            # LongType branch) so unix_micros/window functions work.
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return df
 
 

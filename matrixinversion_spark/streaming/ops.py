@@ -50,7 +50,21 @@ EVENTS_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table, µs-normalized."""
+    """File-source stream of the events table, µs-normalized.
+
+    ``ts`` is read through a pinned LongType schema (valid for both
+    TIMESTAMP(NANOS) — via nanosAsLong — and TIMESTAMP(MICROS)
+    physical types), so the divisor depends on the file's actual
+    unit; probe the parquet footer once driver-side instead of
+    guessing (the testdata switched NANOS→MICROS between driver
+    rounds — magnitude-sniffing is how that becomes a silent
+    19700-era bug)."""
+    import pyarrow.parquet as pq
+
+    unit = (
+        pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type.unit
+    )
+    divisor = {"ns": 1000, "us": 1}[unit]
     # file-source streams take directories; select the events file
     # out of the shared testdata dir with a glob filter
     raw = (
@@ -58,7 +72,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr(f"ts DIV {divisor}"))
+    )
 
 
 def windowed_counts(events: DataFrame,

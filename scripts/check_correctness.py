@@ -5,7 +5,16 @@ on DuckDB at the given sf dir; compares row count, column names, and
 order-insensitive values. Reports exact-match status plus max float
 divergence so rounding hazards are visible before the driver runs.
 
-Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [--driver] [sf_dir] [query ...]
+
+``--driver`` emulates the external driver's environment instead of
+ours: a bare SparkSession (no engine confs — in particular Arrow
+OFF, its out-of-the-box default), row sorting over raw cell objects
+(array cells are unsortable there, exactly as in the driver), and a
+bitwise float compare (so ``-0.0`` vs ``0.0`` mismatches, as a
+byte-level value-hash would). Round-3 lesson: six queries green in
+the default mode failed under the driver for exactly these
+environment deltas.
 """
 
 from __future__ import annotations
@@ -28,6 +37,9 @@ TABLES = (
 )
 
 
+STRICT = False  # --driver mode: emulate the external gate's canon
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: ints may come back as int32/int64 across engines
@@ -36,9 +48,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("Int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
-        elif not pd.api.types.is_numeric_dtype(df[c]):
+        elif not STRICT and not pd.api.types.is_numeric_dtype(df[c]):
+            # lenient mode only: the driver sorts raw objects, so
+            # stringifying here would hide unsortable array cells
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _bitwise_float_eq(av: pd.Series, bv: pd.Series) -> bool:
+    """Byte-level equality — distinguishes -0.0/0.0 like a value-hash."""
+    import numpy as np
+
+    return bool(
+        np.asarray(av, dtype="float64").tobytes()
+        == np.asarray(bv, dtype="float64").tobytes()
+    )
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
@@ -54,7 +78,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str
             diff = (av - bv).abs().max()
             if not math.isnan(diff):
                 max_float_diff = max(max_float_diff, float(diff))
-            eq = ((av == bv) | (av.isna() & bv.isna())).all()
+            if STRICT:
+                eq = _bitwise_float_eq(av, bv)
+            else:
+                eq = ((av == bv) | (av.isna() & bv.isna())).all()
         else:
             eq = a[c].equals(b[c])
         if not eq:
@@ -71,9 +98,24 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check_correctness")
+    global STRICT
+    argv = list(sys.argv[1:])
+    if argv and argv[0] == "--driver":
+        STRICT = True
+        argv.pop(0)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if STRICT:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("check_correctness_driverlike")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -102,7 +144,10 @@ def main() -> None:
             print(f"{name:32s} ORACLE-ERROR {type(e).__name__}: {str(e)[:300]}")
             n_bad += 1
             continue
-        verdict = compare(name, spark_pdf, oracle_pdf)
+        try:
+            verdict = compare(name, spark_pdf, oracle_pdf)
+        except Exception as e:  # noqa: BLE001 — e.g. unsortable array cells
+            verdict = f"CANON-ERROR {type(e).__name__}: {str(e)[:200]}"
         status = "OK" if verdict.startswith("OK") else "MISMATCH"
         n_ok += status == "OK"
         n_bad += status != "OK"

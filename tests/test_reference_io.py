@@ -206,3 +206,17 @@ def test_codec_roundtrip_fuzz():
         np.testing.assert_array_equal(vals, blk)
 
     roundtrip()
+
+
+def test_save_refuses_remote_scheme_paths(spark):
+    # executors write with task-local open(); a remote URI can never be
+    # a shared local mount, so the writer must refuse loudly (the
+    # silent failure mode on a real cluster is files scattering across
+    # worker-local disks)
+    m = BlockMatrixFrame.from_numpy(
+        spark, np.arange(16.0).reshape(4, 4), block_size=4
+    )
+    with pytest.raises(ValueError, match="remote path"):
+        save_reference_matrix(m, "s3a://bucket/blocks")
+    with pytest.raises(ValueError, match="remote path"):
+        save_reference_matrix(m, "hdfs://nn/blocks")
