@@ -28,6 +28,7 @@ import matrixinversion_spark.relational.asof  # noqa: F401,E402
 import matrixinversion_spark.relational.functions  # noqa: F401,E402
 import matrixinversion_spark.relational.io  # noqa: F401,E402
 import matrixinversion_spark.relational.udf  # noqa: F401,E402
+import matrixinversion_spark.relational.merge  # noqa: F401,E402
 import matrixinversion_spark.relational.skew  # noqa: F401,E402
 
 try:  # pipeline/matrix registrations land as they are implemented
@@ -49,20 +50,24 @@ from matrixinversion_spark.registry import ORACLE, QUERIES  # noqa: E402
 
 # The driver verifies a fixed-size prefix of queries() per round, so a
 # static order would leave the registry tail permanently unverified.
-# The schedule below is a round-robin with one exception:
+# The schedule below is a round-robin with two exceptions:
 #   1. queries whose LATEST driver row is not hash-green (failed or
 #      errored) go first, so a fix lands a fresh driver row the very
 #      next round instead of waiting a full rotation cycle;
-#   2. everything else follows in round-robin order — each round the
+#   2. queries that have NEVER had a driver row in any report (new
+#      registrations) go next, so new capabilities convert to
+#      driver-green promptly;
+#   3. everything else follows in round-robin order — each round the
 #      start offset advances by one equal arc of the registry, so
 #      EVERY query gets a driver row at least once every
 #      ceil(n/BUDGET) rounds and green rows keep being re-verified (a
 #      later regression cannot hide behind an old green row).
-# Only FAILURES are promoted (never demoted/hidden on green — that was
-# the flaw of the removed green-rotation), and the budget is derived
-# from the observed row count of the newest driver report rather than
-# hardcoded (ADVICE r3). All of this is computed once at import so the
-# ordering is stable for the lifetime of a verify run (ADVICE r3).
+# Only failures/absences are promoted (never demoted/hidden on green —
+# that was the flaw of the removed green-rotation), and the budget is
+# derived from the observed row count of the newest driver report
+# rather than hardcoded (ADVICE r3). All of this is computed once at
+# import so the ordering is stable for the lifetime of a verify run
+# (ADVICE r3).
 
 
 def _load_reports() -> list[dict]:
@@ -94,6 +99,7 @@ _FAILED_LAST_ROUND = (
     if _REPORTS
     else []
 )
+_EVER_CHECKED = {name for rep in _REPORTS for name in rep}
 
 
 def _round_robin(mapping: dict) -> dict:
@@ -106,7 +112,11 @@ def _round_robin(mapping: dict) -> dict:
     off = (_ROUND_INDEX * stride) % n
     rotated = names[off:] + names[:off]
     failed = [k for k in _FAILED_LAST_ROUND if k in mapping]
-    head = failed + [k for k in rotated if k not in failed]
+    fresh = [
+        k for k in names if k not in _EVER_CHECKED and k not in failed
+    ]
+    promoted = failed + fresh
+    head = promoted + [k for k in rotated if k not in promoted]
     return {k: mapping[k] for k in head}
 
 
