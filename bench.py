@@ -39,6 +39,7 @@ HEADLINE = [
     "p_doc_chunking",
     "p_embedding_covariance",
     "la_matmul_coo",
+    "q_merge_upsert",
 ]
 
 INVERSE_N = 2048

@@ -41,6 +41,25 @@ def _nblocks(n: int, bs: int) -> int:
     return (n + bs - 1) // bs
 
 
+def auto_block_size(n: int, max_grid: int = 8) -> int:
+    """Block size that keeps the block grid at most ``max_grid`` per
+    dimension (power-of-two, ≥ DEFAULT_BLOCK_SIZE).
+
+    The join-based gemm shuffles each side once per opposite grid
+    dimension (see ops.gemm), so shuffle volume grows linearly with
+    the grid — a matrix should therefore use the LARGEST block its
+    tasks can hold, not a fixed 1024. max_grid=8 bounds gemm shuffle
+    at 16× the matrix bytes while still giving 8×8=64-way
+    parallelism per multiply; raise it on clusters with more
+    executors than that (grid ≈ √cores is the SUMMA-style balance
+    point between parallelism and replication).
+    """
+    bs = DEFAULT_BLOCK_SIZE
+    while _nblocks(n, bs) > max_grid:
+        bs *= 2
+    return bs
+
+
 @dataclass(frozen=True)
 class BlockMatrixFrame:
     """A dense distributed matrix as a DataFrame of blocks.

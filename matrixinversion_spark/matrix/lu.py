@@ -45,7 +45,10 @@ from matrixinversion_spark.matrix.core import BLOCK_SCHEMA, BlockMatrixFrame
 from matrixinversion_spark.matrix.ops import gemm, multiply, permute_rows
 
 DEFAULT_LEAF = 1024  # reference runs limit=1000 (`run.csh:13`)
-MAX_AUTO_LEAF = 2048  # 32 MB collect; driver ludcmp ~3 s — still cheap
+# 128 MB collect; blocked driver ludcmp ~7 s at 4096 — still far
+# cheaper than the serial Spark-action chain another recursion level
+# would add (measured: see BENCH_NOTES "N=16384").
+MAX_AUTO_LEAF = 4096
 
 
 def auto_leaf(n: int) -> int:

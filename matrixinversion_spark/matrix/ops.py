@@ -52,6 +52,15 @@ def gemm(a: BlockMatrixFrame, b: BlockMatrixFrame,
     ``gemm(l2, u2, c=a4, alpha=-1)`` with no separate subtract pass
     (which would cost a second join plus a boxing-heavy array
     ``zip_with`` over megabyte blocks).
+
+    Shuffle volume: the inner-index join replicates every A block
+    ``nbj(B)`` times and every B block ``nbi(A)`` times, so one gemm
+    shuffles ``(nbj_B + nbi_A) × matrix_bytes`` — linear in the GRID
+    dimension, not the matrix. Pick the block size so the grid stays
+    O(√cores) (``core.auto_block_size``); a 16384² float64 matrix at
+    bs=1024 is a 16×16 grid and 64 GB of shuffle per multiply, at
+    bs=2048 half that (measured — the bs=1024 point exhausted an
+    80 GB spill disk; see BENCH_NOTES "N=16384").
     """
     if a.n_cols != b.n_rows or a.block_size != b.block_size:
         raise ValueError(

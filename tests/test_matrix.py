@@ -177,3 +177,14 @@ def test_inverse_reference_scale(spark):
     bm = BlockMatrixFrame.from_numpy(spark, m, 512)
     minv = invmod.inverse(bm, leaf_size=1024).to_numpy()
     assert np.abs(m @ minv - np.eye(2048)).max() < 1e-8 * 2048
+
+
+def test_auto_block_size_bounds_grid():
+    from matrixinversion_spark.matrix.core import auto_block_size, _nblocks
+
+    for n in (512, 2048, 8192, 16384, 100_000):
+        bs = auto_block_size(n)
+        assert _nblocks(n, bs) <= 8
+        assert bs >= 1024 and (bs & (bs - 1)) == 0  # pow2
+    assert auto_block_size(2048) == 1024   # small stays default
+    assert auto_block_size(16384) == 2048  # 8x8 grid
