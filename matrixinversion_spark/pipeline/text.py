@@ -525,3 +525,110 @@ def p_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "p_vocab_topk",
+    oracle="""
+    SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE tok != ''
+    GROUP BY tok
+    """,
+)
+def p_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary frequencies via the Spark 4 ``approx_top_k``
+    frequent-items sketch — the one-pass, mergeable way to get "what
+    are the top tokens" at 100 TB (a full GROUP BY shuffles every
+    distinct token; the sketch is one aggregation buffer of
+    maxItemsTracked entries per partition, merged on the driver side
+    of the final agg). k and capacity are set far above the test
+    corpus's vocabulary (~31 tokens), where the sketch is provably
+    exact, so the oracle is the plain exact histogram — at real
+    vocabulary sizes the same call returns approximate heavy
+    hitters. Top-k MEMBERSHIP under count ties is engine-arbitrary,
+    which is the other reason the query returns the full (exact)
+    histogram rather than a boundary-sensitive k-subset."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sketch = toks.selectExpr("approx_top_k(tok, 1000, 10000) AS tk")
+    return sketch.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("bigint").alias("cnt"),
+    )
+
+
+@query(
+    "p_dedup_lines",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id, g AS chunk_no,
+               array_to_string(list_slice(ts, g * 32 + 1, g * 32 + 32),
+                               ' ') AS chunk
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+             LATERAL unnest(generate_series(
+                 0, CAST(ceil(len(ts) / 32.0) AS BIGINT) - 1)) AS u(g)
+    ),
+    keep AS (
+        SELECT doc_id, chunk_no, chunk,
+               min(doc_id * 1000000 + chunk_no)
+                   OVER (PARTITION BY md5(chunk)) AS first_slot
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks_kept,
+           CAST(sum(length(chunk)) AS BIGINT) AS chars_kept
+    FROM keep
+    WHERE doc_id * 1000000 + chunk_no = first_slot
+    GROUP BY doc_id
+    """,
+)
+def p_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal (C4/RefinedWeb-style "dedup repeated
+    lines", adapted to the corpus's unstructured text): documents
+    split into fixed 32-token chunks, and every chunk whose exact
+    content appears earlier in the corpus (first (doc_id, chunk_no)
+    slot wins) is dropped; emits per-doc surviving-chunk counts +
+    char checksum. Unlike doc-level dedup (p_dedup_exact) this
+    removes partial overlap between otherwise-distinct documents.
+    One shuffle on the chunk hash (uniform md5 key — no skew); the
+    min-slot window is the standard keep-first tiebreak and
+    re-aggregates per doc without a second wide exchange (same
+    (doc_id)-keyed agg the chunker already produces)."""
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    ts = d.select("doc_id", F.split("text", " ").alias("ts"))
+    chunks = ts.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("ts") / F.lit(32.0)).cast("int") - 1,
+                ),
+                lambda g: F.struct(
+                    g.alias("chunk_no"),
+                    F.concat_ws(
+                        " ", F.slice("ts", g * 32 + 1, 32)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id", F.col("c.chunk_no").alias("chunk_no"),
+        F.col("c.chunk").alias("chunk"),
+    )
+    w = Window.partitionBy(F.md5("chunk"))
+    slot = F.col("doc_id") * 1000000 + F.col("chunk_no")
+    keep = chunks.withColumn("first_slot", F.min(slot).over(w)).filter(
+        slot == F.col("first_slot")
+    )
+    return keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks_kept"),
+        F.sum(F.length("chunk")).cast("bigint").alias("chars_kept"),
+    )

@@ -121,6 +121,15 @@ NOTES: dict[str, str] = {
         "against orders is a broadcast of the spine, so the fact "
         "table is scanned once and never shuffled."
     ),
+    "q_merge_upsert": (
+        "MERGE lowers to ONE full-outer sort-merge join plus "
+        "row-local branch expressions — full outer can never "
+        "broadcast, so both sides shuffle on the merge key exactly "
+        "once; that single target-side shuffle is the same bill a "
+        "copy-on-write MERGE pays in any ACID table format. The "
+        "date filter on the change batch is in PushedFilters, so "
+        "the source side reads only the touched months."
+    ),
 }
 
 
