@@ -393,3 +393,46 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderstatus").agg(
         F.expr("sum(bitmap_count(bm))").cast("bigint").alias("n_distinct")
     )
+
+
+@query(
+    "q_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate,
+           round(o_totalprice, 2) AS latest_totalprice
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the SCD/changelog-compaction shape
+    (keep each customer's most recent order; deterministic
+    (date, orderkey) tiebreak). One shuffle on the key; the
+    row_number window then scans each partition once — at 100 TB
+    this is the standard "compact a CDC feed to current state"
+    plan, and the same dataflow DISTINCT ON / QUALIFY lower to.
+    A groupBy(max_by(...)) twin would also work; row_number
+    generalizes to keep-last-N."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "latest_orderdate"
+            ),
+            F.round("o_totalprice", 2).alias("latest_totalprice"),
+        )
+    )
