@@ -55,3 +55,51 @@ def test_mismatched_column_maps_rejected(spark):
             update_set={"v": F.lit(0.0)},
             insert_values={"w": F.lit(0.0)},
         )
+
+
+def test_merge_random_differential(spark):
+    """Randomized differential vs a plain-pandas MERGE reference:
+    branch routing and arithmetic must agree for arbitrary key
+    overlap patterns (seeded numpy — hypothesis's per-example Spark
+    jobs would be too slow here; 5 seeds × 60 keys covers the
+    matched/unmatched/delete lattice)."""
+    import numpy as np
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        tkeys = rng.choice(200, size=rng.integers(5, 40), replace=False)
+        skeys = rng.choice(200, size=rng.integers(5, 40), replace=False)
+        tvals = {int(k): float(rng.integers(0, 100)) for k in tkeys}
+        srows = {
+            int(k): (float(rng.integers(0, 100)), bool(rng.random() < 0.3))
+            for k in skeys
+        }
+        tgt = spark.createDataFrame(
+            [(k, v) for k, v in tvals.items()], "k int, v double"
+        )
+        src = spark.createDataFrame(
+            [(k, dv, kill) for k, (dv, kill) in srows.items()],
+            "k int, dv double, kill boolean",
+        )
+        out = merge_upsert(
+            tgt,
+            src,
+            on="k",
+            update_set={"v": F.col("t.v") + F.col("s.dv")},
+            insert_values={"v": F.col("s.dv")},
+            delete_when=F.col("s.kill"),
+        )
+        got = {r["k"]: (r["v"], r["action"]) for r in out.collect()}
+
+        want = {}
+        for k, v in tvals.items():
+            if k in srows:
+                dv, kill = srows[k]
+                if not kill:
+                    want[k] = (v + dv, "update")
+            else:
+                want[k] = (v, "keep")
+        for k, (dv, kill) in srows.items():
+            if k not in tvals:
+                want[k] = (dv, "insert")
+        assert got == want, f"seed {seed}"

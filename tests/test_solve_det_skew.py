@@ -214,3 +214,41 @@ def test_cholesky_rejects_non_spd(spark):
     )
     with _pytest.raises(np.linalg.LinAlgError):
         cholmod.cholesky(bad, leaf_size=64)
+
+
+def test_round4_plan_shapes(spark):
+    """Plan pins for the round-4 operators (PLANS.md claims, held in
+    the physical plan rather than prose)."""
+    qs = entry_mod.queries()
+
+    def plan(name):
+        return (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    # MERGE: exactly one join (full outer — can never broadcast), and
+    # the change-batch date filter pushed into the orders scan
+    mg = plan("q_merge_upsert")
+    assert mg.count("SortMergeJoin") == 1, mg
+    assert "FullOuter" in mg, mg
+    assert "BroadcastHashJoin" not in mg
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual" \
+        in mg, "merge source date filter must reach the scan"
+
+    # latest-per-key: one key shuffle + one window pass, no join
+    lk = plan("q_latest_per_key")
+    assert lk.count("Exchange hashpartitioning") == 1, lk
+    assert "Join" not in lk
+
+    # vocab top-k: the sketch is ONE aggregation (partial+final), so
+    # a single exchange moves sketch buffers, never the token stream
+    vt = plan("p_vocab_topk")
+    assert vt.count("Exchange") <= 2, vt  # partial->final agg only
+
+    # line dedup: the md5 window shuffles once; the per-doc rollup
+    # re-shuffles on doc_id — exactly two wide exchanges
+    dl = plan("p_dedup_lines")
+    assert dl.count("Exchange hashpartitioning") <= 2, dl
