@@ -94,13 +94,18 @@ def main() -> None:
     n_grid = (INVERSE_N // INVERSE_BLOCK) ** 2
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(max(n_grid * 2, 8)))
+    tracker = spark.sparkContext.statusTracker()
+    inverse_jobs = None
     try:
         runs = []
         for _ in range(3):
+            ids0 = tracker.getJobIdsForGroup(None) or [0]
             t0 = time.time()
             ainv = invmod.inverse(a, leaf_size=INVERSE_LEAF)
             ainv.df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+            ids1 = tracker.getJobIdsForGroup(None) or [0]
+            inverse_jobs = max(ids1) - max(ids0)
         timings[f"la_inverse_{INVERSE_N}"] = round(sorted(runs)[1], 3)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -119,6 +124,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # wall-clock on a shared host is noise-bound (see
+                # BENCH_NOTES round-4 variance caveat); the Spark job
+                # count per inverse is the deterministic cross-round
+                # comparator for the matrix pipeline's orchestration
+                # cost (r2: 15 with AQE off).
+                "aux": {f"la_inverse_{INVERSE_N}_jobs": inverse_jobs},
             }
         )
     )
