@@ -8,12 +8,17 @@ is a full outer join plus per-branch expressions, and that is exactly
 what table formats execute underneath. This module implements that
 shape as a reusable operator plus a driver-contract query.
 
-Scale: one shuffle of each side on the merge key (or zero for the
-source side when it broadcasts — typical upsert batches are tiny next
-to the target table); the branch logic is row-local JVM expressions.
-At 100 TB the target-side shuffle is the cost, identical to what
-Delta/Iceberg pay for a copy-on-write MERGE over unpartitioned data —
-partition/cluster the target by the merge key to prune it.
+Scale: the default strategy is one shuffle of EACH side on the merge
+key — Spark cannot broadcast either side of a ``full_outer`` join, so
+the source shuffles too, however small. At 100 TB the target-side
+shuffle is the cost, identical to what Delta/Iceberg pay for a
+copy-on-write MERGE over unpartitioned data — partition/cluster the
+target by the merge key to prune it. For the common case where the
+change batch is tiny next to the target, ``strategy="broadcast"``
+replaces the full-outer join with two broadcast joins against the
+target (left-outer classify + semi/anti insert derivation): the
+target side never shuffles at all, at the price of a second target
+scan — the same trade Delta's low-shuffle merge makes.
 
 Reference provenance: the reference has no relational surface at all
 (SURVEY.md §2.2); this is part of the mandated engine extension.
@@ -28,6 +33,55 @@ from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
 
+def _guard_unique_source_key(source: DataFrame, on: str) -> DataFrame:
+    """Fold a duplicate-merge-key assertion into the source's key.
+
+    Delta/Iceberg MERGE raises when multiple source rows match one
+    target row (the update would be nondeterministic); the full-outer
+    dataflow would instead silently fan matched target rows out. This
+    reproduces the Delta error, distributed and lazily: a window count
+    over the key, asserted ``== 1`` via ``assert_true`` and coalesced
+    into the join key itself so column pruning cannot drop the check.
+    The window's hash partitioning is on the same key the downstream
+    join shuffles on, so the exchange is reused — the guard adds no
+    extra wide stage to the default strategy.
+    """
+    from pyspark.sql.window import Window
+
+    key_type = source.schema[on].dataType
+    n_with_key = F.count(F.lit(1)).over(Window.partitionBy(on))
+    guard = F.assert_true(
+        n_with_key == 1,
+        F.concat(
+            F.lit("merge_upsert: multiple source rows match merge key "),
+            F.col(on).cast("string"),
+        ),
+    )
+    return source.withColumn(
+        on, F.coalesce(guard.cast(key_type), F.col(on))
+    )
+
+
+def _delete_action(matched: Column, delete_when: Column | None) -> Column:
+    if delete_when is not None:
+        return F.when(matched & delete_when, F.lit("delete"))
+    return F.when(F.lit(False), F.lit("delete"))
+
+
+def _branch_values(
+    on: str, update_set: dict[str, Column], insert_values: dict[str, Column]
+) -> list[Column]:
+    out = []
+    for name in update_set:
+        out.append(
+            F.when(F.col("action") == "update", update_set[name])
+            .when(F.col("action") == "insert", insert_values[name])
+            .otherwise(F.col(f"t.{name}"))
+            .alias(name)
+        )
+    return out
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
@@ -35,6 +89,9 @@ def merge_upsert(
     update_set: dict[str, Column],
     insert_values: dict[str, Column],
     delete_when: Column | None = None,
+    *,
+    strategy: str = "full_outer",
+    on_duplicate_source: str = "error",
 ) -> DataFrame:
     """MERGE semantics over DataFrames; returns the post-merge table
     with an ``action`` audit column (``update|insert|delete|keep`` —
@@ -49,38 +106,102 @@ def merge_upsert(
     Column maps are keyed by output column name; expressions may
     reference both sides via the ``t``/``s`` aliases. The target must
     already be projected to the output schema (the keep branch reads
-    ``t.<output name>`` verbatim). The join broadcasts the source
-    automatically below Spark's threshold; pass a
-    pre-``F.broadcast()``-ed source to force it.
+    ``t.<output name>`` verbatim).
+
+    ``strategy``:
+
+    - ``"full_outer"`` (default): one full-outer join. Both sides
+      shuffle on the key — Spark cannot broadcast any side of a
+      full-outer join — which is the right plan when the change batch
+      is a meaningful fraction of the target.
+    - ``"broadcast"``: the small-batch plan. The target is scanned
+      twice but NEVER shuffled: (1) a broadcast left-outer join
+      classifies update/delete/keep rows, (2) a broadcast semi join
+      extracts the matched keys, and the inserts are the source
+      anti-joined against that (small × small). Requires the source
+      (and its key set) to fit in a broadcast; raises at plan time
+      only if Spark refuses, at runtime if the broadcast exceeds
+      ``spark.sql.maxBroadcastTableBytes``-style limits.
+
+    ``on_duplicate_source``: ``"error"`` (default) reproduces
+    Delta/Iceberg semantics — if several source rows carry the same
+    merge key the job fails with a clear message instead of silently
+    fanning out matched target rows; ``"allow"`` skips the check
+    (caller guarantees uniqueness, e.g. the source is a groupBy on
+    the key).
     """
     if set(update_set) != set(insert_values):
         raise ValueError(
             "update_set and insert_values must cover the same columns"
         )
+    if strategy not in ("full_outer", "broadcast"):
+        raise ValueError(f"unknown merge strategy: {strategy!r}")
+    if on_duplicate_source not in ("error", "allow"):
+        raise ValueError(
+            f"unknown on_duplicate_source mode: {on_duplicate_source!r}"
+        )
+    if on_duplicate_source == "error":
+        source = _guard_unique_source_key(source, on)
+
+    value_names = list(update_set)
+    if strategy == "broadcast":
+        t = target.alias("t")
+        s = F.broadcast(source).alias("s")
+        tkey, skey = F.col(f"t.{on}"), F.col(f"s.{on}")
+        # pass 1: classify every target row (update/delete/keep);
+        # broadcast hash left-outer — zero target-side movement.
+        j = t.join(s, tkey == skey, "left_outer")
+        matched = skey.isNotNull()
+        action = (
+            _delete_action(matched, delete_when)
+            .when(matched, F.lit("update"))
+            .otherwise(F.lit("keep"))
+        )
+        classified = j.withColumn("action", action).select(
+            tkey.alias(on),
+            *_branch_values(on, update_set, insert_values),
+            "action",
+        )
+        # pass 2: keys the target DOES contain (broadcast semi, output
+        # bounded by the source size) → inserts are source ∖ hits,
+        # a small-×-small broadcast anti join. The target never
+        # shuffles in either pass.
+        hits = (
+            target.join(F.broadcast(source), on=on, how="left_semi")
+            .select(F.col(on).alias("_hit_key"))
+        )
+        s2 = source.alias("s")
+        inserts = (
+            s2.join(
+                F.broadcast(hits),
+                F.col(f"s.{on}") == F.col("_hit_key"),
+                "left_anti",
+            )
+            .withColumn("action", F.lit("insert"))
+            .select(
+                F.col(f"s.{on}").alias(on),
+                *[insert_values[name].alias(name) for name in value_names],
+                "action",
+            )
+        )
+        return classified.unionByName(inserts).filter(
+            F.col("action") != "delete"
+        )
+
     t, s = target.alias("t"), source.alias("s")
     tkey, skey = F.col(f"t.{on}"), F.col(f"s.{on}")
     j = t.join(s, tkey == skey, "full_outer")
 
     matched = tkey.isNotNull() & skey.isNotNull()
     action = (
-        F.when(matched & delete_when, F.lit("delete"))
-        if delete_when is not None
-        else F.when(F.lit(False), F.lit("delete"))
-    )
-    action = (
-        action.when(matched, F.lit("update"))
+        _delete_action(matched, delete_when)
+        .when(matched, F.lit("update"))
         .when(tkey.isNull(), F.lit("insert"))
         .otherwise(F.lit("keep"))
     )
 
     out_cols = [F.coalesce(tkey, skey).alias(on)]
-    for name in update_set:
-        out_cols.append(
-            F.when(F.col("action") == "update", update_set[name])
-            .when(F.col("action") == "insert", insert_values[name])
-            .otherwise(F.col(f"t.{name}"))
-            .alias(name)
-        )
+    out_cols.extend(_branch_values(on, update_set, insert_values))
     return (
         j.withColumn("action", action)
         .select(*out_cols, "action")
@@ -175,6 +296,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mktsegment": F.lit("NEW"),
         },
         delete_when=F.col("s.n_orders") >= 4,
+        # source is a groupBy on the merge key, so uniqueness holds by
+        # construction — skip the runtime guard to keep the plan at
+        # its r4 shape (one full-outer shuffle join, no window stage).
+        on_duplicate_source="allow",
     )
     return merged.groupBy("action").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

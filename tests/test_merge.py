@@ -103,3 +103,107 @@ def test_merge_random_differential(spark):
             if k not in tvals:
                 want[k] = (dv, "insert")
         assert got == want, f"seed {seed}"
+
+
+def test_duplicate_source_keys_raise(spark):
+    """Delta semantics: >1 source row per merge key must fail loudly
+    (the full-outer dataflow would otherwise silently fan out)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    tgt = spark.createDataFrame([(1, 10.0)], "k int, v double")
+    src = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0)], "k int, dv double"
+    )
+    out = merge_upsert(
+        tgt,
+        src,
+        on="k",
+        update_set={"v": F.col("t.v") + F.col("s.dv")},
+        insert_values={"v": F.col("s.dv")},
+    )
+    with pytest.raises(SparkRuntimeException, match="multiple source rows"):
+        out.collect()
+
+
+def test_duplicate_guard_allows_unique_source(spark):
+    """The guard is inert when keys are unique (and 'allow' skips it)."""
+    tgt = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    src = spark.createDataFrame([(1, 5.0), (9, 9.0)], "k int, dv double")
+    for mode in ("error", "allow"):
+        out = merge_upsert(
+            tgt,
+            src,
+            on="k",
+            update_set={"v": F.col("t.v") + F.col("s.dv")},
+            insert_values={"v": F.col("s.dv")},
+            on_duplicate_source=mode,
+        )
+        rows = {r["k"]: (r["v"], r["action"]) for r in out.collect()}
+        assert rows == {
+            1: (15.0, "update"),
+            2: (20.0, "keep"),
+            9: (9.0, "insert"),
+        }, mode
+
+
+def test_broadcast_strategy_matches_full_outer(spark):
+    """Both strategies produce identical merged tables."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    tgt = spark.createDataFrame(
+        [(int(k), float(rng.integers(0, 50)))
+         for k in rng.choice(100, size=30, replace=False)],
+        "k int, v double",
+    )
+    src = spark.createDataFrame(
+        [(int(k), float(rng.integers(0, 50)), bool(rng.random() < 0.3))
+         for k in rng.choice(100, size=25, replace=False)],
+        "k int, dv double, kill boolean",
+    )
+    kwargs = dict(
+        on="k",
+        update_set={"v": F.col("t.v") + F.col("s.dv")},
+        insert_values={"v": F.col("s.dv")},
+        delete_when=F.col("s.kill"),
+    )
+    full = merge_upsert(tgt, src, strategy="full_outer", **kwargs)
+    bcast = merge_upsert(tgt, src, strategy="broadcast", **kwargs)
+    as_map = lambda df: {  # noqa: E731
+        r["k"]: (r["v"], r["action"]) for r in df.collect()
+    }
+    assert as_map(full) == as_map(bcast)
+
+
+def test_broadcast_strategy_no_target_shuffle(spark):
+    """Plan shape: with the source broadcast, the merge must contain
+    ZERO hash-partitioning exchanges — the target side never moves
+    (the whole point of the small-batch strategy)."""
+    from matrixinversion_spark.relational.bucketing import count_exchanges
+
+    tgt = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k int, v double"
+    )
+    src = spark.createDataFrame(
+        [(1, 5.0), (2000, 9.0)], "k int, dv double"
+    )
+    out = merge_upsert(
+        tgt,
+        src,
+        on="k",
+        update_set={"v": F.col("t.v") + F.col("s.dv")},
+        insert_values={"v": F.col("s.dv")},
+        strategy="broadcast",
+        on_duplicate_source="allow",  # guard's window would repartition
+        # the (tiny) source; excluded so the assert isolates the
+        # target-side property
+    )
+    n = count_exchanges(out)
+    assert n == 0, (
+        f"broadcast merge has {n} hash exchanges:\n"
+        + out._jdf.queryExecution().executedPlan().toString()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
