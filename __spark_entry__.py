@@ -58,10 +58,16 @@ from matrixinversion_spark.registry import ORACLE, QUERIES  # noqa: E402
 #      registrations) go next, so new capabilities convert to
 #      driver-green promptly;
 #   3. everything else follows in round-robin order — each round the
-#      start offset advances by one equal arc of the registry, so
-#      EVERY query gets a driver row at least once every
-#      ceil(n/BUDGET) rounds and green rows keep being re-verified (a
-#      later regression cannot hide behind an old green row).
+#      start offset advances by one equal arc of the registry, so in
+#      promotion-free rounds EVERY query gets a driver row at least
+#      once every ceil(n/BUDGET) rounds and green rows keep being
+#      re-verified (a later regression cannot hide behind an old
+#      green row). In rounds WITH promotions the guarantee is
+#      best-effort: promoted names consume prefix budget and can push
+#      the tail of the current arc past it, delaying those names by
+#      up to one extra cycle (r4 ADVICE — accepted: promotions are
+#      self-limiting, since a promoted name that goes green stops
+#      being promoted next round).
 # Only failures/absences are promoted (never demoted/hidden on green —
 # that was the flaw of the removed green-rotation), and the budget is
 # derived from the observed row count of the newest driver report

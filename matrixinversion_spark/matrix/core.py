@@ -126,22 +126,38 @@ class BlockMatrixFrame:
         pdf = pd.DataFrame(
             rows, columns=["bi", "bj", "rows", "cols", "data"]
         )
+        # set-and-restore (r4 ADVICE): Arrow conversion happens eagerly
+        # inside createDataFrame, so the conf only needs to hold for
+        # this call — leaving it flipped would silently change the
+        # caller's later createDataFrame semantics on a bare session.
+        _ARROW_CONF = "spark.sql.execution.arrow.pyspark.enabled"
         try:
-            spark.conf.set(
-                "spark.sql.execution.arrow.pyspark.enabled", "true"
-            )
+            prior: str | None = spark.conf.get(_ARROW_CONF, None)
         except Exception:
-            pass  # conf locked down — the boxed fallback below covers it
+            prior = None
         try:
-            df = spark.createDataFrame(pdf, schema=BLOCK_SCHEMA)
-        except Exception:
-            # Last-resort boxed path (pure-Python floats) for sessions
-            # where Arrow conversion is unavailable entirely.
-            pdf = pdf.assign(
-                data=[np.asarray(d, dtype=np.float64).tolist()
-                      for d in pdf["data"]]
-            )
-            df = spark.createDataFrame(pdf, schema=BLOCK_SCHEMA)
+            try:
+                spark.conf.set(_ARROW_CONF, "true")
+            except Exception:
+                pass  # conf locked down — boxed fallback below covers it
+            try:
+                df = spark.createDataFrame(pdf, schema=BLOCK_SCHEMA)
+            except Exception:
+                # Last-resort boxed path (pure-Python floats) for
+                # sessions where Arrow conversion is unavailable.
+                pdf = pdf.assign(
+                    data=[np.asarray(d, dtype=np.float64).tolist()
+                          for d in pdf["data"]]
+                )
+                df = spark.createDataFrame(pdf, schema=BLOCK_SCHEMA)
+        finally:
+            try:
+                if prior is None:
+                    spark.conf.unset(_ARROW_CONF)
+                else:
+                    spark.conf.set(_ARROW_CONF, prior)
+            except Exception:
+                pass
         return BlockMatrixFrame(
             df, n, m, block_size,
             local=np.array(a, dtype=np.float64, copy=True),

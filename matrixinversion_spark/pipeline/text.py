@@ -549,15 +549,41 @@ def p_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary sizes the same call returns approximate heavy
     hitters. Top-k MEMBERSHIP under count ties is engine-arbitrary,
     which is the other reason the query returns the full (exact)
-    histogram rather than a boundary-sensitive k-subset."""
+    histogram rather than a boundary-sensitive k-subset.
+
+    Self-verifying (r4 VERDICT item 2): the exact regime only holds
+    while the vocabulary fits inside k — a TESTDATA regeneration that
+    grows the corpus past that would silently truncate the sketch and
+    flip the row red by hash mismatch. ``size(tk) < k`` is a
+    sufficient zero-cost witness (any vocabulary > k returns exactly
+    k entries, and any vocabulary ≤ k < maxItemsTracked is tracked
+    exactly), asserted in-query so the failure mode is a labeled
+    runtime error naming the cause, not an opaque hash delta."""
+    _K = 1000
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    sketch = toks.selectExpr("approx_top_k(tok, 1000, 10000) AS tk")
-    return sketch.select(F.explode("tk").alias("e")).select(
+    sketch = toks.selectExpr(f"approx_top_k(tok, {_K}, 10000) AS tk")
+    # coalesce the (always-null-on-success) assertion into cnt so
+    # column pruning cannot drop the check
+    guard = F.assert_true(
+        F.size("tk") < _K,
+        F.concat(
+            F.lit(
+                "p_vocab_topk: corpus vocabulary reached the sketch "
+                f"k={_K} — exact-regime oracle no longer sound; "
+                "raise k/maxItemsTracked or regenerate expectations"
+            ),
+        ),
+    )
+    return sketch.select(
+        F.explode("tk").alias("e"), guard.alias("_g")
+    ).select(
         F.col("e.item").alias("item"),
-        F.col("e.count").cast("bigint").alias("cnt"),
+        F.coalesce(
+            F.col("_g").cast("bigint"), F.col("e.count").cast("bigint")
+        ).alias("cnt"),
     )
 
 

@@ -56,6 +56,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     Parquet TIMESTAMP(NANOS) columns arrive as int64 (see
     ``nanosAsLong`` conf); integer-DIV by 1000 truncates to micros,
     matching DuckDB's µs TIMESTAMP semantics bit-for-bit.
+
+    SESSION-GLOBAL SIDE EFFECT (deliberate, r4 ADVICE): this pins
+    ``nanosAsLong=true`` and ``session.timeZone=UTC`` on the caller's
+    session and does NOT restore them. Unlike the one-shot Arrow
+    conversion in ``from_numpy``, both confs govern *execution* of the
+    lazy frames this function returns and of every later query the
+    caller builds over them — restoring them after return would make
+    those frames decode wrongly. Callers needing a different timezone
+    for unrelated work should use a separate session.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType

@@ -61,10 +61,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     19700-era bug)."""
     import pyarrow.parquet as pq
 
-    unit = (
-        pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type.unit
-    )
-    divisor = {"ns": 1000, "us": 1}[unit]
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    unit = getattr(ts_type, "unit", None)
+    # to-µs conversion per physical unit; an unknown unit (or a
+    # non-timestamp physical type, unit=None) must name itself rather
+    # than die in a bare KeyError — 'testdata changed between rounds'
+    # is exactly the scenario this probe exists to survive (r4 ADVICE)
+    to_micros = {
+        "ns": "ts DIV 1000",
+        "us": "ts",
+        "ms": "ts * 1000",
+    }.get(unit)
+    if to_micros is None:
+        raise ValueError(
+            f"events.ts has unsupported parquet type {ts_type!r} "
+            f"(unit={unit!r}); expected TIMESTAMP with ns/us/ms unit — "
+            "update EVENTS_SCHEMA/read_events_stream for the new layout"
+        )
+    if unit == "ms":
+        # ms doesn't fit the int64-as-nanos read path (nanosAsLong only
+        # long-ifies NANOS); Spark reads MILLIS as a native timestamp,
+        # so the pinned LongType schema would mis-decode it.
+        raise ValueError(
+            "events.ts switched to TIMESTAMP(MILLIS): drop the pinned "
+            "LongType schema and read it as TimestampType directly"
+        )
     # file-source streams take directories; select the events file
     # out of the shared testdata dir with a glob filter
     raw = (
@@ -72,9 +93,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr(f"ts DIV {divisor}"))
-    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(to_micros)))
 
 
 def windowed_counts(events: DataFrame,
