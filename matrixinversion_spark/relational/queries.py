@@ -464,6 +464,84 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_interval_join",
+    oracle="""
+    WITH inc AS (
+        SELECT event_id AS incident_id,
+               ts AS w_start,
+               ts + INTERVAL 15 MINUTE AS w_end
+        FROM events
+        WHERE event_type = 'error' AND value > 150
+    )
+    SELECT i.incident_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM inc i JOIN events e
+      ON e.ts >= i.w_start AND e.ts < i.w_end
+    GROUP BY i.incident_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big interval join via time-bucket binning (the Flink
+    interval-join / binned range-join technique; SURVEY §2.2's
+    temporal-join checklist item — ``q_join_range`` covers only the
+    broadcast-small-side case).
+
+    Semantics: high-severity error events define 15-minute incident
+    windows [ts, ts+15min); every event falling inside a window joins
+    to it (points-in-intervals). A naive theta join is a
+    BroadcastNestedLoop — quadratic and impossible when BOTH sides
+    are large. The scale plan: discretize time into buckets exactly
+    as wide as the window, explode each interval into the ≤2 buckets
+    it overlaps (``sequence`` over bucket ordinals), map each point
+    to its single bucket, then EQUI-join on the bucket and keep the
+    residual range predicate as a post-join filter. One hash shuffle
+    on a dense uniform key replaces the nested loop; worst-case
+    row replication is ceil(len/bucket)+1 = 2× on the interval side
+    only. Each point lives in exactly one bucket, so no dedup pass
+    is needed — every (incident, point) pair matches exactly once.
+    At 100 TB both sides stay fully distributed; bucket width tunes
+    the replication-vs-selectivity trade (width ≈ interval length is
+    optimal for fixed-length windows).
+    """
+    bucket_us = 15 * 60 * 1_000_000  # == window length
+    e = _t(spark, sf_dir, "events")
+    inc = (
+        e.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.unix_micros("ts").alias("s_us"),
+            (F.unix_micros("ts") + bucket_us).alias("e_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us DIV {bucket_us}"),
+                    F.expr(f"(e_us - 1) DIV {bucket_us}"),
+                )
+            ),
+        )
+    )
+    pts = e.select(
+        F.unix_micros("ts").alias("p_us"), F.col("value")
+    ).withColumn("bucket", F.expr(f"p_us DIV {bucket_us}"))
+    return (
+        inc.join(
+            pts,
+            (inc.bucket == pts.bucket)
+            & (pts.p_us >= inc.s_us)
+            & (pts.p_us < inc.e_us),
+        )
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
