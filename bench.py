@@ -69,10 +69,25 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Per-query Spark job-count fingerprints (r4 VERDICT item 1): the
+    # wall-clock on a shared host swings ±50% with co-tenant load, but
+    # the number of jobs a query submits is a deterministic function of
+    # its plan (AQE materializes one job per exchange stage on fixed
+    # data) — a fingerprint delta between rounds means the PLAN moved,
+    # a wall-clock delta with equal fingerprints means the MACHINE did.
+    tracker = spark.sparkContext.statusTracker()
+    aux: dict[str, int | None] = {}
+
+    def _max_job_id() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
     for name in HEADLINE:
+        j0 = _max_job_id()
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        aux[f"{name}_jobs"] = _max_job_id() - j0
 
     # the reference's actual workload: dense matrix inversion at its
     # demonstrated scale (N=2048; `Matrix/run.csh` pipeline O19).
@@ -94,7 +109,6 @@ def main() -> None:
     n_grid = (INVERSE_N // INVERSE_BLOCK) ** 2
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(max(n_grid * 2, 8)))
-    tracker = spark.sparkContext.statusTracker()
     inverse_jobs = None
     try:
         runs = []
@@ -126,10 +140,13 @@ def main() -> None:
                 "sf": sf_val,
                 # wall-clock on a shared host is noise-bound (see
                 # BENCH_NOTES round-4 variance caveat); the Spark job
-                # count per inverse is the deterministic cross-round
-                # comparator for the matrix pipeline's orchestration
-                # cost (r2: 15 with AQE off).
-                "aux": {f"la_inverse_{INVERSE_N}_jobs": inverse_jobs},
+                # counts are the deterministic cross-round comparator —
+                # one fingerprint per headline query plus the matrix
+                # pipeline's orchestration cost (r2: 15 with AQE off).
+                "aux": {
+                    **aux,
+                    f"la_inverse_{INVERSE_N}_jobs": inverse_jobs,
+                },
             }
         )
     )
