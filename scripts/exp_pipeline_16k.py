@@ -125,16 +125,43 @@ def main() -> None:
 
     total = phases["lu"] + phases["tri_inverse"] + phases["mul_permute"]
 
-    # matvec residual (BENCH_NOTES N=16384 protocol)
+    # matvec residual (BENCH_NOTES N=16384 protocol): one pass over
+    # each cached matrix, vector-only driver traffic
+    def _matvec(m, v):
+        import pandas as pd
+
+        bs = m.block_size
+        vb = spark.sparkContext.broadcast(v)
+
+        def part(it):
+            for pdf in it:
+                out = []
+                for bi, bj, r, c, d in zip(
+                    pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"],
+                    pdf["data"],
+                ):
+                    blk = np.asarray(d, dtype=np.float64).reshape(
+                        int(r), int(c)
+                    )
+                    seg = vb.value[int(bj) * bs:int(bj) * bs + int(c)]
+                    out.append((int(bi), (blk @ seg).tolist()))
+                if out:
+                    yield pd.DataFrame(out, columns=["bi", "part"])
+
+        parts = m.df.mapInPandas(
+            part, "bi int, part array<double>"
+        ).collect()
+        y = np.zeros(m.n_rows)
+        for row in parts:
+            seg = np.asarray(row["part"])
+            y[row["bi"] * bs:row["bi"] * bs + len(seg)] += seg
+        return y
+
     t0 = time.time()
     rng = np.random.default_rng(7)
     v = rng.standard_normal(N)
-    from matrixinversion_spark.matrix.ops import matvec
-    try:
-        av = matvec(x, v)
-        res = float(np.abs(matvec(a, av) - v).max() / np.abs(v).max())
-    except ImportError:
-        res = float("nan")
+    av = _matvec(x, v)
+    res = float(np.abs(_matvec(a, av) - v).max() / np.abs(v).max())
     phases["residual_check"] = time.time() - t0
 
     print("phases:", {k: round(v, 1) for k, v in phases.items()},
