@@ -658,3 +658,95 @@ def p_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_chunks_kept"),
         F.sum(F.length("chunk")).cast("bigint").alias("chars_kept"),
     )
+
+
+@query(
+    "p_bm25_score",
+    oracle="""
+    WITH q AS (SELECT unnest(['spark', 'join', 'hash']) AS term),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT avg(dl) AS avgdl,
+               (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs
+        FROM dl
+    ),
+    dfreq AS (
+        SELECT token AS term, count(DISTINCT doc_id) AS df
+        FROM toks JOIN q ON toks.token = q.term
+        GROUP BY token
+    ),
+    tf AS (
+        SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks JOIN q ON toks.token = q.term
+        GROUP BY doc_id, token
+    )
+    SELECT tf.doc_id, tf.term,
+           round(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl)),
+             6) AS bm25
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    """,
+)
+def p_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (Okapi, k1=1.2, b=0.75) of every
+    document against a fixed query-term set — the classic sparse
+    retrieval scorer an LLM-data pipeline uses for quality-aware
+    corpus search and hard-negative mining.
+
+    Plan shape mirrors ``p_tfidf_keywords``: one explode, a per-doc
+    doc-length agg, a term-restricted document-frequency agg (the
+    query vocabulary is tiny, so df and the corpus stats broadcast),
+    and row-local JVM arithmetic. One shuffle on doc_id for tf/dl;
+    everything joined to it broadcasts. Scores are emitted PER TERM
+    (not summed) so every output value is a deterministic product of
+    exact counts — a cross-engine float sum over ≥3 terms would be
+    addition-order-sensitive in the last ulp; callers sum client-side
+    or with a follow-up groupBy."""
+    terms = ["spark", "join", "hash"]
+    k1, b = 1.2, 0.75
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    qtoks = toks.filter(F.col("token").isin(terms))
+    dfreq = qtoks.groupBy(F.col("token").alias("term")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = qtoks.groupBy("doc_id", F.col("token").alias("term")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            F.round(idf * F.col("tf") * (k1 + 1.0) / norm, 6).alias(
+                "bm25"
+            ),
+        )
+    )

@@ -436,3 +436,188 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("latest_totalprice"),
         )
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  compare: list[str]) -> DataFrame:
+    """Row-level diff between two table snapshots (data-versioning /
+    CDC derivation — what Delta's CDF or an Iceberg snapshot-compare
+    emits): every key classified ``added | removed | changed |
+    unchanged``, with the NEW side's values (OLD side's for
+    ``removed``).
+
+    One full-outer shuffle join on the key plus row-local null-safe
+    comparisons (``eqNullSafe`` so NULL→NULL counts as unchanged).
+    At 100 TB this is the same cost profile as ``merge_upsert``'s
+    default plan; snapshot tables partitioned on the key diff
+    co-located."""
+    o, n = old.alias("o"), new.alias("n")
+    okey, nkey = F.col(f"o.{key}"), F.col(f"n.{key}")
+    same = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(okey.isNull(), F.lit("added"))
+        .when(nkey.isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = [F.coalesce(nkey, okey).alias(key)]
+    for c in compare:
+        out.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
+    return (
+        o.join(n, okey == nkey, "full_outer")
+        .select(*out, change.alias("change"))
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_orderdate < DATE '1996-01-01'
+        GROUP BY 1
+    ),
+    snap_b AS (
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_orderdate < DATE '1996-07-01'
+        GROUP BY 1
+    ),
+    diff AS (
+        SELECT coalesce(b.custkey, a.custkey) AS custkey,
+               CASE WHEN a.custkey IS NULL THEN 'added'
+                    WHEN b.custkey IS NULL THEN 'removed'
+                    WHEN a.n_orders IS NOT DISTINCT FROM b.n_orders
+                     AND a.total    IS NOT DISTINCT FROM b.total
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS change,
+               coalesce(b.total, a.total) AS total
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.custkey = b.custkey
+    )
+    SELECT change, CAST(count(*) AS BIGINT) AS n_keys,
+           round(sum(total), 2) AS total_sum
+    FROM diff GROUP BY change
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot compare: per-customer order rollups as of two dates,
+    diffed with :func:`snapshot_diff`. Customers ordering only in
+    H1-1996 are ``added``; repeat orderers are ``changed``; dormant
+    ones ``unchanged`` (``removed`` is empty here by construction —
+    snapshots are cumulative). Output is the per-change rollup so the
+    driver hash-checks the classification AND the carried values."""
+    o = _t(spark, sf_dir, "orders")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderdate") < F.lit(cutoff))
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+        )
+
+    diff = snapshot_diff(
+        snap("1996-01-01"), snap("1996-07-01"),
+        key="custkey", compare=["n_orders", "total"],
+    )
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(F.sum("total"), 2).alias("total_sum"),
+    )
+
+
+@query(
+    "q_data_quality_audit",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Deequ check
+    suite shape): null-rate, primary-key uniqueness, referential
+    integrity, and value-range constraints,
+    each emitting (check, rows checked, violations).
+
+    Every check is a single-pass conditional aggregation; the FK
+    check is a broadcast-dim left join. The checks union into one
+    result, so a 100 TB audit is a handful of scans with partial
+    aggregation — no row-level violation materialization unless a
+    check fails and is drilled into."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def check(name: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(bad, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+        ).select("check_name", "n_checked", "n_violations")
+
+    fk = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_outer"
+    )
+    pk = o.agg(
+        F.lit("orders_pk_unique").alias("check_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select("check_name", "n_checked", "n_violations")
+    return (
+        check("orders_null_custkey", o, F.col("o_custkey").isNull())
+        .unionByName(pk)
+        .unionByName(
+            check("orders_fk_customer", fk, F.col("c_custkey").isNull())
+        )
+        .unionByName(
+            check(
+                "lineitem_qty_range",
+                li,
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem_discount_range",
+                li,
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+            )
+        )
+    )

@@ -305,3 +305,97 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("acctbal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "q_merge_upsert_broadcast",
+    oracle="""
+    WITH src AS (
+        SELECT o_custkey + (CASE WHEN o_custkey % 7 = 0
+                                 THEN 1000000 ELSE 0 END) AS custkey,
+               round(sum(o_totalprice), 2) AS delta,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-07-01'
+        GROUP BY 1
+    ),
+    tgt AS (SELECT c_custkey AS custkey, c_acctbal, c_mktsegment
+            FROM customer),
+    merged AS (
+        SELECT coalesce(t.custkey, s.custkey) AS custkey,
+               CASE
+                 WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+                      AND s.n_orders >= 4 THEN 'delete'
+                 WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+                      THEN 'update'
+                 WHEN t.custkey IS NULL THEN 'insert'
+                 ELSE 'keep'
+               END AS action,
+               CASE
+                 WHEN t.custkey IS NOT NULL AND s.custkey IS NOT NULL
+                      THEN round(t.c_acctbal + s.delta, 2)
+                 WHEN t.custkey IS NULL THEN round(s.delta, 2)
+                 ELSE t.c_acctbal
+               END AS acctbal
+        FROM tgt t FULL OUTER JOIN src s ON t.custkey = s.custkey
+    )
+    SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(acctbal), 2) AS total_bal
+    FROM merged WHERE action != 'delete'
+    GROUP BY action
+    """,
+)
+def q_merge_upsert_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-batch MERGE plan (``strategy="broadcast"``): same
+    change-batch semantics as ``q_merge_upsert``, executed with ZERO
+    target-side shuffles — a broadcast left-outer classify pass plus
+    a broadcast semi/anti insert derivation (see
+    :func:`merge_upsert`). The oracle is the identical full-outer
+    formulation: both strategies must produce the same merged table,
+    and the driver hash-checks that equivalence end-to-end. The
+    duplicate-source guard stays ON here (unlike the full-outer twin)
+    so the guarded dataflow also earns a driver row; the source-side
+    window it adds is over the already-grouped tiny batch."""
+    o = read_table(spark, sf_dir, "orders")
+    src = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01"))
+        )
+        .groupBy(
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_custkey") % 7 == 0, F.lit(1000000))
+                .otherwise(F.lit(0))
+            ).alias("custkey")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("delta"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    tgt = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    merged = merge_upsert(
+        tgt,
+        src,
+        on="custkey",
+        update_set={
+            "acctbal": F.round(F.col("t.acctbal") + F.col("s.delta"), 2),
+            "mktsegment": F.col("t.mktsegment"),
+        },
+        insert_values={
+            "acctbal": F.round(F.col("s.delta"), 2),
+            "mktsegment": F.lit("NEW"),
+        },
+        delete_when=F.col("s.n_orders") >= 4,
+        strategy="broadcast",
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("acctbal"), 2).alias("total_bal"),
+    )
