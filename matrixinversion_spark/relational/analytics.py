@@ -621,3 +621,114 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS ts
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.ts
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS ts
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ts
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+        SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 'click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'purchase', CAST(count(*) AS BIGINT) FROM p
+    ) f
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase), the
+    CEP-lite product-analytics staple: a user advances a stage only
+    with an event strictly AFTER their previous stage's first event.
+
+    Each stage is a groupBy-min over the events filtered to that
+    type, joined to the previous stage's per-user timestamp — three
+    shuffles on user_id which AQE plans against the same hash
+    partitioning, and the stage tables shrink monotonically (later
+    joins broadcast). At 100 TB the pattern holds: per-stage
+    aggregates are user-cardinality-sized, never event-sized."""
+    e = _t(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None) -> DataFrame:
+        s = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(
+                prev.select("user_id", F.col("ts").alias("_prev_ts")),
+                "user_id",
+            ).filter(F.col("ts") > F.col("_prev_ts"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("ts"))
+
+    v = stage("view", None)
+    c = stage("click", v)
+    p = stage("purchase", c)
+
+    def count_stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        ).select("stage", "n_users")
+
+    return (
+        count_stage("view", v)
+        .unionByName(count_stage("click", c))
+        .unionByName(count_stage("purchase", p))
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+        FROM events
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(active_day - cohort_day AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day,
+    counted per day-offset of later activity — the standard
+    engagement rollup. One user-keyed aggregation for cohort
+    assignment, one distinct over (user, day), and a join that AQE
+    co-partitions on user_id. Output is cohort×offset sized
+    (days², not users), so the result never needs a big shuffle."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.to_date("ts").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_day", "cohort_day")
+            .cast("bigint")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
