@@ -31,6 +31,7 @@ import matrixinversion_spark.relational.udf  # noqa: F401,E402
 import matrixinversion_spark.relational.merge  # noqa: F401,E402
 import matrixinversion_spark.relational.skew  # noqa: F401,E402
 import matrixinversion_spark.relational.zorder  # noqa: F401,E402
+import matrixinversion_spark.relational.mining  # noqa: F401,E402
 
 try:  # pipeline/matrix registrations land as they are implemented
     import matrixinversion_spark.pipeline.dedup  # noqa: F401,E402

@@ -1,0 +1,113 @@
+"""Similarity-join and co-occurrence mining operators.
+
+Fuzzy (edit-distance) joins and market-basket pair mining — the two
+join shapes entity-resolution and recommendation pipelines run that
+plain equi-joins can't express. Both are implemented as banded /
+key-grouped equi-joins with residual predicates, never as cartesian
+products, so they survive table sizes where an O(n²) theta join is
+impossible.
+
+Reference provenance: no relational surface in the reference
+(SURVEY.md §2.2); mandated engine extension per §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (entity resolution / near-duplicate
+    names): supplier pairs whose names are within Levenshtein
+    distance 1.
+
+    Scale plan: a length-banded equi-join, not a cartesian theta
+    join. Edit distance ≤ d implies |len(a) − len(b)| ≤ d, so the
+    right side explodes each name into its d+1=2-wide length band
+    (len−1..len+1 — distinct values, so every candidate pair arises
+    exactly once) and the join is an EQUI join on the band key with
+    ``levenshtein`` as a residual filter. One hash shuffle on the
+    length key; at 100 TB the band key composes with any stronger
+    blocking (prefix buckets, q-gram LSH — see p_dedup_minhash_lsh)
+    while keeping the same equi-join shape. Both engines implement
+    classic unit-cost Levenshtein, so the distances hash-match."""
+    s = read_table(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("k1"),
+        F.col("s_name").alias("name1"),
+        F.length("s_name").alias("len1"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("k2"),
+        F.col("s_name").alias("name2"),
+        F.explode(
+            F.array(
+                F.length("s_name") - 1,
+                F.length("s_name"),
+                F.length("s_name") + 1,
+            )
+        ).alias("len_band"),
+    )
+    dist = F.levenshtein("name1", "name2")
+    return (
+        a.join(b, (F.col("len1") == F.col("len_band"))
+               & (F.col("k1") < F.col("k2")))
+        .filter(dist <= 1)
+        .select("k1", "k2", dist.cast("bigint").alias("dist"))
+    )
+
+
+@query(
+    "q_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(DISTINCT a.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.l_orderkey) >= 2
+    """,
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs co-occurring in ≥2
+    orders (the candidate-pair step of frequent-itemset /
+    recommendation pipelines).
+
+    The self-join keys on l_orderkey, so both sides hash to the same
+    partitioning — ONE shuffle, and pair blowup is bounded per-basket
+    (k items → k(k−1)/2 pairs inside a partition, never across). At
+    100 TB the guard that matters is basket size: a pathological
+    mega-basket inflates quadratically, so production runs cap items
+    per basket (the TESTDATA max is 13 — no cap needed here) or
+    switch to count-min candidates. The p1 < p2 canonical ordering
+    halves the pair space and removes self-pairs."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
