@@ -111,3 +111,50 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH edges AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(DISTINCT a.l_orderkey) >= 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph — the canonical
+    multi-way distributed join (wedge generation + closure check).
+
+    Edges are the ≥2-order co-purchase pairs, already canonically
+    ordered u < v, so each triangle a<b<c is counted exactly once as
+    the wedge (a,b)+(b,c) closed by (a,c). Two hash shuffles: wedges
+    join on the middle vertex, closure joins on the (u,v) pair. The
+    100 TB hazard is skew — a hub vertex of degree d spawns d²
+    wedges — handled in production by the standard degree-ordering
+    trick (orient edges low-degree → high-degree), which this
+    canonical ordering approximates; AQE skew-join splits the rest.
+    Edge count rides along so the driver checks both stages."""
+    edges = (
+        q_copurchase_pairs(spark, sf_dir)
+        .select(F.col("p1").alias("u"), F.col("p2").alias("v"))
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"])
+    return tri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    ).crossJoin(
+        edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
