@@ -40,7 +40,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from matrixinversion_spark.matrix import kernels
+from matrixinversion_spark.matrix import kernels, ops
 from matrixinversion_spark.matrix.core import BLOCK_SCHEMA, BlockMatrixFrame
 from matrixinversion_spark.matrix.ops import gemm, multiply, permute_rows
 
@@ -88,6 +88,87 @@ def _concurrently(f1: Callable, f2: Callable) -> tuple:
         return fut1.result(), fut2.result()
 
 
+def _lu_leaf_distributed(a: BlockMatrixFrame
+                         ) -> tuple[np.ndarray, BlockMatrixFrame,
+                                    BlockMatrixFrame]:
+    """Factor a leaf-sized matrix INSIDE one executor task.
+
+    Twin of ``inverse._inv_leaf_distributed`` (same measurement, same
+    reference placement — the reference factors leaves in its task
+    JVMs, never on a coordinating node): the driver roundtrip for a
+    leaf LU is a leaf-sized Arrow collect, a core-contended ludcmp,
+    and TWO leaf-sized createDataFrame uploads (L and U). Here the
+    blocks shuffle to one task, ludcmp runs in a scheduled core slot,
+    and only the pivot vector (N ints) crosses to the driver. L and U
+    come back as filters over the one persisted task output, tagged
+    0=L / 1=U / 2=perm; the strict triangles' zero blocks are never
+    materialized. A singular leaf raises inside the task and surfaces
+    as the same LinAlgError message via the Spark job failure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    bs, n, m = a.block_size, a.n_rows, a.n_cols
+    schema = StructType(
+        [
+            StructField("tag", IntegerType()),
+            StructField("bi", IntegerType()),
+            StructField("bj", IntegerType()),
+            StructField("rows", IntegerType()),
+            StructField("cols", IntegerType()),
+            StructField("data", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fac(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.zeros((n, m))
+        for bi, bj, r, c, d in zip(
+            pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            blk = np.asarray(d, dtype=np.float64).reshape(int(r), int(c))
+            mat[int(bi) * bs:int(bi) * bs + int(r),
+                int(bj) * bs:int(bj) * bs + int(c)] = blk
+        lu_packed, perm = kernels.ludcmp(mat)
+        lower, upper = kernels.split_lu(lu_packed)
+        out = []
+        for tag, tri in ((0, lower), (1, upper)):
+            for bi in range((n + bs - 1) // bs):
+                for bj in range((m + bs - 1) // bs):
+                    if tag == 0 and bj > bi:
+                        continue  # strict upper of L is zero
+                    if tag == 1 and bi > bj:
+                        continue  # strict lower of U is zero
+                    blk = tri[bi * bs:(bi + 1) * bs,
+                              bj * bs:(bj + 1) * bs]
+                    out.append(
+                        (tag, bi, bj, blk.shape[0], blk.shape[1],
+                         np.ascontiguousarray(blk).ravel())
+                    )
+        out.append((2, 0, 0, 1, n, perm.astype(np.float64)))
+        return pd.DataFrame(
+            out, columns=["tag", "bi", "bj", "rows", "cols", "data"]
+        )
+
+    tagged = (
+        a.df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(fac, schema)
+        .persist()
+    )
+    perm_row = tagged.filter(F.col("tag") == 2).collect()[0]
+    perm = np.asarray(perm_row["data"], dtype=np.float64).astype(np.int64)
+    block_cols = ["bi", "bj", "rows", "cols", "data"]
+    lower = BlockMatrixFrame(
+        tagged.filter(F.col("tag") == 0).select(*block_cols), n, m, bs
+    )
+    upper = BlockMatrixFrame(
+        tagged.filter(F.col("tag") == 1).select(*block_cols), n, m, bs
+    )
+    return perm, lower, upper
+
+
 def lu(a: BlockMatrixFrame, leaf_size: int | None = None
        ) -> tuple[np.ndarray, BlockMatrixFrame, BlockMatrixFrame]:
     """Factor P·A = L·U. Returns (perm, L unit-lower, U upper) with
@@ -101,8 +182,12 @@ def lu(a: BlockMatrixFrame, leaf_size: int | None = None
     bs = a.block_size
 
     if a.n_rows <= leaf_size or a.nbi == 1:
-        # Leaf: driver-local factorization, exactly the reference's
-        # leaf branch (`LUDecomposition.java:686-699`).
+        # Leaf factorization, exactly the reference's leaf branch
+        # (`LUDecomposition.java:686-699`). Driver-local only when
+        # the matrix already lives on the driver; otherwise the
+        # factorization runs executor-side (see _lu_leaf_distributed).
+        if a.local is None and ops.leaf_inv_mode() == "executor":
+            return _lu_leaf_distributed(a)
         lu_packed, perm = kernels.ludcmp(a.to_numpy())
         lower, upper = kernels.split_lu(lu_packed)
         return (
@@ -162,6 +247,10 @@ def solve_lower(lo: BlockMatrixFrame, b: BlockMatrixFrame,
                 leaf_size: int = DEFAULT_LEAF) -> BlockMatrixFrame:
     """Solve L·X = B for unit-lower-triangular distributed L."""
     if lo.n_rows <= leaf_size or lo.nbi == 1:
+        if lo.local is None and ops.leaf_inv_mode() == "executor":
+            # distributed leaf factor: invert executor-side, solve as
+            # a join-gemm — no driver transfer (see BENCH_NOTES r5)
+            return multiply(ops.inv_leaf_distributed(lo, "lower"), b)
         inv_l = kernels.inv_lower_unit(lo.to_numpy())
         return _apply_left(inv_l, b)
     mb = lo.nbi // 2
@@ -182,6 +271,8 @@ def solve_upper_right(up: BlockMatrixFrame, b: BlockMatrixFrame,
                       leaf_size: int = DEFAULT_LEAF) -> BlockMatrixFrame:
     """Solve X·U = B for upper-triangular distributed U."""
     if up.n_rows <= leaf_size or up.nbi == 1:
+        if up.local is None and ops.leaf_inv_mode() == "executor":
+            return multiply(b, ops.inv_leaf_distributed(up, "upper"))
         inv_u = kernels.inv_upper(up.to_numpy())
         return _apply_right(b, inv_u)
     mb = up.nbi // 2

@@ -335,3 +335,72 @@ def max_abs_diff(a: BlockMatrixFrame, b: BlockMatrixFrame) -> float:
         .collect()[0]
     )
     return float(row.max_err if row.max_err is not None else 0.0)
+
+
+def leaf_inv_mode() -> str:
+    """Where leaf triangular inversions/factorizations run:
+    ``executor`` (default) or ``driver`` (the collect-invert-reupload
+    path, kept for A/B measurement via ``SPARK_GRAFT_LEAF_INV=driver``
+    — see BENCH_NOTES round-5)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_LEAF_INV", "executor")
+
+
+def inv_leaf_distributed(tri: BlockMatrixFrame,
+                         kind: str) -> BlockMatrixFrame:
+    """Invert a leaf-sized triangular factor INSIDE one executor task.
+
+    The reference inverts triangular strips in its mappers
+    (`LUInverse.java:88-167`) — executor-side, never on the driver.
+    The driver-roundtrip alternative (collect → np.linalg.inv →
+    createDataFrame) measurably loses on local[32]: the collect moves
+    a leaf (8–128 MB) through Arrow while sibling jobs run, and the
+    driver-thread BLAS then contends with all 32 executor threads for
+    cores, inflating a 0.1 s inversion to ~4 s (measured,
+    scripts/exp_pipeline_16k.py — driver leaf kernels were 63 s of a
+    99 s N=4096 inverse). Shipping the blocks to ONE task instead
+    costs a leaf-sized shuffle but runs the BLAS in a scheduled core
+    slot and skips both driver transfers. On a multi-executor cluster
+    the same plan also removes the driver as a bandwidth bottleneck.
+    """
+    from matrixinversion_spark.matrix import kernels
+
+    bs = tri.block_size
+    n, m = tri.n_rows, tri.n_cols
+    inv_fn = (kernels.inv_upper if kind == "upper"
+              else kernels.inv_lower_unit)
+
+    def inv(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.zeros((n, m))
+        for bi, bj, r, c, d in zip(
+            pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            blk = np.asarray(d, dtype=np.float64).reshape(int(r), int(c))
+            a[int(bi) * bs:int(bi) * bs + int(r),
+              int(bj) * bs:int(bj) * bs + int(c)] = blk
+        x = inv_fn(a)
+        out = []
+        for bi in range((n + bs - 1) // bs):
+            for bj in range((m + bs - 1) // bs):
+                if kind == "upper" and bi > bj:
+                    continue  # strict lower of U⁻¹ is zero
+                if kind == "lower" and bj > bi:
+                    continue  # strict upper of L⁻¹ is zero
+                blk = x[bi * bs:(bi + 1) * bs, bj * bs:(bj + 1) * bs]
+                out.append(
+                    (bi, bj, blk.shape[0], blk.shape[1],
+                     np.ascontiguousarray(blk).ravel())
+                )
+        return pd.DataFrame(
+            out, columns=["bi", "bj", "rows", "cols", "data"]
+        )
+
+    # a named constant column, not groupBy(lit(1)) — Spark resolves a
+    # bare integer literal in groupBy as a GROUP BY ordinal
+    df = (
+        tri.df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(inv, BLOCK_SCHEMA)
+    )
+    return BlockMatrixFrame(df, n, m, bs)

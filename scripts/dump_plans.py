@@ -130,6 +130,58 @@ NOTES: dict[str, str] = {
         "date filter on the change batch is in PushedFilters, so "
         "the source side reads only the touched months."
     ),
+    "q_merge_upsert_broadcast": (
+        "The small-batch MERGE strategy: every join is a "
+        "BroadcastHashJoin (classify, semi, anti) and the plan "
+        "contains ZERO hash exchanges on the target side — the "
+        "customer table is scanned twice but never moved. The only "
+        "exchanges are the tiny source's own groupBy and the "
+        "duplicate-guard window over the already-grouped batch."
+    ),
+    "q_interval_join": (
+        "Points-in-intervals as an EQUI join: intervals explode into "
+        "their ≤2 time buckets, points map to one bucket, and the "
+        "range predicate is a residual filter after a hash join on "
+        "the bucket ordinal — no BroadcastNestedLoopJoin anywhere in "
+        "the tree (pinned by pytest with broadcast disabled). At "
+        "100 TB both sides stay distributed; replication is bounded "
+        "at 2× on the interval side only."
+    ),
+    "q_fuzzy_join": (
+        "Edit-distance join as a length-banded equi-join: the ≤1 "
+        "distance bound implies a ≤1 length delta, so the right side "
+        "explodes a 2-wide length band and Levenshtein runs as a "
+        "residual filter on hash-join candidates — the O(n²) theta "
+        "join never appears."
+    ),
+    "q_triangle_count": (
+        "Wedge join on the middle vertex, closure join on the (a,c) "
+        "pair — two hash shuffles over canonically-ordered edges, "
+        "each triangle produced exactly once. Skewed hubs are the "
+        "known hazard; AQE skew-join handles moderate skew and the "
+        "canonical ordering approximates degree-orientation."
+    ),
+    "q_funnel": (
+        "Each funnel stage is a user-cardinality aggregate joined to "
+        "the previous stage's timestamps; stage tables shrink "
+        "monotonically so later joins broadcast, and the event table "
+        "is scanned once per stage with the event_type filter pushed "
+        "into the parquet scan."
+    ),
+    "p_bm25_score": (
+        "One doc_id shuffle for tf/dl; document frequency and corpus "
+        "stats are term-cardinality-sized and broadcast. The scoring "
+        "arithmetic is row-local JVM expressions inside the codegen "
+        "span — no UDF in the hot path."
+    ),
+    "q_snapshot_diff": (
+        "Two filtered scans of the same fact table aggregate to "
+        "per-key rollups, then one full-outer join classifies every "
+        "key with null-safe comparisons. Cumulative-snapshot "
+        "semantics mean the date filters are in PushedFilters and "
+        "the second snapshot reuses the first's exchange "
+        "partitioning where AQE can prove it."
+    ),
 }
 
 
