@@ -750,3 +750,100 @@ def p_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "p_hash_split",
+    oracle="""
+    WITH b AS (
+        SELECT CASE
+                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) % 100 < 90 THEN 'train'
+                 WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) % 100 < 95 THEN 'validation'
+                 ELSE 'test'
+               END AS split,
+               n_chars
+        FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM b GROUP BY split
+    """,
+)
+def p_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/validation/test split by content-
+    independent key hash — the reproducible-split primitive every
+    training-data pipeline needs (re-running on a grown corpus keeps
+    every previously-assigned document in its split, unlike
+    randomSplit whose assignment depends on partitioning).
+
+    md5(doc_id) % 100 buckets; the md5-prefix trick (dedup.hash32)
+    makes the assignment bit-identical in DuckDB, so the oracle
+    checks the actual per-split membership, not just proportions.
+    Scale plan: a stateless per-row expression (no shuffle at all
+    until the audit aggregation) — at 100 TB the split is a free
+    narrow map; the per-split histogram here is one uniform 3-key
+    aggregation."""
+    from matrixinversion_spark.pipeline.dedup import hash32
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "p_ngram_counts",
+    oracle="""
+    WITH tok AS (
+        SELECT string_split(text, ' ') AS ts FROM documents
+    ),
+    bg AS (
+        SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+        FROM tok, UNNEST(range(1, len(ts))) AS t(i)
+        WHERE len(ts) >= 2
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM bg GROUP BY bigram HAVING count(*) >= 5
+    """,
+)
+def p_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts with a min-count threshold — the n-gram
+    language-model / collocation statistic (and the building block of
+    count-based tokenizer training). Companion of p_vocab_topk
+    (unigrams via sketch) — this is the exact path for n > 1.
+
+    Adjacent-token pairs are formed inside the array with a JVM
+    ``transform`` over ``sequence`` (no posexplode self-join, which
+    would shuffle the exploded corpus twice), then one explode +
+    one hash aggregation. Scale plan: a single shuffle keyed on the
+    bigram string with map-side partial counts; the HAVING filter
+    prunes the long tail after the partial agg, exactly where a
+    count-min/TopK sketch would slot in if the full tail were not
+    needed."""
+    d = read_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(1, size(ts) - 1), "
+        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+    )
+    return (
+        d.select(ts.alias("ts"))
+        .filter(F.size("ts") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )

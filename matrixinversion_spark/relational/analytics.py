@@ -732,3 +732,58 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT o_custkey AS custkey,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ),
+    r AS (
+        SELECT custkey, d,
+               ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY d) AS rn
+        FROM d
+    ),
+    g AS (SELECT custkey, d, d - CAST(rn AS INTEGER) AS anchor FROM r)
+    SELECT custkey,
+           strftime(min(d), '%Y-%m-%d') AS streak_start,
+           strftime(max(d), '%Y-%m-%d') AS streak_end,
+           count(*) AS streak_days
+    FROM g
+    GROUP BY custkey, anchor
+    HAVING count(*) >= 2
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive order days per
+    customer (streak detection — the canonical sequential-pattern
+    window query; reference has no relational surface, SURVEY §2.2).
+
+    Classic row_number trick: within a customer, consecutive dates
+    share ``date − row_number`` as a constant anchor, so one window
+    pass plus one groupBy finds every maximal island with no self
+    join. Scale plan: both the window and the aggregation partition
+    by customer key — a single hash shuffle on the natural key, no
+    range self-join (the O(n²) formulation this replaces)."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("custkey").orderBy("d")
+    g = d.withColumn(
+        "anchor", F.date_sub("d", F.row_number().over(w))
+    )
+    return (
+        g.groupBy("custkey", "anchor")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 2)
+        .drop("anchor")
+    )

@@ -158,3 +158,115 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     )
+
+
+_PAGERANK_SQL = """
+WITH edges AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    GROUP BY c.c_nationkey, s.s_nationkey
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+r1 AS (
+    SELECT nd.node,
+           0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.csum, 0) AS rank
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank * e.w / ow.ow) AS csum
+        FROM edges e JOIN outw ow ON e.src = ow.src
+        JOIN r0 p ON p.node = e.src
+        GROUP BY e.dst
+    ) c USING (node)
+),
+r2 AS (
+    SELECT nd.node,
+           0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.csum, 0) AS rank
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank * e.w / ow.ow) AS csum
+        FROM edges e JOIN outw ow ON e.src = ow.src
+        JOIN r1 p ON p.node = e.src
+        GROUP BY e.dst
+    ) c USING (node)
+),
+r3 AS (
+    SELECT nd.node,
+           0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.csum, 0) AS rank
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank * e.w / ow.ow) AS csum
+        FROM edges e JOIN outw ow ON e.src = ow.src
+        JOIN r2 p ON p.node = e.src
+        GROUP BY e.dst
+    ) c USING (node)
+)
+SELECT node, round(rank, 6) AS pagerank_r6 FROM r3
+"""
+
+
+@query("q_pagerank", oracle=_PAGERANK_SQL)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 3 fixed power iterations (damping 0.85,
+    no dangling-mass redistribution) over the nation trade graph
+    (customer-nation → supplier-nation edges weighted by lineitem
+    count). Iterative-graph capability the reference lacks
+    (SURVEY §2.2); companion of q_triangle_count / the
+    connected-components curation operator.
+
+    Scale plan: the canonical edge-DataFrame formulation — each
+    iteration is one join of the (large, edge-partitioned) edge list
+    against the (node-sized) rank table plus a groupBy(dst), i.e.
+    one hash shuffle per iteration keyed on node id. Rank and
+    out-weight tables are node-cardinality and auto-broadcast below
+    threshold; at 1B+ nodes the same plan degrades gracefully to a
+    shuffle join keyed on the same column. Fixed iteration count
+    keeps the query deterministic (float divergence vs the oracle is
+    below the 6-dp rounding)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = n.select(F.col("n_nationkey").cast("bigint").alias("node"))
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+
+    ranks = nodes.crossJoin(nn).select(
+        "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(outw, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow")).alias("csum"))
+        )
+        ranks = (
+            nodes.crossJoin(nn)
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "n_nodes",
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * F.coalesce("csum", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 6).alias("pagerank_r6"))
