@@ -847,3 +847,59 @@ def p_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .filter(F.col("cnt") >= 5)
     )
+
+
+@query(
+    "p_domain_mix",
+    oracle="""
+    WITH per AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM per)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / (SELECT t FROM tot), 6)
+               AS token_share_r6,
+           round((1.0 / (SELECT k FROM tot))
+                 / (CAST(n_tokens AS DOUBLE) / (SELECT t FROM tot)), 4)
+               AS uniform_resample_factor_r4
+    FROM per
+    """,
+)
+def p_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain mixture audit: per-source document and token
+    counts, token share of the corpus, and the resampling factor that
+    would rebalance to a uniform source mix — the bookkeeping behind
+    pretraining data-mixture weighting (domain up/down-sampling).
+
+    Scale plan: one aggregation keyed on source (map-side partial
+    sums of a JVM ``size(split(...))`` expression — tokens are
+    counted without materializing token rows), then a broadcast of
+    the source-cardinality totals back onto the per-source rows.
+    At 100 TB the only shuffle is |sources| keys wide; skew in
+    source sizes affects the partial-agg stage only, which is
+    skew-immune (combiner output is one row per source per task)."""
+    d = read_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    share = F.col("n_tokens") / F.col("t")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share_r6"),
+        F.round((F.lit(1.0) / F.col("k")) / share, 4).alias(
+            "uniform_resample_factor_r4"
+        ),
+    )

@@ -787,3 +787,57 @@ def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_days") >= 2)
         .drop("anchor")
     )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price_r2
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view refresh):
+    a 'base' aggregate over the historical partition is combined with
+    the aggregate of a new 'changelog' batch by merging partial
+    states, never rescanning history. The oracle computes the SAME
+    aggregate the naive way over all rows — hash-match proves the
+    incremental path is exact.
+
+    Scale plan: this is THE pattern that makes daily 100 TB rollups
+    affordable — the refresh cost is O(delta) + a key-partitioned
+    merge join against the (already partitioned/bucketed) base
+    state, not O(history). count/sum are algebraic so partial states
+    merge exactly; the same shape extends to any algebraic or
+    sketch-mergeable aggregate (HLL — see q_hll_mergeable).
+    Float note: base+delta summation differs from single-pass only
+    below the 2-dp rounding."""
+    o = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+
+    base = part(o.filter(F.col("o_orderdate") < cutoff))
+    delta = part(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = base.alias("b").join(
+        delta.alias("d"), "custkey", "full_outer"
+    )
+    return merged.select(
+        "custkey",
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_orders"),
+        F.round(
+            F.coalesce(F.col("b.s"), F.lit(0.0))
+            + F.coalesce(F.col("d.s"), F.lit(0.0)),
+            2,
+        ).alias("sum_price_r2"),
+    )
