@@ -133,3 +133,45 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_s"),
     )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+    SELECT p.user_id, p.event_id, v.event_id AS view_event_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    WHERE date_diff('second', v.ts, p.ts) <= 3600
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness tolerance (pandas
+    ``merge_asof(tolerance=...)`` semantics, inner form): each
+    purchase matched to the user's most recent prior view ONLY if
+    that view is at most 1 hour old — the sensor-fusion /
+    feature-freshness variant of q_asof_join.
+
+    Same one-shuffle union-marker plan as asof_join (the tolerance
+    is a post-match row filter, so the scale shape is unchanged);
+    checked against DuckDB's native ASOF JOIN plus the gap filter."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    v = e.filter(F.col("event_type") == "view")
+    j = asof_join(
+        p.select("user_id", "event_id", "ts"),
+        v.select("user_id", F.col("event_id").alias("view_event_id"), "ts"),
+        on=["user_id"],
+        ts="ts",
+    )
+    gap = F.col("ts").cast("long") - F.col("ts_right").cast("long")
+    return (
+        j.filter(F.col("ts_right").isNotNull() & (gap <= 3600))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("view_event_id_right").alias("view_event_id"),
+            gap.alias("gap_s"),
+        )
+    )

@@ -476,3 +476,42 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("_p95a") - F.col("_p95e")) <= 0.01 * F.abs("_p95e"))
         ).alias("ok"),
     )
+
+
+@query(
+    "q_regexp_extract_all",
+    oracle="""
+    SELECT CAST(b AS BIGINT) AS brand_num,
+           count(*) AS n_parts,
+           round(avg(p_retailprice), 4) AS avg_price_r4
+    FROM (
+        SELECT unnest(regexp_extract_all(p_brand, '[0-9]+')) AS b,
+               p_retailprice
+        FROM part
+    )
+    GROUP BY CAST(b AS BIGINT)
+    """,
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-returning regex extraction (`regexp_extract_all`) —
+    the log/ID-parsing primitive: pull every numeric group out of
+    the brand string, explode, and aggregate per extracted id.
+
+    The regex runs as a JVM expression inside whole-stage codegen
+    (both engines compile `[0-9]+` identically); one aggregation
+    shuffle on the extracted key. The explode is bounded by match
+    count per row — no row-size blowup risk at scale."""
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.explode(
+                F.regexp_extract_all(F.col("p_brand"), F.lit("[0-9]+"), 0)
+            ).alias("b"),
+            "p_retailprice",
+        )
+        .groupBy(F.col("b").cast("bigint").alias("brand_num"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price_r4"),
+        )
+    )

@@ -35,6 +35,16 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.ui.enabled": "false",
 }
 
+# Escape hatch for JVM-level flags (local mode: driver JVM hosts the
+# executors, so driver opts cover both). Motivating case: the N=16384
+# run SIGSEGV'd inside OpenJDK 17's AVX-512 arraycopy stub
+# (`jint_disjoint_arraycopy_avx3`, hs_err in BENCH_NOTES r5);
+# SPARK_GRAFT_JAVA_OPTS="-XX:UseAVX=2" forces the AVX2 stubs, which
+# have no such failure mode, at ~0 cost for shuffle-bound work.
+_JAVA_OPTS = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+if _JAVA_OPTS:
+    DEFAULT_CONFS["spark.driver.extraJavaOptions"] = _JAVA_OPTS
+
 
 def get_spark(app_name: str = "matrixinversion_spark",
               master: str | None = None,

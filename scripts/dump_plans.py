@@ -182,6 +182,29 @@ NOTES: dict[str, str] = {
         "the second snapshot reuses the first's exchange "
         "partitioning where AQE can prove it."
     ),
+    "q_pagerank": (
+        "Each power iteration is one shuffle keyed on node id: the "
+        "edge list (the only large input) joins the node-sized rank "
+        "table — broadcast below threshold, shuffle-join above — "
+        "and aggregates contributions per destination. Edge weights "
+        "and out-degrees are computed once and persisted; iteration "
+        "count is fixed, so the plan is 3 identical stages, not a "
+        "driver-side convergence loop."
+    ),
+    "q_incremental_agg": (
+        "The refresh path: partial aggregates of base and delta "
+        "partitions merge through one full-outer join on the group "
+        "key. At scale the base side is a pre-bucketed materialized "
+        "state, making refresh cost O(delta) + a co-partitioned "
+        "merge — the naive full rescan appears only in the oracle."
+    ),
+    "q_gaps_islands": (
+        "One window pass (row_number over the customer-partitioned "
+        "date order) and one aggregation over the derived island "
+        "anchor — both keyed on the same customer column, so AQE "
+        "reuses the exchange; no self-join appears anywhere in the "
+        "plan."
+    ),
 }
 
 
