@@ -366,3 +366,50 @@ def p_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit") >= 5).alias("flagged"),
         )
     )
+
+
+@query(
+    "p_hash_sample_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 10
+    """,
+)
+def p_hash_sample_per_group(spark, sf_dir):
+    """Deterministic fixed-size per-group sample: within each
+    language, keep the 10 documents that rank first in md5(doc_id)
+    order — the reproducible analogue of a per-stratum reservoir
+    sample (same members on every run AND on every engine, unlike
+    rand()-seeded sampling whose draw depends on partitioning).
+
+    Scale plan: one window pass partitioned by the stratum key; the
+    hash rank is a stateless JVM expression, so at 100 TB this is a
+    single shuffle on the stratum key and the per-group top-k can
+    additionally push a partial top-k below the exchange via
+    window-group-limit (Spark optimizes rank<=k filters over windows
+    into a per-partition limit). Companion of p_sample_stratified
+    (fraction-based, sampleBy) — this one guarantees exact group
+    sizes and cross-engine reproducibility."""
+    from pyspark.sql.window import Window
+
+    from matrixinversion_spark.pipeline.dedup import hash32
+    from matrixinversion_spark.session import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
