@@ -43,7 +43,8 @@ def multiply(a: BlockMatrixFrame, b: BlockMatrixFrame) -> BlockMatrixFrame:
 
 def gemm(a: BlockMatrixFrame, b: BlockMatrixFrame,
          c: BlockMatrixFrame | None = None,
-         alpha: float = 1.0) -> BlockMatrixFrame:
+         alpha: float = 1.0,
+         k_chunk: int | None = None) -> BlockMatrixFrame:
     """Fused C + α·(A·B) (C optional, absent blocks = zeros).
 
     One shuffle total: the product pairs and the bias blocks of C are
@@ -61,6 +62,19 @@ def gemm(a: BlockMatrixFrame, b: BlockMatrixFrame,
     bs=1024 is a 16×16 grid and 64 GB of shuffle per multiply, at
     bs=2048 half that (measured — the bs=1024 point exhausted an
     80 GB spill disk; see BENCH_NOTES "N=16384").
+
+    Per-task memory: each output task materializes its whole k-panel,
+    ``(2k+1)·bs²·8`` bytes (544 MB at k=8, bs=2048) — the bound that
+    OOM'd the 64 GB local[32] heap at N=16384 (BENCH_NOTES r5
+    failure catalog; the Spark analogue of the reference's ~800 MB
+    strip budget, `LUInverse.java:73-75`). ``k_chunk`` caps it:
+    partial products are computed per k-range of that length (first
+    shuffle unchanged, tasks hold ``(2·k_chunk+1)`` blocks) and then
+    merge-summed in a second, output-sized shuffle. Cost: one extra
+    shuffle of ``ceil(k/k_chunk) × output_bytes``; use when
+    ``(2k+1)·bs²·8`` approaches per-core executor memory — the
+    inverse() pipeline leaves it off because auto_block_size caps
+    k ≤ 8.
     """
     if a.n_cols != b.n_rows or a.block_size != b.block_size:
         raise ValueError(
@@ -106,7 +120,51 @@ def gemm(a: BlockMatrixFrame, b: BlockMatrixFrame,
             columns=["bi", "bj", "rows", "cols", "data"],
         )
 
-    if c is None:
+    if k_chunk is not None:
+        if k_chunk < 1:
+            raise ValueError("k_chunk must be >= 1")
+        # stage 1: bounded-panel partial products per k-range
+        partials = (
+            joined.withColumn(
+                "kc", (F.col("k") / F.lit(int(k_chunk))).cast("int")
+            )
+            .groupBy("bi", "bj", "kc")
+            .applyInPandas(lambda pdf: gemm_sum(pdf), BLOCK_SCHEMA)
+        )
+
+        def merge_sum(pdf: pd.DataFrame, bias: pd.DataFrame
+                      ) -> pd.DataFrame:
+            acc: np.ndarray | None = None
+            if len(bias):
+                acc = np.asarray(
+                    bias["data"].iloc[0], dtype=np.float64
+                ).reshape(
+                    int(bias["rows"].iloc[0]), int(bias["cols"].iloc[0])
+                ).copy()
+            bi = bj = None
+            for bi, bj, r, cc, d in zip(
+                pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+            ):
+                p = np.asarray(d, dtype=np.float64).reshape(int(r), int(cc))
+                acc = p.copy() if acc is None else acc + p
+            if bi is None:
+                bi = int(bias["bi"].iloc[0])
+                bj = int(bias["bj"].iloc[0])
+            return pd.DataFrame(
+                [(int(bi), int(bj), acc.shape[0], acc.shape[1],
+                  acc.ravel())],
+                columns=["bi", "bj", "rows", "cols", "data"],
+            )
+
+        bias_df = c.df if c is not None else a.df.sparkSession.createDataFrame(
+            [], BLOCK_SCHEMA
+        )
+        out = (
+            partials.groupBy("bi", "bj")
+            .cogroup(bias_df.groupBy("bi", "bj"))
+            .applyInPandas(merge_sum, BLOCK_SCHEMA)
+        )
+    elif c is None:
         out = joined.groupBy("bi", "bj").applyInPandas(
             lambda pdf: gemm_sum(pdf), BLOCK_SCHEMA
         )
