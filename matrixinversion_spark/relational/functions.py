@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
@@ -514,4 +515,39 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_parts"),
             F.round(F.avg("p_retailprice"), 4).alias("avg_price_r4"),
         )
+    )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank_r6,
+           round(cume_dist() OVER w, 6) AS cume_dist_r6
+    FROM customer
+    WINDOW w AS (
+        PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+    )
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist per market segment (the customer-scoring shapes).
+
+    The order key includes the unique custkey so ntile's row
+    assignment is deterministic under acctbal ties (both engines
+    assign tiles by row order, so a non-deterministic order would be
+    a cross-engine coin flip). One window pass = one hash shuffle on
+    the segment key; all three functions share the same window frame
+    so Catalyst evaluates them in a single Window operator."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank_r6"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist_r6"),
     )
