@@ -341,3 +341,77 @@ def la_determinant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, ok)], "n int, matches_numpy boolean"
     )
+
+
+@query(
+    "la_matmul_chunked",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(l_partkey % {_DIM} AS INTEGER) AS i,
+               CAST(l_suppkey % {_DIM} AS INTEGER) AS j,
+               round(sum(l_quantity), 6) AS v
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT a.i, b.i AS j, round(sum(a.v * b.v), 3) AS val
+    FROM m a JOIN m b ON a.j = b.j
+    GROUP BY a.i, b.i
+    HAVING round(sum(a.v * b.v), 3) != 0.0
+    """,
+)
+def la_matmul_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memory-bounded k-chunked gemm (``ops.gemm(k_chunk=...)``,
+    BENCH_NOTES r5 heap-OOM mitigation) against the SAME relational
+    matmul oracle as la_matmul_coo — proving the two-stage
+    partial-product path is exact on real data, not just on the
+    pytest fixtures. The derived matrix is laid out as a 4×4 grid
+    (bs=16) so the inner dimension genuinely spans multiple chunks
+    (k=4, k_chunk=2 → two partial products per output block plus a
+    merge-sum shuffle)."""
+    bs = 16
+    li = read_table(spark, sf_dir, "lineitem")
+    coo = (
+        li.groupBy(
+            (F.col("l_partkey") % _DIM).cast("int").alias("i"),
+            (F.col("l_suppkey") % _DIM).cast("int").alias("j"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 6).alias("v"))
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        blk = np.zeros((bs, bs))
+        blk[pdf["i"].to_numpy() % bs, pdf["j"].to_numpy() % bs] = (
+            pdf["v"].to_numpy()
+        )
+        return pd.DataFrame(
+            [(bi, bj, bs, bs, blk.ravel())],
+            columns=["bi", "bj", "rows", "cols", "data"],
+        )
+
+    blocks = (
+        coo.groupBy(
+            (F.col("i") / bs).cast("int").alias("bi"),
+            (F.col("j") / bs).cast("int").alias("bj"),
+        )
+        .applyInPandas(assemble, BLOCK_SCHEMA)
+    )
+    m = BlockMatrixFrame(blocks, _DIM, _DIM, bs)
+    g = ops.gemm(m, ops.transpose(m), k_chunk=2)
+
+    def to_coo(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bi, bj, r, c, d in zip(
+            pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            blk = np.asarray(d, dtype=np.float64).reshape(r, c)
+            ii, jj = np.nonzero(np.round(blk, 3))
+            for i, j in zip(ii, jj):
+                out.append(
+                    (int(bi) * bs + int(i), int(bj) * bs + int(j),
+                     float(np.round(blk[i, j], 3)))
+                )
+        return pd.DataFrame(out, columns=["i", "j", "val"])
+
+    return g.df.groupBy("bi", "bj").applyInPandas(
+        to_coo, "i int, j int, val double"
+    )
