@@ -415,3 +415,94 @@ def la_matmul_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.df.groupBy("bi", "bj").applyInPandas(
         to_coo, "i int, j int, val double"
     )
+
+
+@query(
+    "la_tsqr_residual",
+    oracle=(
+        "SELECT 4096 AS n, 32 AS k, 0.0 AS orth_err_r6, "
+        "0.0 AS recon_err_r6, TRUE AS ok"
+    ),
+)
+def la_tsqr_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying tall-skinny QR (matrix/qr.py, Demmel et al.
+    TSQR): factor a seeded 4096×32 uniform panel (8 row slabs,
+    fanout-4 tree → 2 reduction levels), then driver-hash-check the
+    defining properties — ‖QᵀQ−I‖∞ (distributed Gram via
+    transpose+gemm, single 32×32 output block) and ‖A−QR‖∞ both
+    round to 0.0 at 6 decimals, R is upper-triangular with positive
+    diagonal. Like la_lu_residual, no SQL engine can QR a matrix but
+    the PROPERTY is a literal the driver can hash."""
+    from matrixinversion_spark.matrix import qr as qrmod
+
+    n, k, bs = 4096, 32, 512
+    a = BlockMatrixFrame.random_uniform(
+        spark, n, m=k, block_size=bs, seed=7
+    )
+    a.persist()
+    q, r = qrmod.tsqr(a, fanout=4)
+    q.persist()
+    gram = ops.multiply(ops.transpose(q), q).to_numpy()
+    orth_err = float(np.max(np.abs(gram - np.eye(k))))
+    rframe = BlockMatrixFrame.from_numpy(spark, r, block_size=bs)
+    recon_err = ops.max_abs_diff(a, ops.multiply(q, rframe))
+    r_is_upper = bool(
+        np.allclose(r, np.triu(r)) and np.all(np.diag(r) > 0)
+    )
+    ok = bool(
+        r_is_upper and orth_err < 1e-12 * n and recon_err < 1e-12 * n
+    )
+    return spark.createDataFrame(
+        [(n, k, float(round(orth_err, 6)), float(round(recon_err, 6)), ok)],
+        "n int, k int, orth_err_r6 double, recon_err_r6 double, ok boolean",
+    )
+
+
+@query(
+    "la_power_iteration",
+    oracle="SELECT 256 AS n, 15 AS iters, 0.0 AS rel_residual_r6, TRUE AS ok",
+)
+def la_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenpair of a seeded symmetric 256² matrix by
+    distributed power iteration: v ← A·v / ‖A·v‖ using the block gemm
+    (the vector stays a distributed 256×1 frame; only the SCALAR norm
+    crosses to the driver each step, so the loop is cluster-scale —
+    the dense-spectral twin of q_pagerank's sparse iteration). The
+    symmetrized uniform matrix has a Perron-dominant spectrum (gap
+    ≈ √n/n), so 15 iterations converge far past the 1e-9 check:
+    rel_residual = ‖A·v − λ·v‖∞ / |λ| rounds to 0.0 at 6 decimals,
+    which the driver hash-checks as a literal."""
+    from matrixinversion_spark.matrix.lu import _checkpoint
+
+    n, bs, iters = 256, 64, 15
+    b = BlockMatrixFrame.random_uniform(spark, n, block_size=bs, seed=11)
+    a = ops.add(b, ops.transpose(b))
+    a.persist()
+    v = BlockMatrixFrame.from_numpy(
+        spark, np.full((n, 1), 1.0 / np.sqrt(n)), block_size=bs
+    )
+    lam = 0.0
+    for _ in range(iters):
+        # checkpoint cuts the logical plan each step — without it the
+        # nested join/applyInPandas lineage grows exponentially in
+        # the optimizer and OOMs the driver around depth ~12
+        w = _checkpoint(ops.multiply(a, v))
+        w.persist()
+        # Rayleigh-style scalar: ‖w‖₂ via a JVM-side aggregate —
+        # one tiny action per step, no vector collect
+        norm2 = w.df.select(
+            F.sum(
+                F.aggregate(
+                    "data", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+        lam = float(np.sqrt(norm2))
+        v_next = ops.scale(w, 1.0 / lam)
+        v = v_next
+    av = ops.multiply(a, v)
+    rel_res = ops.max_abs_diff(av, ops.scale(v, lam)) / lam
+    return spark.createDataFrame(
+        [(n, iters, float(round(rel_res, 6)), bool(rel_res < 1e-9))],
+        "n int, iters int, rel_residual_r6 double, ok boolean",
+    )

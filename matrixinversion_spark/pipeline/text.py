@@ -903,3 +903,62 @@ def p_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniform_resample_factor_r4"
         ),
     )
+
+
+@query(
+    "p_unigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    cnt AS (
+        SELECT tok, CAST(count(*) AS DOUBLE) AS c
+        FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)     AS n_toks,
+           round(avg(ln(c / t)), 6)     AS avg_logp
+    FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def p_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score language-model quality filter (the CCNet/
+    RedPajama perplexity-proxy pattern): pass 1 estimates a unigram
+    LM over the whole corpus (token → relative frequency), pass 2
+    scores every document by its mean token log-probability — docs
+    full of corpus-rare tokens score low and get filtered.
+
+    Plan, 100 TB honest: one explode + one shuffle on token for the
+    LM (mergeable partial counts), the corpus total as a broadcast
+    scalar, then one shuffle join of tokens against the LM (token key
+    — vocabulary-bounded, uniform) and a final doc_id agg that reuses
+    the explode. No driver materialization of the vocabulary; if the
+    LM is known-small it could broadcast, but the shuffle join is the
+    plan that survives an open vocabulary.
+
+    avg() of logs is cross-engine fp-stable at 6 decimals: per-token
+    ln differs by ≤1 ulp between libm implementations, so the mean
+    over ~1e2 tokens carries ~1e-15 spread vs the 1e-6 granularity.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = cnt.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6).alias(
+                "avg_logp"
+            ),
+        )
+    )

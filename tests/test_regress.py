@@ -1,0 +1,71 @@
+"""Grouped-TSQR OLS differential vs numpy lstsq (relational/regress.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.relational.regress import ols_fit
+
+
+@pytest.fixture(scope="module")
+def fit_input(spark):
+    rng = np.random.default_rng(99)
+    rows = []
+    for g, (a0, a1, a2) in enumerate([(3.0, 2.0, -1.0), (-5.0, 0.5, 4.0)]):
+        x1 = rng.random(400) * 10
+        x2 = rng.standard_normal(400)
+        y = a0 + a1 * x1 + a2 * x2 + rng.standard_normal(400) * 0.1
+        rows.extend(
+            {"grp": f"g{g}", "x1": float(a), "x2": float(b), "y": float(c)}
+            for a, b, c in zip(x1, x2, y)
+        )
+    pdf = pd.DataFrame(rows)
+    # several partitions so the tree reduction actually reduces
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def test_ols_matches_numpy_per_group(spark, fit_input):
+    df, pdf = fit_input
+    out = {
+        r["grp"]: r
+        for r in ols_fit(
+            df, y_col="y", x_cols=["x1", "x2"], group_cols=["grp"]
+        ).collect()
+    }
+    assert set(out) == {"g0", "g1"}
+    for g in ("g0", "g1"):
+        sub = pdf[pdf["grp"] == g]
+        x = np.column_stack(
+            [np.ones(len(sub)), sub["x1"].to_numpy(), sub["x2"].to_numpy()]
+        )
+        y = sub["y"].to_numpy()
+        beta, *_ = np.linalg.lstsq(x, y, rcond=None)
+        got = np.asarray(out[g]["coef"])
+        assert out[g]["n"] == len(sub)
+        assert np.allclose(got, beta, atol=1e-8)
+        resid = y - x @ beta
+        tss = float(np.sum((y - y.mean()) ** 2))
+        r2 = 1.0 - float(resid @ resid) / tss
+        assert abs(out[g]["r2"] - r2) < 1e-10
+
+
+def test_ols_requires_groups(spark, fit_input):
+    df, _ = fit_input
+    with pytest.raises(ValueError, match="group_cols"):
+        ols_fit(df, y_col="y", x_cols=["x1"], group_cols=[])
+
+
+def test_ols_global_fit_via_constant_group(spark, fit_input):
+    df, pdf = fit_input
+    row = ols_fit(
+        df.withColumn("all", F.lit(1)),
+        y_col="y", x_cols=["x1"], group_cols=["all"],
+    ).collect()[0]
+    x = np.column_stack([np.ones(len(pdf)), pdf["x1"].to_numpy()])
+    beta, *_ = np.linalg.lstsq(x, pdf["y"].to_numpy(), rcond=None)
+    assert row["n"] == len(pdf)
+    assert np.allclose(np.asarray(row["coef"]), beta, atol=1e-8)
