@@ -112,6 +112,12 @@ def tsqr(a: BlockMatrixFrame, fanout: int = 8
     the la_tsqr_residual query pins that bound at every driver run.
     """
     r = tsqr_r(a, fanout=fanout)
+    d = np.abs(np.diag(r))
+    if d.min() <= np.finfo(np.float64).eps * max(a.n_rows, 1) * d.max():
+        raise np.linalg.LinAlgError(
+            "tsqr: input is (numerically) rank-deficient — the "
+            "indirect Q = A·R⁻¹ form needs full column rank"
+        )
     rinv = np.linalg.inv(r)
     k = a.n_cols
 

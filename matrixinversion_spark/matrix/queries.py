@@ -506,3 +506,45 @@ def la_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, iters, float(round(rel_res, 6)), bool(rel_res < 1e-9))],
         "n int, iters int, rel_residual_r6 double, ok boolean",
     )
+
+
+@query(
+    "la_randomized_svd",
+    oracle=(
+        "SELECT 1024 AS n, 256 AS m, 16 AS rank, 0.0 AS sv_err_r6, "
+        "0.0 AS recon_err_r6, TRUE AS ok"
+    ),
+)
+def la_randomized_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying randomized truncated SVD (matrix/svd.py, Halko
+    et al. 2011): a seeded EXACTLY-rank-16 1024×256 matrix (product
+    of two Gaussian factors) is factored at rank=16 with 12
+    oversamples — in the exact-rank regime the sketch captures the
+    whole range, so the recovered singular values match driver-LAPACK
+    svd to machine precision and ‖A − U·S·Vᵀ‖∞ rounds to 0.0 at 6
+    decimals; ``ok`` pins both tolerances (la_lu_residual pattern)."""
+    from matrixinversion_spark.matrix import svd as svdmod
+
+    n, m, rank = 1024, 256, 16
+    rng = np.random.default_rng(123)
+    a_np = (rng.standard_normal((n, rank)) / np.sqrt(n)) @ (
+        rng.standard_normal((rank, m)) * 10.0
+    )
+    a = BlockMatrixFrame.from_numpy(spark, a_np, block_size=256)
+    a.persist()
+    u, s, vt = svdmod.randomized_svd(
+        a, rank=rank, oversample=0, power_iters=1, seed=5
+    )
+    s_true = np.linalg.svd(a_np, compute_uv=False)[:rank]
+    sv_err = float(np.max(np.abs(s - s_true)))
+    recon = BlockMatrixFrame.from_numpy(
+        spark, np.diag(s) @ vt, block_size=256
+    )
+    recon_err = ops.max_abs_diff(a, ops.multiply(u, recon))
+    ok = bool(sv_err < 1e-8 * s_true[0] and recon_err < 1e-8 * s_true[0])
+    return spark.createDataFrame(
+        [(n, m, rank, float(round(sv_err, 6)),
+          float(round(recon_err, 6)), ok)],
+        "n int, m int, rank int, sv_err_r6 double, "
+        "recon_err_r6 double, ok boolean",
+    )

@@ -67,3 +67,37 @@ def test_tsqr_gram_identity_distributed(spark):
     q, _ = qrmod.tsqr(a, fanout=4)
     gram = ops.multiply(ops.transpose(q), q).to_numpy()
     assert np.max(np.abs(gram - np.eye(12))) < 1e-10
+
+
+def test_randomized_svd_noisy_spectrum(spark):
+    """Approximate regime: rank-10 signal + noise — recovered top
+    singular values sit within the Halko bound of the true ones."""
+    from matrixinversion_spark.matrix import svd as svdmod
+
+    rng = np.random.default_rng(42)
+    n, m, r = 512, 128, 10
+    signal = (rng.standard_normal((n, r)) * 5.0) @ rng.standard_normal((r, m))
+    a_np = signal + rng.standard_normal((n, m)) * 0.01
+    a = BlockMatrixFrame.from_numpy(spark, a_np, block_size=128)
+    u, s, vt = svdmod.randomized_svd(a, rank=r, oversample=8,
+                                     power_iters=2, seed=1)
+    s_true = np.linalg.svd(a_np, compute_uv=False)[:r]
+    assert np.max(np.abs(s - s_true) / s_true) < 1e-6
+    # U orthonormal
+    u_np = u.to_numpy()
+    assert np.max(np.abs(u_np.T @ u_np - np.eye(r))) < 1e-8
+
+
+def test_randomized_svd_rejects_oversized_sketch(spark):
+    from matrixinversion_spark.matrix import svd as svdmod
+
+    a = BlockMatrixFrame.from_numpy(spark, np.ones((64, 32)), block_size=16)
+    with pytest.raises(ValueError, match="block_size"):
+        svdmod.randomized_svd(a, rank=20, oversample=8)
+
+
+def test_tsqr_rank_deficient_raises(spark):
+    a_np = np.ones((128, 4))  # rank 1
+    a = BlockMatrixFrame.from_numpy(spark, a_np, block_size=64)
+    with pytest.raises(np.linalg.LinAlgError, match="rank-deficient"):
+        qrmod.tsqr(a, fanout=2)
