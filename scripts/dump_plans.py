@@ -205,6 +205,20 @@ NOTES: dict[str, str] = {
         "reuses the exchange; no self-join appears anywhere in the "
         "plan."
     ),
+    "q_ols_regression": (
+        "Grouped-TSQR least squares: two applyInPandas stages — "
+        "(group, partition) local R factors, then a per-group "
+        "reduction — so the bytes shuffled per group are "
+        "O(partitions × (p+2)²) doubles, independent of row count. "
+        "The lineitem scan reads only the 3 referenced columns."
+    ),
+    "p_unigram_lm_score": (
+        "Train-then-score in one plan: token counts are a mergeable "
+        "partial aggregate (map-side combine before the token "
+        "shuffle), the corpus total broadcasts as a scalar, and the "
+        "score join shuffles on the uniform token key — no driver "
+        "materialization of the vocabulary anywhere."
+    ),
 }
 
 
