@@ -36,10 +36,20 @@ from matrixinversion_spark.session import read_table
 
 
 def ols_fit(df: DataFrame, y_col: str, x_cols: list[str],
-            group_cols: list[str]) -> DataFrame:
-    """Per-group OLS of ``y ~ 1 + X``. Returns one row per group:
-    ``group_cols…, n BIGINT, coef ARRAY<DOUBLE> (intercept first),
-    r2 DOUBLE``. Requires ≥ p+2 rows and full-rank design per group.
+            group_cols: list[str], l2: float = 0.0) -> DataFrame:
+    """Per-group OLS / ridge of ``y ~ 1 + X``. Returns one row per
+    group: ``group_cols…, n BIGINT, coef ARRAY<DOUBLE> (intercept
+    first), r2 DOUBLE``. Requires ≥ p+2 rows and full-rank design per
+    group.
+
+    ``l2 > 0`` adds Tikhonov regularization on the SLOPES (the
+    intercept stays unpenalized, the standard convention): the final
+    per-group QR simply absorbs ``p`` extra rows ``√λ·eⱼ`` — zero
+    additional data movement, the penalty lives entirely in the
+    (p+2)×(p+2) reduction. ``r2`` always reports the UNPENALIZED
+    residual of the (shrunken) coefficients, so it stays comparable
+    across λ values (the λ‖β‖² share of the augmented residual is
+    subtracted back out).
     """
     if not group_cols:
         raise ValueError("group_cols must be non-empty (use a literal "
@@ -74,9 +84,19 @@ def ols_fit(df: DataFrame, y_col: str, x_cols: list[str],
             [np.asarray(d, dtype=np.float64).reshape(-1, m)
              for d in pdf["rdata"]]
         )
+        if l2 > 0.0:
+            # √λ·eⱼ rows for each slope column — augmented least
+            # squares IS ridge; intercept (col 0) and y (col p+1)
+            # stay untouched
+            pen = np.zeros((p, m))
+            pen[np.arange(p), np.arange(1, p + 1)] = np.sqrt(l2)
+            stacked = np.vstack([stacked, pen])
         r = np.linalg.qr(stacked, mode="r")
         beta = np.linalg.solve(r[: p + 1, : p + 1], r[: p + 1, p + 1])
-        sse = float(r[p + 1, p + 1] ** 2)
+        # augmented residual = SSE + λ‖β_slopes‖²; report true SSE
+        sse = float(r[p + 1, p + 1] ** 2) - l2 * float(
+            beta[1:] @ beta[1:]
+        )
         tss = float(np.sum(r[1:, p + 1] ** 2))
         keys = [pdf[g].iloc[0] for g in group_cols]
         return pd.DataFrame(
@@ -123,4 +143,44 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("coef")[0], 2).alias("intercept"),
         F.round(F.col("coef")[1], 3).alias("slope"),
         F.round("r2", 6).alias("r2"),
+    )
+
+
+@query(
+    "q_ridge_regression",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT)               AS n,
+               count(*) * covar_pop(l_quantity, l_extendedprice) AS sxy,
+               count(*) * var_pop(l_quantity)         AS sxx,
+               avg(l_extendedprice)                   AS ybar,
+               avg(l_quantity)                        AS xbar
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(ybar - sxy / (sxx + 1000.0) * xbar, 2) AS intercept,
+           round(sxy / (sxx + 1000.0), 4)               AS slope
+    FROM s
+    """,
+)
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge (λ=1000, slope-penalized, intercept free) per
+    returnflag, via the grouped-TSQR path with the √λ-row
+    augmentation — cross-checked against the CLOSED FORM
+    ``slope = Sxy/(Sxx+λ)``, ``intercept = ȳ − slope·x̄`` that holds
+    for single-feature ridge, computed by DuckDB from its native
+    covariance/variance aggregates. λ is large enough (Sxx ≈ 1e6) to
+    shrink the slope visibly, so the row actually distinguishes ridge
+    from OLS at the rounded digits."""
+    li = read_table(spark, sf_dir, "lineitem")
+    fit = ols_fit(
+        li, y_col="l_extendedprice", x_cols=["l_quantity"],
+        group_cols=["l_returnflag"], l2=1000.0,
+    )
+    return fit.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("coef")[0], 2).alias("intercept"),
+        F.round(F.col("coef")[1], 4).alias("slope"),
     )

@@ -69,3 +69,29 @@ def test_ols_global_fit_via_constant_group(spark, fit_input):
     beta, *_ = np.linalg.lstsq(x, pdf["y"].to_numpy(), rcond=None)
     assert row["n"] == len(pdf)
     assert np.allclose(np.asarray(row["coef"]), beta, atol=1e-8)
+
+
+def test_ridge_shrinks_toward_zero(spark, fit_input):
+    df, pdf = fit_input
+    sub = pdf[pdf["grp"] == "g0"]
+    x = np.column_stack([np.ones(len(sub)), sub["x1"].to_numpy(),
+                         sub["x2"].to_numpy()])
+    y = sub["y"].to_numpy()
+    lam = 50.0
+    # closed-form ridge with unpenalized intercept
+    pen = np.diag([0.0, lam, lam])
+    beta_ridge = np.linalg.solve(x.T @ x + pen, x.T @ y)
+    row = {
+        r["grp"]: r
+        for r in ols_fit(df, y_col="y", x_cols=["x1", "x2"],
+                         group_cols=["grp"], l2=lam).collect()
+    }["g0"]
+    assert np.allclose(np.asarray(row["coef"]), beta_ridge, atol=1e-8)
+    # r2 is the UNPENALIZED residual of the shrunken coefficients
+    resid = y - x @ beta_ridge
+    tss = float(np.sum((y - y.mean()) ** 2))
+    assert abs(row["r2"] - (1.0 - resid @ resid / tss)) < 1e-9
+    # slopes strictly shrunk vs OLS
+    beta_ols = np.linalg.lstsq(x, y, rcond=None)[0]
+    assert np.all(np.abs(np.asarray(row["coef"])[1:]) <
+                  np.abs(beta_ols[1:]) + 1e-12)
