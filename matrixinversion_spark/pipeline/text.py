@@ -962,3 +962,48 @@ def p_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "p_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) + 1.0) / 4294967297.0) / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, round(k, 9) AS key
+    FROM keyed ORDER BY k DESC LIMIT 50
+    """,
+)
+def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=50, weight ∝ doc
+    length — the Efraimidis–Spirakis A-ES scheme (IPL 97(5), 2006):
+    each row gets key = ln(u)/w for u ∈ (0,1) and the k LARGEST keys
+    are the sample (equivalent to max u^(1/w)). u comes from the
+    md5-prefix hash (dedup.hash32), not a RNG, so the sample is
+    deterministic, reproducible under re-runs and corpus growth, and
+    bit-matched by the DuckDB oracle.
+
+    Scale plan: key assignment is a stateless narrow map; selection
+    is a top-k (TakeOrdered partial per partition + driver merge of
+    k-element heaps — no global sort, no shuffle of the data). The
+    same two-line pattern gives per-stratum weighted samples by
+    swapping the top-k for a row_number window over the stratum."""
+    from matrixinversion_spark.pipeline.dedup import hash32
+
+    d = read_table(spark, sf_dir, "documents")
+    u = (hash32(F.col("doc_id").cast("string")) + F.lit(1.0)) / F.lit(
+        4294967297.0
+    )
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.desc("k"))
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("k", 9).alias("key"))
+    )

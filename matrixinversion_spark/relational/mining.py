@@ -270,3 +270,96 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round("rank", 6).alias("pagerank_r6"))
+
+
+_BFS_EDGE_SQL = """
+    WITH e0 AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT src, dst FROM e0
+        ORDER BY w DESC, src, dst LIMIT 150
+    )
+"""
+
+
+@query(
+    "q_bfs_shortest_path",
+    oracle=_BFS_EDGE_SQL + """,
+    walk AS (
+        WITH RECURSIVE step(node, d) AS (
+            SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+            UNION ALL
+            SELECT CAST(e.dst AS BIGINT), step.d + 1
+            FROM step JOIN e ON e.src = step.node
+            WHERE step.d < 3
+        )
+        SELECT node, d FROM step
+    )
+    SELECT node, CAST(min(d) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def q_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest hop-distance (≤ 3 rounds) from
+    nation 0 over the SPARSIFIED nation trade graph — the top-150
+    heaviest directed customer-nation → supplier-nation edges
+    (deterministic (w, src, dst) tie-break), which leaves real
+    multi-hop structure unlike the dense full graph. Companion of
+    q_pagerank / q_triangle_count for the iterative-graph surface;
+    the oracle is a depth-bounded DuckDB recursive CTE.
+
+    Scale plan: the textbook frontier formulation — each round is
+    one join of the edge list against the CURRENT frontier only
+    (dist == k−1), then a min-combine into the visited set; both
+    shuffles key on node id. Edge sparsification is a top-k
+    (TakeOrdered — no full sort at the executors). At 1e9+ nodes
+    the same loop runs with the frontier staying distributed;
+    rounds are bounded by the diameter as in the reference-free
+    pointer-jumping CC operator (curation.py)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        e0.orderBy(F.desc("w"), "src", "dst")
+        .limit(150)
+        .select("src", "dst")
+        .persist()
+    )
+
+    dist = spark.createDataFrame([(0, 0)], "node bigint, dist int")
+    for k in range(1, 4):
+        frontier = dist.filter(F.col("dist") == k - 1).select(
+            F.col("node").alias("src")
+        )
+        reached = (
+            edges.join(frontier, "src")
+            .select(F.col("dst").alias("node"))
+            .withColumn("dist", F.lit(k))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
