@@ -184,3 +184,103 @@ def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("coef")[0], 2).alias("intercept"),
         F.round(F.col("coef")[1], 4).alias("slope"),
     )
+
+
+def logistic_fit(df: DataFrame, y_col: str, x_cols: list[str],
+                 max_iter: int = 12, tol: float = 1e-10) -> np.ndarray:
+    """Distributed logistic regression (y ∈ {0,1} ~ 1 + X) by exact
+    Newton-Raphson. Each iteration is ONE Spark job: the gradient
+    Xᵀ(y−p̂) and Hessian XᵀWX (W = p̂(1−p̂)) are sums of row-local JVM
+    expressions — no Python UDF touches data, and the driver receives
+    exactly (p+1) + (p+1)² doubles per step, independent of row
+    count. β updates driver-side (a (p+1)×(p+1) solve).
+
+    Scale, 100 TB honest: this is the textbook full-batch IRLS layout
+    every distributed ML system uses (Spark MLlib's LogisticRegression
+    aggregates the same sufficient statistics); convergence is
+    quadratic near the optimum, so ~8 iterations ≡ ~8 scans. The scan
+    is a pure map-aggregate — no shuffle wider than the partial-agg
+    combine. Requires a non-separable design (separable data sends
+    ‖β‖ → ∞, as in any unregularized logistic fit).
+    """
+    p = len(x_cols)
+    names = ["__one"] + x_cols
+    feat = df.select(
+        F.lit(1.0).alias("__one"),
+        *[F.col(c).cast("double").alias(c) for c in x_cols],
+        F.col(y_col).cast("double").alias("__y"),
+    ).persist()
+    beta = np.zeros(p + 1)
+    try:
+        for _ in range(max_iter):
+            eta = sum(
+                (F.col(c) * float(b) for c, b in zip(names, beta)),
+                start=F.lit(0.0),
+            )
+            prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            resid = F.col("__y") - prob
+            w = prob * (F.lit(1.0) - prob)
+            aggs = [
+                F.sum(F.col(c) * resid).alias(f"g{i}")
+                for i, c in enumerate(names)
+            ]
+            aggs += [
+                F.sum(F.col(ci) * F.col(cj) * w).alias(f"h{i}_{j}")
+                for i, ci in enumerate(names)
+                for j, cj in enumerate(names)
+                if i <= j
+            ]
+            row = feat.agg(*aggs).collect()[0]
+            grad = np.array([row[f"g{i}"] for i in range(p + 1)])
+            hess = np.empty((p + 1, p + 1))
+            for i in range(p + 1):
+                for j in range(i, p + 1):
+                    hess[i, j] = hess[j, i] = row[f"h{i}_{j}"]
+            step = np.linalg.solve(hess, grad)
+            beta = beta + step
+            if np.max(np.abs(step)) < tol:
+                break
+    finally:
+        feat.unpersist()
+    return beta
+
+
+@query(
+    "q_logistic_regression",
+    oracle=(
+        "SELECT CAST(3 AS BIGINT) AS n_coef, 0.0 AS grad_inf_norm_r6, "
+        "TRUE AS converged"
+    ),
+)
+def q_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic fit of P(returnflag = 'R') on scaled
+    quantity + discount over lineitem. No SQL engine can fit a
+    logistic model, but the OPTIMALITY CONDITION is hash-checkable
+    (la_lu_residual pattern): at the MLE the score Xᵀ(y−p̂) is
+    exactly zero, so the fitted model's gradient ∞-norm — computed
+    by one more distributed pass — rounds to 0.0 at 6 decimals and
+    ``converged`` pins the tolerance. Pytest cross-checks the
+    coefficients against driver-side numpy IRLS on the same data."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 25.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    beta = logistic_fit(li, y_col="y", x_cols=["x1", "x2"])
+    eta = (
+        F.lit(float(beta[0]))
+        + F.col("x1") * float(beta[1])
+        + F.col("x2") * float(beta[2])
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    resid = F.col("y") - prob
+    row = li.agg(
+        F.abs(F.sum(resid)).alias("g0"),
+        F.abs(F.sum(F.col("x1") * resid)).alias("g1"),
+        F.abs(F.sum(F.col("x2") * resid)).alias("g2"),
+    ).collect()[0]
+    gnorm = max(row["g0"], row["g1"], row["g2"])
+    return spark.createDataFrame(
+        [(3, float(round(gnorm, 6)), bool(gnorm < 1e-6))],
+        "n_coef bigint, grad_inf_norm_r6 double, converged boolean",
+    )

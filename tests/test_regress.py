@@ -95,3 +95,34 @@ def test_ridge_shrinks_toward_zero(spark, fit_input):
     beta_ols = np.linalg.lstsq(x, y, rcond=None)[0]
     assert np.all(np.abs(np.asarray(row["coef"])[1:]) <
                   np.abs(beta_ols[1:]) + 1e-12)
+
+
+def test_logistic_matches_numpy_irls(spark):
+    from matrixinversion_spark.relational.regress import logistic_fit
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    x1 = rng.standard_normal(n)
+    x2 = rng.standard_normal(n)
+    true_beta = np.array([0.5, -1.2, 2.0])
+    eta = true_beta[0] + true_beta[1] * x1 + true_beta[2] * x2
+    y = (rng.random(n) < 1.0 / (1.0 + np.exp(-eta))).astype(float)
+    pdf = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    beta = logistic_fit(df, y_col="y", x_cols=["x1", "x2"])
+
+    # driver-side Newton on the same data
+    X = np.column_stack([np.ones(n), x1, x2])
+    b = np.zeros(3)
+    for _ in range(25):
+        p = 1.0 / (1.0 + np.exp(-X @ b))
+        g = X.T @ (y - p)
+        H = X.T @ (X * (p * (1 - p))[:, None])
+        step = np.linalg.solve(H, g)
+        b = b + step
+        if np.max(np.abs(step)) < 1e-12:
+            break
+    assert np.allclose(beta, b, atol=1e-8)
+    # sanity: recovered parameters near the generating ones
+    assert np.max(np.abs(beta - true_beta)) < 0.3
