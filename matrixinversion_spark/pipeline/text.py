@@ -1007,3 +1007,56 @@ def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "n_chars", F.round("k", 9).alias("key"))
     )
+
+
+@query(
+    "p_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    cnt AS (
+        SELECT lang, tok, CAST(count(*) AS DOUBLE) AS c
+        FROM toks GROUP BY lang, tok
+    ),
+    tot AS (
+        SELECT lang, sum(c) AS t, CAST(count(*) AS BIGINT) AS vocab
+        FROM cnt GROUP BY lang
+    )
+    SELECT cnt.lang,
+           tot.vocab                                    AS vocab,
+           CAST(tot.t AS BIGINT)                        AS n_toks,
+           round(-sum((c / t) * ln(c / t)), 6)          AS entropy
+    FROM cnt JOIN tot ON cnt.lang = tot.lang
+    GROUP BY cnt.lang, tot.vocab, tot.t
+    """,
+)
+def p_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token Shannon entropy + vocabulary size — the
+    lexical-diversity audit a corpus pipeline runs per shard/language
+    to spot template spam (low entropy) or tokenizer damage (entropy
+    spikes). Two uniform aggregations (lang,token → counts; lang →
+    entropy fold); the entropy sum runs over the vocabulary, not the
+    corpus, so the second stage is cardinality-bounded at any data
+    size."""
+    d = read_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    p = F.col("c") / F.col("t")
+    return (
+        cnt.join(tot, "lang")
+        .groupBy("lang", "vocab", "t")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            "lang", "vocab",
+            F.col("t").cast("bigint").alias("n_toks"), "entropy",
+        )
+    )

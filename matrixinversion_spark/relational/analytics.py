@@ -841,3 +841,69 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("sum_price_r2"),
     )
+
+
+@query(
+    "q_chisq_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               CAST(count(*) AS DOUBLE) AS obs
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT seg, pri, obs,
+               sum(obs) OVER (PARTITION BY seg) AS row_tot,
+               sum(obs) OVER (PARTITION BY pri) AS col_tot,
+               sum(obs) OVER ()                 AS n
+        FROM cells
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_cells,
+           CAST((count(DISTINCT seg) - 1)
+                * (count(DISTINCT pri) - 1) AS BIGINT)    AS dof,
+           round(sum(power(obs - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 6)       AS chi2
+    FROM m
+    """,
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (market segment × order
+    priority): contingency cells by one groupBy, margins by window
+    sums OVER the cell table (segment/priority cardinality rows, not
+    data rows), X² as a final fold. The statistical-testing
+    primitive for pipeline audits ("did the rebalance change the
+    domain mix?" — companion of p_domain_mix).
+
+    Scale plan: the only data-sized operation is the first
+    aggregation (uniform two-key group); everything after runs on
+    |seg|×|pri| rows. Exact-count arithmetic makes the cross-engine
+    float spread last-ulp only."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    m = cells.select(
+        "seg", "pri", "obs",
+        F.sum("obs").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("obs").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)
+        ).cast("bigint").alias("dof"),
+        F.round(
+            F.sum(F.pow(F.col("obs") - exp, 2) / exp), 6
+        ).alias("chi2"),
+    )
