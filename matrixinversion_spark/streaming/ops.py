@@ -22,6 +22,7 @@ which matches the downstream sink partitioning.
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -279,3 +280,90 @@ def running_user_stats_tws(events: DataFrame,
             timeMode="None",
         )
     )
+
+
+class IncrementalOLS:
+    """Streaming least-squares model maintenance via foreachBatch.
+
+    The TSQR R-factor is a MERGEABLE model summary: RᵀR = AᵀA, so
+    folding each micro-batch's distributed R into the running state
+    (stack + re-QR of two (p+2)×(p+2) triangles) maintains the exact
+    full-history OLS fit with O((p+2)²) state — the streaming twin of
+    ``relational.regress.ols_fit``, and commutative/associative in
+    the same sense (arrival order changes nothing but last-ulp fp).
+
+    Per micro-batch work: one narrow mapInPandas computing a local R
+    per partition, a driver-side stack of (partitions+1) tiny
+    triangles, no shuffle at all. Use ``attach`` to wire it to a
+    stream; read the fit off ``model()`` any time.
+    """
+
+    def __init__(self, y_col: str, x_cols: list[str]) -> None:
+        import numpy as np
+
+        self.y_col, self.x_cols = y_col, list(x_cols)
+        self.m = len(x_cols) + 2
+        self.r: "np.ndarray | None" = None
+        self.n = 0
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        import numpy as np
+
+        m, y_col, x_cols = self.m, self.y_col, self.x_cols
+
+        def local_r(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                block = np.column_stack(
+                    [np.ones(len(pdf)),
+                     pdf[x_cols].to_numpy(dtype=np.float64),
+                     pdf[y_col].to_numpy(dtype=np.float64)]
+                )
+                r = np.linalg.qr(block, mode="r")
+                yield pd.DataFrame(
+                    {"rdata": [r.ravel()], "bn": [len(pdf)]}
+                )
+
+        parts = (
+            batch_df.select(*x_cols, y_col)
+            .mapInPandas(local_r, "rdata array<double>, bn bigint")
+            .collect()
+        )
+        if not parts:
+            return
+        stack = [np.asarray(p["rdata"], dtype=np.float64).reshape(-1, m)
+                 for p in parts]
+        if self.r is not None:
+            stack.append(self.r)
+        self.r = np.linalg.qr(np.vstack(stack), mode="r")
+        self.n += sum(p["bn"] for p in parts)
+
+    def attach(self, stream: DataFrame):
+        """availableNow foreachBatch run that drains the stream into
+        the model state; returns after the final batch."""
+        q = (
+            stream.writeStream.foreachBatch(self.update)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="inc_ols_ckpt_"),
+            )
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    def model(self) -> dict:
+        """Current fit: {n, coef (intercept first), r2} — same
+        R-triangle readout as relational.regress.ols_fit."""
+        import numpy as np
+
+        if self.r is None:
+            raise ValueError("no data seen yet")
+        p = self.m - 2
+        r = self.r
+        beta = np.linalg.solve(r[: p + 1, : p + 1], r[: p + 1, p + 1])
+        sse = float(r[p + 1, p + 1] ** 2)
+        tss = float(np.sum(r[1:, p + 1] ** 2))
+        return {"n": int(self.n), "coef": beta, "r2": 1.0 - sse / tss}

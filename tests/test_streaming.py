@@ -187,3 +187,32 @@ def test_stateful_transform_with_state(spark):
         .reset_index(drop=True)
     )
     assert got.equals(batch)
+
+
+def test_incremental_ols_matches_batch(spark):
+    """Streaming model maintenance: drain the events stream through
+    IncrementalOLS and compare the final fit with the batch
+    grouped-TSQR fit on the same table — the R-factor is a mergeable
+    summary, so the two must agree to fp round-off."""
+    import numpy as np
+
+    from matrixinversion_spark.relational.regress import ols_fit
+
+    stream = sops.read_events_stream(spark, SF_DIR).select(
+        F.col("value").alias("y"),
+        (F.col("user_id") % 97).cast("double").alias("x1"),
+    )
+    inc = sops.IncrementalOLS(y_col="y", x_cols=["x1"])
+    inc.attach(stream)
+    got = inc.model()
+
+    batch = read_table(spark, SF_DIR, "events").select(
+        F.col("value").alias("y"),
+        (F.col("user_id") % 97).cast("double").alias("x1"),
+        F.lit(1).alias("g"),
+    )
+    want = ols_fit(batch, y_col="y", x_cols=["x1"],
+                   group_cols=["g"]).collect()[0]
+    assert got["n"] == want["n"]
+    assert np.allclose(got["coef"], np.asarray(want["coef"]), atol=1e-9)
+    assert abs(got["r2"] - want["r2"]) < 1e-9
