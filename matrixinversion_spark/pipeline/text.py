@@ -1060,3 +1060,66 @@ def p_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").cast("bigint").alias("n_toks"), "entropy",
         )
     )
+
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "p_pii_scrub",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@corp.example or +1-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>',
+                                             'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g'))
+               AS scrubbed_md5
+    FROM enriched
+    """,
+)
+def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phone numbers) — the compliance scrub
+    every LLM training pipeline runs before tokenization. The corpus
+    is synthetic and PII-free, so each document is first ENRICHED
+    with a deterministic doc_id-derived email + phone; the oracle
+    then hash-checks the fully scrubbed text (md5), i.e. the actual
+    replacement output, not just match counts. Both regexes stay in
+    the Java∩RE2 common subset so Spark and DuckDB match identically.
+
+    Scale plan: stateless JVM ``regexp_replace``/``regexp_count``
+    narrow maps — zero shuffles, pure whole-stage-codegen; at 100 TB
+    this runs at scan speed."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@corp.example or +1-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE), F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0)))
+            .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0)))
+            .cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
