@@ -907,3 +907,51 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.pow(F.col("obs") - exp, 2) / exp), 6
         ).alias("chi2"),
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, value,
+               (epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id))
+                - epoch_us(ts)) / 1e6 AS dur
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                    AS n_intervals,
+           round(sum(dur), 3)                          AS total_sec,
+           round(sum(value * dur) / sum(dur), 6)       AS twap
+    FROM o WHERE dur IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of ``value`` per event type —
+    each observation holds until the next one, so its weight is the
+    interval length (the finance/metrics semantics a plain avg gets
+    wrong under irregular sampling). One window pass (lead over the
+    event-type partition, deterministic (ts, event_id) order) and one
+    aggregation on the SAME key, so AQE reuses the exchange — the
+    q_gaps_islands plan shape applied to continuous time."""
+    from pyspark.sql.window import Window as W
+
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    dur = (
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        / 1e6
+    )
+    return (
+        e.select("event_type", "value", dur.alias("dur"))
+        .filter(F.col("dur").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.round(F.sum("dur"), 3).alias("total_sec"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6
+            ).alias("twap"),
+        )
+    )
