@@ -1,0 +1,476 @@
+"""Data-profiling and temporal-statistics operators.
+
+Exponentially-weighted means, rolling-window anomaly scores, SCD2
+interval construction from changelogs, deterministic mode,
+percentile winsorization, ABC (Pareto 80/15/5) classification on a
+distributed prefix sum, and a Benford first-digit audit — the
+profile/monitor layer a data platform runs over every ingested
+table.
+
+Reference provenance: no relational surface in the reference
+(SURVEY.md §2.2); mandated engine extension per §2.3.
+
+Scale notes are per-operator; the one shared building block is
+``prefix_sum`` — a distributed running total that never collapses to
+a single-partition window (the classic ``Window.orderBy`` scale
+trap): range-repartition on the sort key, per-partition sequential
+running sum, plus a driver-side exclusive scan over the K
+per-partition totals (K rows — bounded by the partition count, not
+the data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "cum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Inclusive running total of ``value_col`` over the total order
+    given by ``order_cols`` — distributed.
+
+    ``Window.orderBy`` without ``partitionBy`` funnels every row
+    through ONE task; this instead (1) range-repartitions on the
+    sort key so each task owns a contiguous key range, (2) computes
+    the sequential running sum inside each partition, and (3) adds
+    the exclusive prefix of the per-partition totals, which is a
+    K-row driver-side scan (K = ``n_parts``) joined back by a
+    broadcast. Equivalent to
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` but with
+    no single-task bottleneck — at 100 TB the widest stage is still
+    a full sort-shuffle, the same price as any global ORDER BY.
+
+    ``order_cols`` must be a total order (include a tiebreaker) or
+    the result is nondeterministic.
+    """
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wp = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    local = ranged.withColumn("_local", F.sum(value_col).over(wp))
+    # K rows on the driver — bounded by n_parts, never by data size.
+    totals = {
+        r["_pid"]: r["t"]
+        for r in local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    running, offsets = 0.0, {}
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), float(v)) for p, v in offsets.items()],
+        "_pid INT, _off DOUBLE",
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_used,
+           round(sum(power(0.8, rn - 1) * value)
+                 / sum(power(0.8, rn - 1)), 6) AS ewma
+    FROM r WHERE rn <= 64
+    GROUP BY event_type
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.2) of ``value``
+    per event type, over the most recent K=64 observations with
+    explicit normalized weights (1−α)^j — the closed form of the
+    recursive EWMA, truncated at K where the dropped tail weight is
+    (1−α)^64 ≈ 6e-7 of the total.
+
+    The explicit-weight form is chosen over the recursion because it
+    is order-reducible: one row_number window (to pick and index the
+    last K per key) plus one ordinary groupBy — no sequential
+    dependency, so it parallelizes per key at any scale. K bounds
+    the weight dynamic range, so no underflow/overflow games are
+    needed.
+    """
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wt = F.pow(F.lit(0.8), F.col("rn") - 1)
+    return (
+        e.select("event_type", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_used"),
+            F.round(
+                F.sum(wt * F.col("value")) / F.sum(wt), 6
+            ).alias("ewma"),
+        )
+    )
+
+
+@query(
+    "q_rolling_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type, value,
+               avg(value)         OVER w AS mu,
+               stddev_samp(value) OVER w AS sd,
+               count(value)       OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN abs((value - mu) / sd) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS anomalies,
+           round(max(abs((value - mu) / sd)), 4) AS max_abs_z
+    FROM s WHERE n >= 10 AND sd > 1e-9
+    GROUP BY event_type
+    """,
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event is scored
+    against the mean/stddev of the PRECEDING 20 events of its type
+    (the trailing frame excludes the current row, so the score is a
+    true out-of-sample surprise, not self-referential). Events with
+    fewer than 10 predecessors or a degenerate stddev are unscored.
+
+    One window pass (three frame aggregates share the same sort and
+    frame, computed in a single WindowExec) and one groupBy on the
+    partition key — the exchange is reused. Scale-safe: the frame is
+    ROWS-bounded so state per key is O(21) regardless of data size.
+    """
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.select(
+            "event_type",
+            "value",
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sd"),
+            F.count("value").over(w).alias("n"),
+        )
+        .filter((F.col("n") >= 10) & (F.col("sd") > 1e-9))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(
+                F.when(F.abs(z) > 3, 1).otherwise(0)
+            ).cast("bigint").alias("anomalies"),
+            F.round(F.max(F.abs(z)), 4).alias("max_abs_z"),
+        )
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH chg AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+    pts AS (
+        SELECT o_custkey, o_orderpriority AS priority,
+               o_orderdate AS vf, o_orderkey
+        FROM chg WHERE prev IS NULL OR prev <> o_orderpriority)
+    SELECT o_custkey, priority,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY o_custkey
+               ORDER BY vf, o_orderkey),
+               '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(vf) OVER (PARTITION BY o_custkey
+               ORDER BY vf, o_orderkey) IS NULL) AS is_current
+    FROM pts
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from a changelog: collapse each
+    customer's order stream into validity intervals of
+    ``o_orderpriority`` — a row survives only where the tracked
+    value CHANGES (lag ≠ current), then ``valid_to`` is the next
+    change's ``valid_from`` (NULL ⇒ current version). This is the
+    load path a warehouse runs to turn CDC feeds into slowly
+    changing dimensions; ``q_latest_per_key`` is its type-1 sibling.
+
+    Two window passes over the SAME partition key (change detection,
+    then interval stitching on the filtered survivors) — one
+    exchange on o_custkey total; deterministic tiebreak by order key.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w1 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pts = (
+        o.select(
+            "o_custkey",
+            "o_orderpriority",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderpriority").over(w1).alias("prev"),
+        )
+        .filter(
+            F.col("prev").isNull()
+            | (F.col("prev") != F.col("o_orderpriority"))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("vf"),
+            "o_orderkey",
+        )
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("vf", "o_orderkey")
+    nxt = F.lead("vf").over(w2)
+    fmt = "yyyy-MM-dd HH:mm:ss"  # stringified: cross-engine ts canon
+    return pts.select(
+        "o_custkey",
+        "priority",
+        F.date_format("vf", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               count(*) AS cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2)
+    SELECT seg, pri AS mode_priority, CAST(cnt AS BIGINT) AS n_orders
+    FROM (SELECT seg, pri, cnt,
+                 row_number() OVER (PARTITION BY seg
+                     ORDER BY cnt DESC, pri ASC) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def q_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent order priority per
+    market segment, ties broken by the smallest value. Built as
+    count-then-top-1 rather than the engines' ``mode()`` aggregates
+    because BOTH Spark's and DuckDB's native mode leave tie order
+    unspecified — the count/row_number form pins identical semantics
+    on both sides and is the portable way to get a deterministic
+    mode at any scale (the window runs over group cardinality, not
+    row count).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cnt = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("seg").orderBy(F.col("cnt").desc(), F.col("pri").asc())
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "seg",
+            F.col("pri").alias("mode_priority"),
+            F.col("cnt").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           round(min(lo), 4) AS p05,
+           round(min(hi), 4) AS p95,
+           round(avg(l_extendedprice), 3) AS mean_raw,
+           round(avg(CASE WHEN l_extendedprice < lo THEN lo
+                          WHEN l_extendedprice > hi THEN hi
+                          ELSE l_extendedprice END), 3) AS mean_winsor
+    FROM lineitem l JOIN t ON l.l_returnflag = t.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization: clip ``l_extendedprice`` to its
+    exact per-group [p05, p95] and report clip counts plus the mean
+    before/after — the outlier-robustification step feature
+    pipelines apply before normalization. Exact percentiles (both
+    engines interpolate at p·(n−1), so the thresholds are
+    bit-identical and the clip counts match exactly).
+
+    Plan: one exact-percentile agg over the group key (5 groups →
+    tiny), broadcast-joined back onto the fact scan, one final agg —
+    the fact table is scanned twice but never shuffled on a new key.
+    At 100 TB the exact percentile is the cost driver; the
+    documented approximate twin is ``q_approx_percentile``.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    t = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clip = F.when(x < F.col("lo"), F.col("lo")).when(
+        x > F.col("hi"), F.col("hi")
+    ).otherwise(x)
+    return (
+        li.join(F.broadcast(t), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(x < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(x > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(F.min("lo"), 4).alias("p05"),
+            F.round(F.min("hi"), 4).alias("p95"),
+            F.round(F.avg(x), 3).alias("mean_raw"),
+            F.round(F.avg(clip), 3).alias("mean_winsor"),
+        )
+    )
+
+
+@query(
+    "q_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem GROUP BY 1),
+    c AS (
+        SELECT revenue,
+               sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING)
+               / sum(revenue) OVER () AS share
+        FROM rev)
+    SELECT CASE WHEN share <= 0.80 THEN 'A'
+                WHEN share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(revenue), 2) AS class_revenue
+    FROM c GROUP BY 1
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: rank parts by revenue and split
+    at 80% / 95% of cumulative share — the inventory-management
+    80/15/5 analysis. The cumulative sum runs through
+    ``prefix_sum`` (module docstring): range-repartition +
+    per-partition scan + K-row offset join, NOT a single-partition
+    ``Window.orderBy`` — so the part-level rollup can be 100M+ rows
+    and the widest stage is still an ordinary sort-shuffle.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue")
+    )
+    total = rev.agg(F.sum("revenue")).collect()[0][0]  # scalar, bounded
+    cum = prefix_sum(
+        rev,
+        [F.col("revenue").desc(), F.col("l_partkey").asc()],
+        "revenue",
+    )
+    share = F.col("cum") / F.lit(total)
+    return (
+        cum.withColumn(
+            "abc_class",
+            F.when(share <= 0.80, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C"),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+    )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / sum(n) OVER (), 6) AS obs_share,
+           round(log10(1 + 1.0 / digit), 6) AS benford_share
+    FROM c
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed leading-
+    digit distribution vs the Benford expectation log10(1+1/d) — a
+    standard fraud / synthetic-data screen. The leading digit is
+    taken from the DECIMAL STRING of floor(x), not from
+    floor(x/10^floor(log10 x)): the libm-log10 route misclassifies
+    exact powers of ten when log10 rounds just below an integer, and
+    the string route is bit-exact on both engines.
+
+    One groupBy over a 9-value key plus a 9-row window for the
+    share — trivially scale-safe.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("string"), 1, 1
+    ).cast("bigint")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = W.partitionBy()  # 9 rows — fine as a single partition
+    return c.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("obs_share"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias(
+            "benford_share"
+        ),
+    )

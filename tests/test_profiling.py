@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.relational.profiling import (
+    prefix_sum,
+    q_rolling_zscore,
+    q_scd2_intervals,
+    q_winsorize,
+)
+
+from .conftest import SF_DIR
+
+
+def test_prefix_sum_matches_sequential(spark):
+    # 1000 values in a shuffled layout; the distributed prefix sum
+    # must equal the sequential running total over the sort order.
+    rows = [(i, float((i * 37) % 101)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k INT, v DOUBLE").repartition(8)
+    out = prefix_sum(df, [F.col("k").asc()], "v", n_parts=7)
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    running = 0.0
+    for k, v in rows:
+        running += v
+        assert abs(got[k] - running) < 1e-9 * max(1.0, running)
+
+
+def test_prefix_sum_descending_order(spark):
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(100)], "k INT, v DOUBLE"
+    )
+    out = prefix_sum(df, [F.col("k").desc()], "v", n_parts=4)
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    # descending order: k=99 is first (cum=1), k=0 last (cum=100)
+    assert got[99] == 1.0 and got[0] == 100.0
+
+
+def test_scd2_intervals_contiguous(spark):
+    out = q_scd2_intervals(spark, SF_DIR).collect()
+    by_cust: dict[int, list] = {}
+    for r in out:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for rows in by_cust.values():
+        rows.sort(key=lambda r: (r["valid_from"], r["valid_to"] or "~"))
+        # exactly one open (current) interval per customer
+        assert sum(1 for r in rows if r["is_current"]) == 1
+        assert rows[-1]["valid_to"] is None
+        # each interval ends where the next begins (no gaps/overlap)
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        # consecutive intervals always change the tracked value
+        for a, b in zip(rows, rows[1:]):
+            assert a["priority"] != b["priority"]
+
+
+def test_winsorize_invariants(spark):
+    for r in q_winsorize(spark, SF_DIR).collect():
+        assert r["p05"] <= r["p95"]
+        # ~5% clipped on each side (exact percentile ⇒ tight bound)
+        assert r["n_clipped_low"] <= 0.06 * r["n"] + 1
+        assert r["n_clipped_high"] <= 0.06 * r["n"] + 1
+        # winsorized mean is pulled toward the middle or unchanged
+        assert r["mean_winsor"] >= r["p05"] - 1e-6
+        assert r["mean_winsor"] <= r["p95"] + 1e-6
+
+
+def test_rolling_zscore_bounds(spark):
+    for r in q_rolling_zscore(spark, SF_DIR).collect():
+        assert r["anomalies"] <= r["n_scored"]
+        assert r["max_abs_z"] >= 0.0
