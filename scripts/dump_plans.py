@@ -212,6 +212,22 @@ NOTES: dict[str, str] = {
         "O(partitions × (p+2)²) doubles, independent of row count. "
         "The lineitem scan reads only the 3 referenced columns."
     ),
+    "q_abc_classification": (
+        "The cumulative share runs on the distributed prefix_sum: a "
+        "RangePartitioning exchange on the revenue sort key, a "
+        "per-partition running-sum window (partitioned by "
+        "spark_partition_id, so NO single-partition WindowExec "
+        "appears), and a broadcast join against the K-row offset "
+        "table. The widest stage is the ordinary sort-shuffle any "
+        "global ORDER BY pays — valid at a 100M-part rollup."
+    ),
+    "q_winsorize": (
+        "The exact p05/p95 thresholds aggregate to 5 rows and come "
+        "back as a BroadcastHashJoin onto the fact scan — the "
+        "lineitem table is read twice (threshold pass + clip pass) "
+        "but never shuffles on a new key, and the clip itself is a "
+        "codegen'd CASE expression, not a UDF."
+    ),
     "p_unigram_lm_score": (
         "Train-then-score in one plan: token counts are a mergeable "
         "partial aggregate (map-side combine before the token "
