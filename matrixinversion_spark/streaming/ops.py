@@ -367,3 +367,78 @@ class IncrementalOLS:
         sse = float(r[p + 1, p + 1] ** 2)
         tss = float(np.sum(r[1:, p + 1] ** 2))
         return {"n": int(self.n), "coef": beta, "r2": 1.0 - sse / tss}
+
+
+_ZSCORE_STATE = (
+    "vals array<double>, n_scored long, anomalies long, max_abs_z double"
+)
+_ZSCORE_OUT = (
+    "event_type string, n_scored long, anomalies long, max_abs_z double"
+)
+
+
+def _update_zscore(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """GroupState update for rolling z-score anomaly detection.
+
+    State is the ring buffer of the last 20 values per key (plus
+    cumulative counters) — O(21) doubles per key, the same bound the
+    batch operator's ROWS frame guarantees, so state size is
+    independent of stream length.
+    """
+    import numpy as np
+
+    (event_type,) = key
+    vals, n_scored, anomalies, max_z = (
+        state.get if state.exists else ([], 0, 0, 0.0)
+    )
+    buf = [float(v) for v in vals]
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # deterministic event-time order inside the micro-batch — the
+    # same (ts, event_id) total order the batch twin's window uses
+    rows = rows.sort_values(["ts", "event_id"])
+    for v in rows["value"].to_numpy(dtype=np.float64):
+        if len(buf) >= 10:
+            arr = np.asarray(buf[-20:], dtype=np.float64)
+            sd = float(arr.std(ddof=1))
+            if sd > 1e-9:
+                z = abs((float(v) - float(arr.mean())) / sd)
+                n_scored += 1
+                if z > 3.0:
+                    anomalies += 1
+                if z > max_z:
+                    max_z = z
+        buf.append(float(v))
+        buf = buf[-20:]
+    state.update((buf, int(n_scored), int(anomalies), float(max_z)))
+    yield pd.DataFrame(
+        [(event_type, int(n_scored), int(anomalies), round(max_z, 4))],
+        columns=["event_type", "n_scored", "anomalies", "max_abs_z"],
+    )
+
+
+def rolling_zscore_stream(events: DataFrame,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``relational.profiling.q_rolling_zscore``:
+    each event scored against the mean/stddev of the PRECEDING 20
+    events of its type, with cumulative anomaly counters emitted per
+    micro-batch (update mode).
+
+    The batch operator's ROWS-bounded window becomes a 20-slot ring
+    buffer in GroupState — exactly the state-size argument that makes
+    the batch plan scale-safe carries over to unbounded streams.
+    Differential pytest: one availableNow pass over the same input
+    must reproduce the batch aggregates.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_zscore,
+            outputStructType=_ZSCORE_OUT,
+            stateStructType=_ZSCORE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

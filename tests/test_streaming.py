@@ -216,3 +216,36 @@ def test_incremental_ols_matches_batch(spark):
     assert got["n"] == want["n"]
     assert np.allclose(got["coef"], np.asarray(want["coef"]), atol=1e-9)
     assert abs(got["r2"] - want["r2"]) < 1e-9
+
+
+def test_rolling_zscore_stream_matches_batch(spark):
+    """One availableNow pass of the streaming z-score must reproduce
+    the batch operator's per-type aggregates (counts exactly, max|z|
+    to the emitted rounding)."""
+    from matrixinversion_spark.relational.profiling import q_rolling_zscore
+
+    stream = sops.rolling_zscore_stream(
+        sops.read_events_stream(spark, SF_DIR)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("zscore_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: keep the LAST emitted row per key
+    got = {
+        r["event_type"]: r
+        for r in spark.sql(
+            "SELECT * FROM zscore_stream"
+        ).collect()
+    }
+    want = {r["event_type"]: r for r in q_rolling_zscore(spark, SF_DIR).collect()}
+    assert set(got) >= set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["n_scored"] == w["n_scored"], k
+        assert g["anomalies"] == w["anomalies"], k
+        assert abs(g["max_abs_z"] - w["max_abs_z"]) <= 2e-4, k
