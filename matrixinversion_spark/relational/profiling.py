@@ -474,3 +474,210 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "benford_share"
         ),
     )
+
+
+@query(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS s,
+               ts + INTERVAL 30 MINUTE AS e
+        FROM events),
+    m AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM iv),
+    isl AS (
+        SELECT user_id, s, e,
+               sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                        THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM m),
+    sp AS (
+        SELECT user_id, island, min(s) AS ss, max(e) AS ee
+        FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(floor(sum(epoch_us(ee) - epoch_us(ss)) / 1000000)
+                AS BIGINT) AS covered_s
+    FROM sp GROUP BY user_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing: give each event a 30-minute activity
+    interval, merge overlapping/adjacent-in-overlap intervals per
+    user, and report span count + total covered seconds — the
+    uptime/coverage computation (and the interval form of
+    gaps-and-islands: a new island starts exactly where an
+    interval's start clears the running max of all previous ends,
+    which handles nested intervals that a simple lag(end) would
+    miss).
+
+    Three window passes and two aggregations, ALL keyed on user_id —
+    one exchange total, reused across every stage; per-key state in
+    each frame is O(1).
+    """
+    e = read_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    wp = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        wp.rowsBetween(W.unboundedPreceding, -1)
+    )
+    isl = iv.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                prev_max.isNull() | (F.col("s") > prev_max), 1
+            ).otherwise(0)
+        ).over(wp.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sp = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("ss"), F.max("e").alias("ee")
+    )
+    return sp.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        # explicit floor: DuckDB's double→BIGINT cast rounds while
+        # Spark's truncates, so the sub-second tail must be floored
+        # on both sides before the cast
+        F.floor(
+            F.sum(F.unix_micros("ee") - F.unix_micros("ss")) / 1_000_000
+        ).cast("bigint").alias("covered_s"),
+    )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_quantity
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+        FROM lineitem)
+    SELECT l_returnflag, round(min(v), 4) AS weighted_median
+    FROM c WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the smallest price whose cumulative
+    quantity weight reaches half the group's total — the
+    quantity-weighted "typical price" that the unweighted median
+    misstates when cheap items trade in bulk. No engine has a native
+    weighted percentile; the cumulative-weight window form is the
+    portable definition, and because quantities are small integers
+    the running weights are exact in doubles, so the threshold
+    comparison is bit-deterministic on both engines.
+
+    The window partitions by the group key — per-group sort, no
+    global single-partition window — and the threshold filter + min
+    aggregate reuse the same exchange.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    wp = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_quantity"
+    )
+    c = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity")
+        .over(wp.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cw"),
+        F.sum("l_quantity")
+        .over(W.partitionBy("l_returnflag"))
+        .alias("tw"),
+    )
+    return (
+        c.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("v"), 4).alias("weighted_median"))
+    )
+
+
+@query(
+    "q_drift_psi",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(epoch_us(ts), 0.5) AS mid,
+               min(value) AS mn, max(value) AS mx
+        FROM events),
+    tagged AS (
+        SELECT CASE WHEN epoch_us(ts) <= (SELECT mid FROM b)
+                    THEN 'ref' ELSE 'cur' END AS half,
+               CAST(least(9, floor((value - (SELECT mn FROM b))
+                    / ((SELECT mx FROM b) - (SELECT mn FROM b))
+                    * 10)) AS BIGINT) AS bucket
+        FROM events),
+    c AS (
+        SELECT bucket,
+               sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS nr,
+               sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS nc
+        FROM tagged GROUP BY 1),
+    s AS (
+        SELECT bucket, nr, nc,
+               (nr + 1e-6) / (sum(nr) OVER () + 1e-5) AS p,
+               (nc + 1e-6) / (sum(nc) OVER () + 1e-5) AS q
+        FROM c)
+    SELECT bucket,
+           CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+           round((q - p) * ln(q / p), 6) AS psi_contrib
+    FROM s
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index (PSI) drift monitor: split the
+    event stream at its median timestamp into a reference and a
+    current half, bucket ``value`` into 10 equal-width bins over the
+    global range, and report each bin's (q−p)·ln(q/p) contribution —
+    the standard model-monitoring screen for input drift (sum > 0.2
+    conventionally pages someone). Laplace smoothing (1e-6) keeps
+    empty bins finite, identically on both engines.
+
+    Two scans: one tiny global agg (median split point + range,
+    3 scalars) and one bucketed count — the counts are a 10-key
+    groupBy with map-side partials, so the monitor costs one scan
+    plus O(1) shuffle at any scale.
+    """
+    e = read_table(spark, sf_dir, "events")
+    b = e.agg(
+        F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("mid"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).collect()[0]  # 3 scalars — bounded
+    mid, mn, mx = b["mid"], b["mn"], b["mx"]
+    half = F.when(
+        F.unix_micros("ts") <= F.lit(mid), "ref"
+    ).otherwise("cur")
+    bucket = F.least(
+        F.lit(9),
+        F.floor((F.col("value") - F.lit(mn)) / F.lit(mx - mn) * 10),
+    ).cast("bigint")
+    c = (
+        e.select(half.alias("half"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias(
+                "nr"
+            ),
+            F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias(
+                "nc"
+            ),
+        )
+    )
+    tot = W.partitionBy()  # 10 rows
+    p = (F.col("nr") + 1e-6) / (F.sum("nr").over(tot) + 1e-5)
+    q = (F.col("nc") + 1e-6) / (F.sum("nc").over(tot) + 1e-5)
+    return c.select(
+        "bucket",
+        F.col("nr").cast("bigint").alias("n_ref"),
+        F.col("nc").cast("bigint").alias("n_cur"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_contrib"),
+    )

@@ -68,3 +68,40 @@ def test_rolling_zscore_bounds(spark):
     for r in q_rolling_zscore(spark, SF_DIR).collect():
         assert r["anomalies"] <= r["n_scored"]
         assert r["max_abs_z"] >= 0.0
+
+
+def test_interval_merge_bounds(spark):
+    from matrixinversion_spark.relational.profiling import q_interval_merge
+
+    rows = q_interval_merge(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # every merged span is at least one 30-min interval long
+        assert r["covered_s"] >= 1800 * r["n_spans"] - 1
+        assert r["n_spans"] >= 1
+
+
+def test_weighted_median_within_range(spark):
+    from matrixinversion_spark.relational.profiling import (
+        q_weighted_median,
+        q_winsorize,
+    )
+
+    wm = {r["l_returnflag"]: r["weighted_median"]
+          for r in q_weighted_median(spark, SF_DIR).collect()}
+    rng = {r["l_returnflag"]: r for r in q_winsorize(spark, SF_DIR).collect()}
+    for k, v in wm.items():
+        # a median (weighted or not) sits inside the p05..p95 band
+        assert rng[k]["p05"] <= v <= rng[k]["p95"]
+
+
+def test_drift_psi_shares_sum_to_one(spark):
+    from matrixinversion_spark.relational.profiling import q_drift_psi
+
+    rows = q_drift_psi(spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 10
+    n_ref = sum(r["n_ref"] for r in rows)
+    n_cur = sum(r["n_cur"] for r in rows)
+    assert n_ref > 0 and n_cur > 0
+    # median split ⇒ halves within one row of each other
+    assert abs(n_ref - n_cur) <= 1
