@@ -105,3 +105,17 @@ def test_drift_psi_shares_sum_to_one(spark):
     assert n_ref > 0 and n_cur > 0
     # median split ⇒ halves within one row of each other
     assert abs(n_ref - n_cur) <= 1
+
+
+def test_prefix_sum_plan_no_single_partition_window(spark):
+    """The scale claim in the prefix_sum docstring, pinned: the plan
+    must contain a RangePartitioning exchange and its window must be
+    partitioned (by _pid) — never the SinglePartition funnel that
+    Window.orderBy-without-partitionBy produces."""
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS k", "CAST(id % 97 AS DOUBLE) AS v"
+    )
+    out = prefix_sum(df, [F.col("k").asc()], "v", n_parts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
