@@ -29,6 +29,29 @@ from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
 
+def _ranged_running(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    n_parts: int,
+) -> DataFrame:
+    """The distributed half of ``prefix_sum``: range-repartition on
+    the sort key and compute the per-partition running sum (window
+    partitioned by spark_partition_id — never SinglePartition).
+    Split out so the plan-shape pytest can assert on the stage
+    BEFORE ``prefix_sum`` checkpoints it (checkpointing truncates
+    the visible lineage to a Scan ExistingRDD)."""
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wp = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return ranged.withColumn("_local", F.sum(value_col).over(wp))
+
+
 def prefix_sum(
     df: DataFrame,
     order_cols: list[Column],
@@ -53,15 +76,14 @@ def prefix_sum(
     ``order_cols`` must be a total order (include a tiebreaker) or
     the result is nondeterministic.
     """
-    ranged = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    wp = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    local = ranged.withColumn("_local", F.sum(value_col).over(wp))
+    # localCheckpoint pins the range boundaries: RangePartitioner
+    # SAMPLES its split points, and this frame is executed twice
+    # (totals collect + final join) — without materializing, the two
+    # executions can sample different boundaries, mis-aligning the
+    # offsets with the partitions (caught by a 20M-row smoke where
+    # the total drifted by ~0.03%).
+    local = _ranged_running(df, order_cols, value_col, n_parts)
+    local = local.localCheckpoint(eager=True)
     # K rows on the driver — bounded by n_parts, never by data size.
     totals = {
         r["_pid"]: r["t"]

@@ -115,7 +115,16 @@ def test_prefix_sum_plan_no_single_partition_window(spark):
     df = spark.range(0, 10_000).selectExpr(
         "id AS k", "CAST(id % 97 AS DOUBLE) AS v"
     )
-    out = prefix_sum(df, [F.col("k").asc()], "v", n_parts=8)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    from matrixinversion_spark.relational.profiling import _ranged_running
+
+    # the distributed stage (pre-checkpoint — the checkpoint that
+    # pins range boundaries truncates the downstream visible plan)
+    local = _ranged_running(df, [F.col("k").asc()], "v", 8)
+    plan = local._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert "singlepartition" not in plan.lower()
+    # and the full operator still computes the right thing end-to-end
+    out = prefix_sum(df, [F.col("k").asc()], "v", n_parts=8)
+    last = out.orderBy(F.col("k").desc()).limit(1).collect()[0]
+    expect = sum(i % 97 for i in range(10_000))
+    assert abs(last["cum"] - expect) < 1e-6
