@@ -703,3 +703,51 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nc").cast("bigint").alias("n_cur"),
         F.round((q - p) * F.log(q / p), 6).alias("psi_contrib"),
     )
+
+
+@query(
+    "q_mad_robust",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS m
+        FROM lineitem GROUP BY 1),
+    dev AS (
+        SELECT l.l_returnflag, m,
+               abs(l_extendedprice - m) AS d
+        FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag)
+    SELECT l_returnflag,
+           round(min(m), 4) AS median,
+           round(quantile_cont(d, 0.5), 4) AS mad,
+           round(quantile_cont(d, 0.5) * 1.4826, 4) AS sigma_robust
+    FROM dev GROUP BY l_returnflag
+    """,
+)
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation: the robust scale estimator
+    (MAD·1.4826 ≈ σ under normality) that outliers cannot drag the
+    way they drag stddev — the robust twin of the winsorize
+    operator's clipping. Exact medians on both sides: each engine
+    interpolates at 0.5·(n−1), so the per-group median, the
+    deviations, and the second-pass median are bit-identical.
+
+    Two passes over the fact table with a broadcast of the 5-row
+    median table between them — the unavoidable shape for exact
+    nested medians (a one-pass approximate twin would use
+    approx_percentile's sketch).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("m")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "m",
+        F.abs(F.col("l_extendedprice") - F.col("m")).alias("d"),
+    )
+    mad = F.percentile("d", F.lit(0.5))
+    return dev.groupBy("l_returnflag").agg(
+        F.round(F.min("m"), 4).alias("median"),
+        F.round(mad, 4).alias("mad"),
+        F.round(mad * 1.4826, 4).alias("sigma_robust"),
+    )

@@ -128,3 +128,13 @@ def test_prefix_sum_plan_no_single_partition_window(spark):
     last = out.orderBy(F.col("k").desc()).limit(1).collect()[0]
     expect = sum(i % 97 for i in range(10_000))
     assert abs(last["cum"] - expect) < 1e-6
+
+
+def test_mad_less_than_stddev_scale(spark):
+    from matrixinversion_spark.relational.profiling import q_mad_robust
+
+    for r in q_mad_robust(spark, SF_DIR).collect():
+        assert r["mad"] > 0
+        assert abs(r["sigma_robust"] - r["mad"] * 1.4826) < 1e-3
+        # deviations are centered on the median, so MAD <= max dev
+        assert r["mad"] <= r["median"] * 10
