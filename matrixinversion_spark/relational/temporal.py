@@ -1,0 +1,300 @@
+"""Time-series and changelog operators over the events table.
+
+Running distinct counts, linear interpolation of missing readings,
+marketing-style last-touch attribution, continuous-aggregate rollup
+across a time hierarchy, and changelog apply with delete markers —
+the temporal layer that complements the event-windowing queries in
+``queries.py`` (tumbling/hopping/sessionize) and the monitoring
+layer in ``profiling.py``.
+
+Reference provenance: no relational surface in the reference
+(SURVEY.md §2.2); mandated engine extension per §2.3.
+
+Scale notes: every window here partitions by ``user_id`` (never a
+global ORDER BY — the single-partition trap), so state per task is
+one user's history; the rollup is a single pass with map-side
+partial aggregation; attribution adds one bounded 5-key final agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+
+@query(
+    "q_window_count_distinct",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) = 1
+               THEN 1 ELSE 0 END AS first_seen
+        FROM events)
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM m
+    """,
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — a frame Spark (and
+    ANSI SQL) reject outright — via the first-occurrence trick:
+    mark the first time each (user, event_type) appears
+    (row_number == 1 over the pair), then a plain running SUM of the
+    marker is exactly the running distinct count. Two windows, both
+    partitioned by user (and user+type), so no global sort and no
+    per-row set state — at 100 TB this is two user-keyed sort
+    shuffles, versus the naive collect_set-over-frame whose state is
+    O(distinct values) per row."""
+    e = read_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    m = e.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return m.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias(
+            "distinct_types_so_far"
+        ),
+    )
+
+
+@query(
+    "q_linear_interp",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type <> 'error' THEN value END AS kv,
+               CASE WHEN event_type <> 'error' THEN epoch_us(ts) END AS kt,
+               epoch_us(ts) AS t
+        FROM events),
+    w AS (
+        SELECT user_id, event_id, t, event_type,
+               last_value(kv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pv,
+               last_value(kt IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS pt,
+               first_value(kv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nv,
+               first_value(kt IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS nt
+        FROM k)
+    SELECT user_id, event_id,
+           event_type = 'error' AS was_missing,
+           round(CASE WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (t - pt) / (nt - pt)
+                 END, 6) AS value_interp
+    FROM w
+    """,
+)
+def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor readings — the upgrade
+    of ``q_events_gapfill``'s LOCF: 'error' events are treated as
+    missing and rebuilt as the time-weighted blend of the nearest
+    known readings on either side (LOCF/NOCB at the edges, previous
+    value when both neighbours share a timestamp). Four IGNORE-NULLS
+    window lookups, all partitioned by user — one user-keyed sort
+    shuffle at any scale, no state beyond the frame cursor."""
+    e = read_table(spark, sf_dir, "events")
+    known = F.col("event_type") != "error"
+    kv = F.when(known, F.col("value"))
+    kt = F.when(known, F.unix_micros("ts"))
+    t = F.unix_micros("ts")
+    order = [F.col("ts"), F.col("event_id")]
+    prev = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    nxt = W.partitionBy("user_id").orderBy(*order).rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    pv = F.last(kv, ignorenulls=True).over(prev)
+    pt = F.last(kt, ignorenulls=True).over(prev)
+    nv = F.first(kv, ignorenulls=True).over(nxt)
+    nt = F.first(kt, ignorenulls=True).over(nxt)
+    interp = (
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .when(nt == pt, pv)
+        .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt))
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (~known).alias("was_missing"),
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH a AS (
+        SELECT event_type, value,
+               coalesce(last_value(
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 'direct') AS channel
+        FROM events)
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent click/view strictly before it in the same user's stream
+    ('direct' when none precedes). One user-partitioned IGNORE-NULLS
+    window lookup plus a 3-key final agg — the whole report is one
+    sort shuffle and one map-side-combined aggregation at any
+    scale."""
+    e = read_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    channel = F.coalesce(
+        F.last(touch, ignorenulls=True).over(w), F.lit("direct")
+    )
+    return (
+        e.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_time_rollup_hierarchy",
+    oracle="""
+    WITH b AS (
+        SELECT EXTRACT(year FROM ts)::INTEGER AS y,
+               EXTRACT(month FROM ts)::INTEGER AS m,
+               EXTRACT(day FROM ts)::INTEGER AS d,
+               value
+        FROM events)
+    SELECT CASE WHEN y IS NULL THEN 'all'
+                WHEN m IS NULL THEN 'year'
+                WHEN d IS NULL THEN 'month'
+                ELSE 'day' END AS gran,
+           y, m, d,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM b GROUP BY ROLLUP (y, m, d)
+    """,
+)
+def q_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over
+    the raw events produces the day, month, year, and grand-total
+    aggregates simultaneously via ROLLUP over the extracted time
+    hierarchy (the batch twin of a TimescaleDB continuous
+    aggregate). Map-side partials apply to every grouping set, so at
+    100 TB this costs one scan plus one shuffle keyed on ~4x the
+    day-level cardinality — far cheaper than four separate
+    aggregations."""
+    e = read_table(spark, sf_dir, "events")
+    b = e.select(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        "value",
+    )
+    gran = (
+        F.when(F.col("y").isNull(), "all")
+        .when(F.col("m").isNull(), "year")
+        .when(F.col("d").isNull(), "month")
+        .otherwise("day")
+    )
+    return (
+        b.rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(gran.alias("gran"), "y", "m", "d", "n_events", "total_value")
+    )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, value, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_ops
+        FROM events)
+    SELECT user_id, event_id AS last_event_id, value AS last_value,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM r WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog apply with delete markers: reading the event stream
+    as a CDC feed (any non-error event upserts the user's state,
+    'error' is a tombstone), materialize the final table — users
+    whose LAST op is a tombstone are absent from the result. The
+    delete-aware extension of ``q_latest_per_key``: same single
+    user-keyed window (one sort shuffle, no state beyond one key's
+    run), plus the tombstone filter AFTER picking the newest row,
+    which is what makes the semantics MERGE-delete rather than
+    just compaction."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("user_id"))
+        .cast("bigint")
+        .alias("n_ops"),
+    )
+    return r.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+        "n_ops",
+    )
