@@ -363,3 +363,129 @@ def q_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return dist
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders d
+        WHERE d.o_totalprice >= o.o_totalprice
+          AND d.o_orderdate >= o.o_orderdate
+          AND (d.o_totalprice > o.o_totalprice
+               OR d.o_orderdate > o.o_orderdate))
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier): orders not dominated in the
+    (totalprice max, orderdate max) plane — another point dominates
+    iff it is >= in both dimensions and > in at least one.
+
+    Distributed 2-D skyline, the classic local-then-global shape:
+    (1) distinct (price, date) pairs; (2) a vectorized pandas local
+    skyline inside each partition/batch — sort price-desc, keep the
+    max date per price, then keep a pair iff its date beats the
+    running max over strictly-higher prices (any point dominated
+    within a batch is dominated globally, so batch-local pruning is
+    a sound superset filter); (3) the surviving candidates — tiny by
+    construction — coalesce to one task for the same filter
+    globally; (4) broadcast-semijoin back to recover order keys,
+    including exact ties kept by DISTINCT in step 1 (equal pairs
+    never dominate each other). The oracle is an independent
+    formulation (NOT EXISTS anti-join), not a SQL transliteration.
+    At 100 TB the only full-data costs are the DISTINCT shuffle and
+    the final broadcast join; the O(n log n) work is per-batch."""
+    import pandas as pd  # noqa: F401 — mapInPandas batches
+
+    o = read_table(spark, sf_dir, "orders")
+    cand = o.select(
+        F.col("o_totalprice").alias("p"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d"),
+    ).distinct()
+
+    def local_sky(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(["p", "d"], ascending=False)
+            u = pdf.drop_duplicates("p", keep="first")
+            m = u["d"].cummax().shift(1)
+            yield u[m.isna() | (u["d"] > m)]
+
+    schema = "p double, d bigint"
+    pruned = cand.mapInPandas(local_sky, schema)
+    sky = pruned.coalesce(1).mapInPandas(local_sky, schema)
+    return o.join(
+        F.broadcast(sky),
+        (F.col("o_totalprice") == F.col("p"))
+        & (F.unix_micros(F.col("o_orderdate").cast("timestamp")) == F.col("d")),
+        "left_semi",
+    ).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders)) AS r_days,
+               count(*) AS n_orders,
+               sum(o_totalprice) AS monetary
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           CAST(r_days AS INTEGER) AS r_days,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(monetary, 2) AS monetary,
+           ntile(4) OVER (ORDER BY r_days, o_custkey)
+             || '-' || ntile(4) OVER (ORDER BY n_orders, o_custkey)
+             || '-' || ntile(4) OVER (ORDER BY monetary, o_custkey)
+             AS rfm
+    FROM base
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    relative to the corpus max date), frequency (order count), and
+    monetary (lifetime spend), each scored into quartiles by ntile,
+    concatenated into the classic 'r-f-m' segment label. Every ntile
+    ordering carries the custkey tiebreaker so bucket boundaries are
+    deterministic on both engines.
+
+    Scale shape: the heavy input is one fact-table aggregation with
+    map-side partials; the ntile windows then run over the CUSTOMER
+    dimension (bounded — ~1e8 rows at 100 TB, not the fact table),
+    which is the standard dimension-bounded global sort. For a
+    fact-scale scoring variant the cuts would come from
+    approx_percentile and a broadcast join instead."""
+    o = read_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as W
+
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("mxd"), F.max("o_orderdate")).alias("r_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_totalprice").alias("m_raw"),
+        )
+    )
+    r_q = F.ntile(4).over(W.orderBy("r_days", "o_custkey"))
+    f_q = F.ntile(4).over(W.orderBy("n_orders", "o_custkey"))
+    m_q = F.ntile(4).over(W.orderBy("m_raw", "o_custkey"))
+    return base.select(
+        "o_custkey",
+        F.col("r_days").cast("int").alias("r_days"),
+        "n_orders",
+        F.round("m_raw", 2).alias("monetary"),
+        F.concat_ws("-", r_q, f_q, m_q).alias("rfm"),
+    )
