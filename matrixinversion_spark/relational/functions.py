@@ -551,3 +551,67 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank_r6"),
         F.round(F.cume_dist().over(w), 6).alias("cume_dist_r6"),
     )
+
+
+@query(
+    "q_regr_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+               AS n_pairs,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2)
+               AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 2) AS avg_y
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI linear-regression aggregates (regr_slope / intercept /
+    r2 / avgx / avgy / count): price-vs-quantity fit per return
+    flag, entirely inside the JVM aggregate machinery — one scan,
+    map-side partial moments, a 3-key final merge. The grouped-OLS
+    twin of ``regress.q_ols_regression`` (which fits
+    multi-feature models via mapInPandas normal equations); this
+    one is the pure-SQL single-feature path both engines define
+    identically, so the oracle is the same functions verbatim."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n_pairs"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
+    )
+
+
+@query(
+    "q_bitwise_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(event_id) AS BIGINT) AS band,
+           CAST(bit_or(event_id) AS BIGINT) AS bor,
+           CAST(bit_xor(event_id) AS BIGINT) AS bxor,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates over event ids per type — the
+    integer-exact aggregate family behind bitmap-index style
+    analytics (bit_or builds membership masks; bit_xor is the
+    parity/dedup check used in set-reconciliation). All three are
+    commutative/associative, so map-side partials apply and the
+    result is bit-identical at any parallelism — no float hazard
+    by construction."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("event_id").cast("bigint").alias("band"),
+        F.bit_or("event_id").cast("bigint").alias("bor"),
+        F.bit_xor("event_id").cast("bigint").alias("bxor"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -751,3 +751,30 @@ def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mad, 4).alias("mad"),
         F.round(mad * 1.4826, 4).alias("sigma_robust"),
     )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 5 AS at_risk
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nationkey, mktsegment): any equivalence class smaller than
+    k=5 is re-identifiable and flagged ``at_risk`` — the
+    privacy-governance screen run before releasing a dataset, and
+    the decision input for suppression/generalization. One uniform
+    groupBy with map-side partials; the flag is a row-local
+    expression, so the audit costs exactly one aggregation scan at
+    any scale. Complements ``p_pii_scrub`` (which redacts content;
+    this measures linkability of the published attributes)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = F.count(F.lit(1))
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        n.cast("bigint").alias("group_size"),
+        (n < 5).alias("at_risk"),
+    )
