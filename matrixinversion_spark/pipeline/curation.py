@@ -413,3 +413,60 @@ def p_hash_sample_per_group(spark, sf_dir):
         .filter(F.col("rk") <= 10)
         .drop("rk")
     )
+
+
+@query(
+    "p_mixture_resample",
+    oracle="""
+    WITH cnt AS (
+        SELECT lang, count(*) AS n_l,
+               (SELECT count(*) FROM documents) AS n
+        FROM documents GROUP BY lang),
+    k AS (
+        SELECT d.lang,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS
+                        VARCHAR)), 1, 8)) AS UBIGINT)
+                    < least(1.0, (n / 5.0) / n_l) * 4294967296
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN cnt ON d.lang = cnt.lang)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM k GROUP BY lang
+    """,
+)
+def p_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample over-represented
+    languages toward a uniform target mix (1/5 of the corpus per
+    language) with a content-independent acceptance test —
+    per-language acceptance ratio min(1, target_n / n_lang), applied
+    as ``hash32(doc_id) < ratio * 2^32``. The action half of
+    ``p_domain_mix`` (which only audits the mixture): this is how a
+    training-data pipeline actually re-weights a corpus, and the
+    hash test makes the kept-set reproducible across runs, engines,
+    and corpus growth (a grown corpus only lowers ratios — already
+    kept docs of still-over-represented domains stay kept only if
+    their hash clears the new bar, exactly like p_hash_split's
+    stability story but per-domain).
+
+    Scale shape: one 5-row groupBy for the ratios, broadcast back,
+    then a stateless per-row filter — no shuffle of the corpus at
+    all; the audit aggregation here is one more 5-key groupBy.
+    The md5-prefix hash is bit-identical in DuckDB, so the oracle
+    verifies the exact kept-set cardinalities, not just shares."""
+    from pyspark.sql.window import Window as W
+
+    from matrixinversion_spark.pipeline.dedup import hash32
+
+    d = read_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    cnt = cnt.withColumn("n", F.sum("n_l").over(W.partitionBy()))
+    acc = F.least(F.lit(1.0), (F.col("n") / 5.0) / F.col("n_l"))
+    j = d.join(F.broadcast(cnt), "lang")
+    kept = (
+        hash32(F.col("doc_id").cast("string")) < acc * F.lit(4294967296.0)
+    ).cast("int")
+    return j.select("lang", kept.alias("kept")).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+    )
