@@ -158,6 +158,34 @@ def _solve_upper_left(up: BlockMatrixFrame, b: BlockMatrixFrame,
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)
 
 
+def pinv(a: BlockMatrixFrame,
+         leaf_size: int | None = None) -> BlockMatrixFrame:
+    """Moore–Penrose pseudo-inverse of a tall full-column-rank A
+    (n×m, n ≥ m) via the normal equations: A⁺ = (AᵀA)⁻¹Aᵀ, computed
+    as solve(AᵀA, Aᵀ) so the Gram matrix is factored once and never
+    explicitly inverted (same reasoning as solve() vs inverse()·B).
+
+    Same-layer extension of the reference pipeline (Inverse.java:28-40
+    inverts square matrices only): the Gram multiply is the engine's
+    one-shuffle join-SUMMA gemm, the solve reuses the LU machinery,
+    and the m×m Gram is the only square work — so the cost scales
+    with n only through the two rectangular multiplies. For
+    rank-deficient or ill-conditioned A use the SVD route
+    (pipeline.similarity randomized SVD); the Gram squares the
+    condition number, which is the documented trade for the cheaper
+    dataflow."""
+    if a.n_rows < a.n_cols:
+        raise ValueError(
+            f"pinv expects a tall matrix, got {a.n_rows}x{a.n_cols} "
+            "(transpose first; pinv(Aᵀ) = pinv(A)ᵀ)"
+        )
+    from matrixinversion_spark.matrix.ops import transpose
+
+    at = _checkpoint(transpose(a)).persist()
+    gram = multiply(at, a)
+    return solve(gram, at, leaf_size)
+
+
 def determinant(a: BlockMatrixFrame,
                 leaf_size: int | None = None) -> float:
     """det(A) = sign(P) · Π diag(U) from the LU factors.

@@ -548,3 +548,40 @@ def la_randomized_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n int, m int, rank int, sv_err_r6 double, "
         "recon_err_r6 double, ok boolean",
     )
+
+
+@query(
+    "la_pinv_residual",
+    oracle=(
+        "SELECT 192 AS n, 64 AS m, 0.0 AS mp_residual_r6, "
+        "TRUE AS ok, TRUE AS left_inverse_ok"
+    ),
+)
+def la_pinv_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying Moore–Penrose pseudo-inverse of a tall seeded
+    192×64 matrix via inverse.pinv (normal equations + LU solve —
+    reference extension; the reference inverts square matrices
+    only, `Inverse.java:28-40`). Two checks, one distributed and
+    one driver-twin: the Moore–Penrose defining residual
+    ‖A·A⁺·A − A‖∞ computed entirely with the distributed gemm, and
+    A⁺A == I_64 at the leaf scale against numpy (left inverse —
+    exact for full column rank)."""
+    n, m = 192, 64
+    a = BlockMatrixFrame.random_uniform(spark, n, m=m, block_size=64, seed=11)
+    a.persist()
+    p = invmod.pinv(a, leaf_size=64)
+    p.persist()
+    mp_res = ops.max_abs_diff(ops.multiply(a, ops.multiply(p, a)), a)
+    left = ops.multiply(p, a).to_numpy()
+    left_ok = bool(np.abs(left - np.eye(m)).max() < 1e-8 * n)
+    return spark.createDataFrame(
+        [(
+            n,
+            m,
+            float(round(mp_res, 6)),
+            bool(mp_res < 1e-8 * n),
+            left_ok,
+        )],
+        "n int, m int, mp_residual_r6 double, ok boolean, "
+        "left_inverse_ok boolean",
+    )

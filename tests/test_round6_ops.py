@@ -224,3 +224,27 @@ def test_bitwise_agg_parallelism_invariance(spark):
         }
 
     assert agg(e.coalesce(1)) == agg(e.repartition(32))
+
+
+def test_pinv_matches_numpy_on_tall_matrix(spark):
+    from matrixinversion_spark.matrix import inverse as invmod
+    from matrixinversion_spark.matrix.core import BlockMatrixFrame
+
+    a = BlockMatrixFrame.random_uniform(
+        spark, 96, m=32, block_size=32, seed=3
+    )
+    a.persist()
+    got = invmod.pinv(a, leaf_size=32).to_numpy()
+    want = np.linalg.pinv(a.to_numpy())
+    assert np.abs(got - want).max() < 1e-8
+
+
+def test_pinv_rejects_wide_matrix(spark):
+    from matrixinversion_spark.matrix import inverse as invmod
+    from matrixinversion_spark.matrix.core import BlockMatrixFrame
+
+    a = BlockMatrixFrame.random_uniform(
+        spark, 32, m=96, block_size=32, seed=3
+    )
+    with pytest.raises(ValueError, match="tall"):
+        invmod.pinv(a)
