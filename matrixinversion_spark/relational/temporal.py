@@ -298,3 +298,107 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         "n_ops",
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_type AS to_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type
+        FROM events),
+    c AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM p WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_pairs,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type)
+                          AS BIGINT), 6) AS prob
+    FROM c
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next = b | current = a), the sequence-mining summary
+    behind next-action prediction and session-flow dashboards. One
+    user-partitioned lag window (sort shuffle keyed on user), one
+    5×5-key aggregation with map-side partials, and the
+    normalization window runs over ≤ |event_type|² rows — bounded
+    regardless of data scale."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(W.partitionBy("from_type"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(F.col("n") / tot, 6).alias("prob"),
+    )
+
+
+@query(
+    "q_funnel_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+        SELECT e.user_id,
+               (epoch_us(min(e.ts)) - epoch_us(s.s_ts)) / 60000000.0
+                   AS minutes
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+        GROUP BY e.user_id, s.s_ts)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(minutes, 0.5), 4) AS median_minutes,
+           round(quantile_cont(minutes, 0.9), 4) AS p90_minutes
+    FROM c
+    """,
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: minutes from a user's first
+    signup to their first subsequent purchase — the time-to-convert
+    companion of ``q_funnel`` (which counts stage reach). Exact
+    percentiles on both engines (same 0.5·(n−1) interpolation), so
+    the oracle checks values, not just shape. Scale: two filtered
+    aggregations keyed on user plus a user-keyed join — all
+    map-side-combinable; the final percentile runs over the
+    converted-users vector (dimension-bounded)."""
+    e = read_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("ts").alias("p_ts"))
+        .select(
+            (
+                (F.unix_micros("p_ts") - F.unix_micros("s_ts")) / 60000000.0
+            ).alias("minutes")
+        )
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("minutes", F.lit(0.5)), 4).alias(
+            "median_minutes"
+        ),
+        F.round(F.percentile("minutes", F.lit(0.9)), 4).alias(
+            "p90_minutes"
+        ),
+    )
