@@ -442,3 +442,72 @@ def rolling_zscore_stream(events: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_CDC_STATE_SCHEMA = (
+    "last_us long, last_event_id long, last_value double, "
+    "tombstone boolean, n_ops long"
+)
+_CDC_OUT_SCHEMA = (
+    "user_id long, last_event_id long, last_value double, "
+    "alive boolean, n_ops long"
+)
+
+
+def _update_cdc(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """GroupState update for latest-wins CDC materialization with
+    tombstones: track the row with the max (ts, event_id) seen for
+    this user — order-insensitive, so late/out-of-order changelog
+    arrival cannot corrupt the state — plus the op count. 'error'
+    events are delete markers: the key's state survives (so a later
+    upsert resurrects the row with history intact) but the emitted
+    row flips ``alive`` false, which a downstream sink translates
+    to a DELETE."""
+    import numpy as np
+
+    (user_id,) = key
+    if state.exists:
+        last_us, last_eid, last_val, tomb, n_ops = state.get
+    else:
+        last_us, last_eid, last_val, tomb, n_ops = -1, -1, 0.0, False, 0
+    for pdf in pdfs:
+        n_ops += len(pdf)
+        us = (pdf["ts"].astype("int64")).to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        order = np.lexsort((eid, us))
+        top = order[-1]
+        if (int(us[top]), int(eid[top])) > (last_us, last_eid):
+            last_us = int(us[top])
+            last_eid = int(eid[top])
+            last_val = float(pdf["value"].to_numpy()[top])
+            tomb = bool(pdf["event_type"].to_numpy()[top] == "error")
+    state.update((last_us, last_eid, last_val, tomb, n_ops))
+    yield pd.DataFrame(
+        [(user_id, last_eid, last_val, not tomb, n_ops)],
+        columns=[
+            "user_id", "last_event_id", "last_value", "alive", "n_ops",
+        ],
+    )
+
+
+def cdc_latest_state(events: DataFrame,
+                     watermark: str = "2 hours") -> DataFrame:
+    """Streaming changelog materialization — the streaming twin of
+    ``relational.temporal.q_cdc_apply``: per-user latest state with
+    'error' rows treated as tombstones, maintained incrementally
+    across micro-batches in O(1) state per key (five scalars — no
+    event buffer), emitted in update mode so every micro-batch
+    publishes only the keys it touched."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_cdc,
+            outputStructType=_CDC_OUT_SCHEMA,
+            stateStructType=_CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -249,3 +249,36 @@ def test_rolling_zscore_stream_matches_batch(spark):
         assert g["n_scored"] == w["n_scored"], k
         assert g["anomalies"] == w["anomalies"], k
         assert abs(g["max_abs_z"] - w["max_abs_z"]) <= 2e-4, k
+
+
+def test_cdc_latest_state_stream_matches_batch(spark):
+    """One availableNow pass of the streaming CDC materialization
+    must agree with the batch q_cdc_apply: same surviving users,
+    same last event/value, same op counts; tombstoned users appear
+    with alive=false."""
+    import matrixinversion_spark.relational.temporal  # noqa: F401
+    from matrixinversion_spark.registry import QUERIES
+
+    stream = sops.cdc_latest_state(sops.read_events_stream(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdc_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: r for r in spark.sql("SELECT * FROM cdc_stream").collect()
+    }
+    want = {
+        r["user_id"]: r
+        for r in QUERIES["q_cdc_apply"](spark, SF_DIR).collect()
+    }
+    # batch result contains exactly the alive users
+    assert {u for u, r in got.items() if r["alive"]} == set(want)
+    for u, w in want.items():
+        g = got[u]
+        assert g["last_event_id"] == w["last_event_id"], u
+        assert abs(g["last_value"] - w["last_value"]) < 1e-12, u
+        assert g["n_ops"] == w["n_ops"], u
