@@ -365,6 +365,57 @@ def q_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist
 
 
+def _local_skyline(batches):
+    """Vectorized 2-D skyline of one pandas batch of DISTINCT (p, d)
+    pairs, maximizing both: sort p-desc, keep the max d per p, then
+    keep a pair iff its d beats the running max over strictly-higher
+    p. Any point dominated within a batch is dominated globally, so
+    applying this per-batch is a sound superset filter — the
+    foundation of the local-then-global distributed skyline."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield pdf
+            continue
+        pdf = pdf.sort_values(["p", "d"], ascending=False)
+        u = pdf.drop_duplicates("p", keep="first")
+        m = u["d"].cummax().shift(1)
+        yield u[m.isna() | (u["d"] > m)]
+
+
+def skyline_pairs(points: DataFrame) -> DataFrame:
+    """Distributed 2-D skyline over a DataFrame with columns
+    ``p double, d bigint`` (both maximized; dominate = >= in both
+    dims, > in at least one; exact duplicates all survive because
+    the caller recovers them by joining back on both columns).
+
+    Local-then-global: DISTINCT pairs → per-batch pandas skyline
+    (each partition's skyline is a superset filter) → coalesce the
+    pruned candidates into one task for the global pass. The single
+    task is bounded by the SUM of per-partition skyline sizes, not
+    by n — for random data that is O(partitions · log n); for
+    adversarial anti-chains (every point on the frontier) it
+    degrades to the frontier size, which no algorithm can shrink
+    (measured at 20M rows / 100k-point frontier in BENCH_NOTES)."""
+    import pandas as pd
+
+    def _global_skyline(batches):
+        # the final pass MUST see every candidate in one frame:
+        # mapInPandas feeds a partition as ~10k-row Arrow batches,
+        # and a per-batch filter is only a superset prune — correct
+        # locally, wrong as the last word (caught by the 20M-row
+        # smoke in scripts/exp_skyline_scale.py: a 100k-point
+        # frontier spans many batches). Memory here is bounded by
+        # the sum of per-partition skylines, not by n.
+        rows = list(batches)
+        if not rows:
+            return
+        yield from _local_skyline(iter([pd.concat(rows)]))
+
+    schema = "p double, d bigint"
+    pruned = points.distinct().mapInPandas(_local_skyline, schema)
+    return pruned.coalesce(1).mapInPandas(_global_skyline, schema)
+
+
 @query(
     "q_skyline",
     oracle="""
@@ -381,44 +432,19 @@ def q_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto frontier): orders not dominated in the
-    (totalprice max, orderdate max) plane — another point dominates
-    iff it is >= in both dimensions and > in at least one.
-
-    Distributed 2-D skyline, the classic local-then-global shape:
-    (1) distinct (price, date) pairs; (2) a vectorized pandas local
-    skyline inside each partition/batch — sort price-desc, keep the
-    max date per price, then keep a pair iff its date beats the
-    running max over strictly-higher prices (any point dominated
-    within a batch is dominated globally, so batch-local pruning is
-    a sound superset filter); (3) the surviving candidates — tiny by
-    construction — coalesce to one task for the same filter
-    globally; (4) broadcast-semijoin back to recover order keys,
-    including exact ties kept by DISTINCT in step 1 (equal pairs
+    (totalprice max, orderdate max) plane — ``skyline_pairs`` over
+    the distinct (price, date) points, then a broadcast-semijoin
+    back to recover order keys (including exact ties: equal pairs
     never dominate each other). The oracle is an independent
     formulation (NOT EXISTS anti-join), not a SQL transliteration.
     At 100 TB the only full-data costs are the DISTINCT shuffle and
     the final broadcast join; the O(n log n) work is per-batch."""
-    import pandas as pd  # noqa: F401 — mapInPandas batches
-
     o = read_table(spark, sf_dir, "orders")
     cand = o.select(
         F.col("o_totalprice").alias("p"),
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d"),
-    ).distinct()
-
-    def local_sky(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            pdf = pdf.sort_values(["p", "d"], ascending=False)
-            u = pdf.drop_duplicates("p", keep="first")
-            m = u["d"].cummax().shift(1)
-            yield u[m.isna() | (u["d"] > m)]
-
-    schema = "p double, d bigint"
-    pruned = cand.mapInPandas(local_sky, schema)
-    sky = pruned.coalesce(1).mapInPandas(local_sky, schema)
+    )
+    sky = skyline_pairs(cand)
     return o.join(
         F.broadcast(sky),
         (F.col("o_totalprice") == F.col("p"))
