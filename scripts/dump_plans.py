@@ -235,6 +235,36 @@ NOTES: dict[str, str] = {
         "score join shuffles on the uniform token key — no driver "
         "materialization of the vocabulary anywhere."
     ),
+    "q_skyline": (
+        "Local-then-global Pareto frontier: the distinct shuffle is "
+        "the only full-data exchange; each partition's pandas pass "
+        "emits only its local skyline, so the coalesce(1) global "
+        "pass is bounded by the sum of local frontiers (measured: "
+        "20M rows / 100k-point frontier in 42 s, BENCH_NOTES). The "
+        "recovery join broadcasts the frontier."
+    ),
+    "q_window_count_distinct": (
+        "Running COUNT(DISTINCT) as first-occurrence markers + "
+        "running sum: two user-keyed sort exchanges, no per-row set "
+        "state — the collect_set alternative carries O(distinct) "
+        "state per row and dies at scale."
+    ),
+    "q_time_rollup_hierarchy": (
+        "One Expand + one partial-aggregated exchange produces day, "
+        "month, year and grand-total rollups simultaneously — the "
+        "shuffle carries ~4x day-level cardinality, not 4 scans of "
+        "the fact table."
+    ),
+    "q_attribution_last_touch": (
+        "One user-keyed sort exchange for the IGNORE-NULLS last-touch "
+        "lookup, then a 3-key map-side-combined agg: attribution at "
+        "100 TB is exactly one shuffle of the events table."
+    ),
+    "p_mixture_resample": (
+        "The corpus never shuffles: per-language acceptance ratios "
+        "come from a 5-row aggregate broadcast back, and the "
+        "keep-test is a stateless hash expression in the scan stage."
+    ),
 }
 
 
