@@ -57,3 +57,67 @@ def test_foreachbatch_parquet_sink(spark):
         assert [r.asDict() for r in got] == [r.asDict() for r in want]
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_checkpoint_restart_processes_each_file_exactly_once(spark):
+    """Fault-tolerance contract: a file-source stream with a
+    checkpointLocation, drained with availableNow, restarted after
+    new data lands, must process the new file ONLY — the checkpoint
+    (source offsets + sink commit log) is what makes Structured
+    Streaming exactly-once at the source level, and is the property
+    a 100 TB ingestion pipeline restarts rely on."""
+    base = tempfile.mkdtemp(prefix="stream_ckpt_")
+    in_dir, out_dir, ckpt = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        first = ev.filter(F.col("event_id") % 2 == 0)
+        second = ev.filter(F.col("event_id") % 2 == 1)
+        import glob
+        import os
+
+        def land(df, name):
+            # the file source watches FLAT files in in_dir; a
+            # .write.parquet() output is a directory, so stage it
+            # and move the single part file in
+            stage = f"{base}/stage_{name}"
+            df.coalesce(1).write.parquet(stage)
+            os.makedirs(in_dir, exist_ok=True)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            shutil.move(part, f"{in_dir}/{name}.parquet")
+
+        land(first, "f1")
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(in_dir)
+            )
+
+            def sink(batch_df, batch_id):  # noqa: ANN001
+                batch_df.select("event_id").write.mode("append").parquet(
+                    out_dir
+                )
+
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        n1 = spark.read.parquet(out_dir).count()
+        assert n1 == first.count()
+
+        land(second, "f2")
+        run_once()  # restart from checkpoint: must see ONLY f2
+
+        got = spark.read.parquet(out_dir)
+        assert got.count() == ev.count()  # no double-processing
+        assert got.distinct().count() == ev.count()  # each id once
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
