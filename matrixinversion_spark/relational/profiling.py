@@ -778,3 +778,80 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("group_size"),
         (n < 5).alias("at_risk"),
     )
+
+
+@query(
+    "q_join_cardinality",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+    b AS (
+        SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1)
+    SELECT CAST(sum(a.n * b.n) AS BIGINT) AS join_rows,
+           CAST(count(*) AS BIGINT) AS matched_keys,
+           CAST(max(a.n * b.n) AS BIGINT) AS hottest_key_rows
+    FROM a JOIN b USING (k)
+    """,
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality profile WITHOUT executing the join: per-key
+    counts on each side, then Σ n_a·n_b over matched keys — the
+    exact output size of orders ⋈ customer, plus the hottest key's
+    contribution (the skew signal a planner wants before choosing
+    broadcast/salting). Two map-side-combined aggregations and a
+    key-count join whose input is ALREADY reduced to distinct keys —
+    at 100 TB this costs two scans and a dimension-sized shuffle,
+    versus materializing a possibly-exploding join to count it.
+    Self-use: this is the screen `skew.q_skew_salted_join` assumes
+    you ran first."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    a = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    j = a.join(b, "k").select((F.col("na") * F.col("nb")).alias("prod"))
+    return j.agg(
+        F.sum("prod").cast("bigint").alias("join_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("matched_keys"),
+        F.max("prod").cast("bigint").alias("hottest_key_rows"),
+    )
+
+
+@query(
+    "q_histogram_equi_depth",
+    oracle="""
+    WITH b AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bucket
+        FROM orders)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram — the ANALYZE-style
+    statistic planners keep per column, and the complement of
+    ``q_histogram``'s equi-width bins: 10 buckets of equal row
+    count, each reporting its value envelope. ntile carries the
+    orderkey tiebreaker so bucket edges are deterministic on both
+    engines. The global ntile is a full sort of the column — honest
+    at dimension scale; the fact-scale twin is approx_percentile
+    cut points + a broadcast bucket join (same trade documented on
+    ``q_rfm_segmentation``)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    b = o.select(
+        "o_totalprice", F.ntile(10).over(w).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
