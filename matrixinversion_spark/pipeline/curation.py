@@ -420,13 +420,15 @@ def p_hash_sample_per_group(spark, sf_dir):
     oracle="""
     WITH cnt AS (
         SELECT lang, count(*) AS n_l,
-               (SELECT count(*) FROM documents) AS n
+               (SELECT count(*) FROM documents) AS n,
+               (SELECT count(DISTINCT lang) FROM documents) AS k_langs
         FROM documents GROUP BY lang),
     k AS (
         SELECT d.lang,
                CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS
                         VARCHAR)), 1, 8)) AS UBIGINT)
-                    < least(1.0, (n / 5.0) / n_l) * 4294967296
+                    < least(1.0, (n / CAST(k_langs AS DOUBLE)) / n_l)
+                      * 4294967296
                     THEN 1 ELSE 0 END AS kept
         FROM documents d JOIN cnt ON d.lang = cnt.lang)
     SELECT lang,
@@ -437,8 +439,9 @@ def p_hash_sample_per_group(spark, sf_dir):
 )
 def p_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling: downsample over-represented
-    languages toward a uniform target mix (1/5 of the corpus per
-    language) with a content-independent acceptance test —
+    languages toward a uniform target mix (1/k of the corpus per
+    language, k = observed language count) with a
+    content-independent acceptance test —
     per-language acceptance ratio min(1, target_n / n_lang), applied
     as ``hash32(doc_id) < ratio * 2^32``. The action half of
     ``p_domain_mix`` (which only audits the mixture): this is how a
@@ -460,8 +463,17 @@ def p_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    # total corpus size and language count both derived in-query, so
+    # the uniform target survives a TESTDATA regen that changes the
+    # language set (r3 lesson: never hard-code data cardinalities)
     cnt = cnt.withColumn("n", F.sum("n_l").over(W.partitionBy()))
-    acc = F.least(F.lit(1.0), (F.col("n") / 5.0) / F.col("n_l"))
+    cnt = cnt.withColumn(
+        "k_langs", F.count(F.lit(1)).over(W.partitionBy())
+    )
+    acc = F.least(
+        F.lit(1.0),
+        (F.col("n") / F.col("k_langs").cast("double")) / F.col("n_l"),
+    )
     j = d.join(F.broadcast(cnt), "lang")
     kept = (
         hash32(F.col("doc_id").cast("string")) < acc * F.lit(4294967296.0)

@@ -79,16 +79,35 @@ def test_linear_interp_known_rows_keep_their_value(spark):
     """Non-missing rows interpolate to exactly themselves, and no
     row is NULL unless a user's stream is entirely missing."""
     out = QUERIES["q_linear_interp"](spark, SF)
-    e = spark.read.parquet(f"{SF}/events.parquet").select(
-        "event_id", "value", "event_type"
-    )
+    e_full = spark.read.parquet(f"{SF}/events.parquet")
+    e = e_full.select("event_id", "value", "event_type")
     j = out.join(e, "event_id")
     bad = j.filter(
         (~F.col("was_missing"))
         & (F.abs(F.col("value_interp") - F.round(F.col("value"), 6)) > 1e-9)
     ).count()
     assert bad == 0
-    assert j.filter(F.col("value_interp").isNull()).count() == 0
+    # nulls are only legitimate for users whose whole stream is
+    # missing (no known value on either side) — regen-safe phrasing
+    all_missing = {
+        r["user_id"]
+        for r in e_full.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") != "error", 1).otherwise(0)
+            ).alias("nk")
+        )
+        .collect()
+        if r["nk"] == 0
+    }
+    null_users = {
+        r["user_id"]
+        for r in out.filter(F.col("value_interp").isNull())
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert null_users <= all_missing
 
 
 def test_linear_interp_missing_rows_are_bounded_by_neighbours(spark):
