@@ -474,7 +474,14 @@ def _update_cdc(
         last_us, last_eid, last_val, tomb, n_ops = -1, -1, 0.0, False, 0
     for pdf in pdfs:
         n_ops += len(pdf)
-        us = (pdf["ts"].astype("int64")).to_numpy()
+        # pin the epoch unit to µs: pandas delivers ns- or µs-
+        # resolution datetimes depending on version, and last_us
+        # persists across restarts — mixed units would mis-order
+        us = (
+            np.asarray(pdf["ts"].values)
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
         eid = pdf["event_id"].to_numpy()
         order = np.lexsort((eid, us))
         top = order[-1]
