@@ -40,6 +40,10 @@ HEADLINE = [
     "p_embedding_covariance",
     "la_matmul_coo",
     "q_merge_upsert",
+    # round-6 representatives (added r6 — earlier rounds' reports
+    # simply lack these keys; existing fingerprints are unaffected)
+    "q_skyline",
+    "q_window_count_distinct",
 ]
 
 INVERSE_N = 2048
