@@ -855,3 +855,82 @@ def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW
+           ), 6) AS med21
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a trailing 21-row frame per user — the
+    robust twin of ``q_rolling_zscore``'s mean/stddev window (one
+    wild reading shifts a rolling mean for 21 rows; the median
+    shrugs). Exact interpolated percentile as a WINDOW aggregate on
+    both engines (same 0.5·(n−1) rule), user-partitioned frame —
+    one sort shuffle, O(frame) state per row at any scale."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias(
+            "med21"
+        ),
+    )
+
+
+@query(
+    "q_outlier_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1)
+                           OR l_extendedprice > q3 + 1.5 * (q3 - q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+           round(q3 + 1.5 * (q3 - q1), 4) AS hi
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+    GROUP BY l.l_returnflag, q1, q3
+    """,
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit: per group, count values outside
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] — the box-plot rule, and the third
+    member of the robust-statistics family here (winsorize clips,
+    MAD rescales, this one screens). Exact quartiles both engines;
+    two passes with a 3-row broadcast between them, identical shape
+    to ``q_mad_robust``."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    j = li.join(F.broadcast(q), "l_returnflag")
+    out = (
+        (F.col("l_extendedprice") < lo)
+        | (F.col("l_extendedprice") > hi)
+    ).cast("int")
+    return j.groupBy("l_returnflag", "q1", "q3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(out).cast("bigint").alias("n_outliers"),
+        F.round(F.min(lo), 4).alias("lo"),
+        F.round(F.min(hi), 4).alias("hi"),
+    ).drop("q1", "q3")

@@ -402,3 +402,69 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_minutes"
         ),
     )
+
+
+@query(
+    "q_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + 600000000 AS e
+        FROM events),
+    pts AS (
+        SELECT event_id, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_id, e AS t, -1 AS delta FROM iv),
+    c AS (
+        SELECT t, sum(delta) OVER (
+                   ORDER BY t, delta DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM pts)
+    SELECT CAST(max(cum) AS BIGINT) AS peak,
+           CAST(min(CASE WHEN cum = (SELECT max(cum) FROM c)
+                         THEN t END) AS BIGINT) AS peak_at_us,
+           (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_intervals
+    FROM c
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by interval sweep: treat each event as a
+    10-minute job, emit +1/−1 boundary points, running-sum them in
+    global time order, and report the maximum simultaneous count and
+    the first instant it is reached — the ops-monitoring classic
+    ("max concurrent sessions/queries/connections"). Starts sort
+    before ends at the same instant (delta DESC), so touching
+    intervals count as concurrent, identically on both engines.
+
+    The global running sum goes through ``profiling.prefix_sum``
+    (range-repartition + per-partition scan + K-row offset join) —
+    NOT a single-partition ``Window.orderBy`` — so the sweep scales
+    like any global sort; the two final aggregates reduce to
+    scalars (the first collected driver-side, one bounded value,
+    to select the argmax row in the second pass)."""
+    from matrixinversion_spark.relational.profiling import prefix_sum
+
+    e = read_table(spark, sf_dir, "events")
+    s_us = F.unix_micros("ts")
+    starts = e.select(
+        "event_id", s_us.alias("t"), F.lit(1).alias("delta")
+    )
+    ends = e.select(
+        "event_id",
+        (s_us + 600_000_000).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends)
+    cum = prefix_sum(
+        pts,
+        [F.col("t").asc(), F.col("delta").desc(), F.col("event_id").asc()],
+        "delta",
+    )
+    peak = cum.agg(F.max("cum")).collect()[0][0]  # one scalar — bounded
+    n_iv = e.count()
+    return cum.filter(F.col("cum") == peak).agg(
+        F.lit(int(peak)).cast("bigint").alias("peak"),
+        F.min("t").cast("bigint").alias("peak_at_us"),
+        F.lit(n_iv).cast("bigint").alias("n_intervals"),
+    )

@@ -267,3 +267,55 @@ def test_pinv_rejects_wide_matrix(spark):
     )
     with pytest.raises(ValueError, match="tall"):
         invmod.pinv(a)
+
+
+def test_rolling_median_is_within_frame_bounds(spark):
+    """Each rolling median lies within [min, max] of the user's
+    values (frame is a subset) and equals the value itself on the
+    user's first row (frame of one)."""
+    out = QUERIES["q_rolling_median"](spark, SF)
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    bounds = e.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    j = out.join(bounds, "user_id")
+    assert (
+        j.filter(
+            (F.col("med21") < F.col("lo") - 1e-9)
+            | (F.col("med21") > F.col("hi") + 1e-9)
+        ).count()
+        == 0
+    )
+
+
+def test_outlier_iqr_counts_are_sane(spark):
+    rows = QUERIES["q_outlier_iqr"](spark, SF).collect()
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n"]
+        assert r["lo"] < r["hi"]
+
+
+def test_peak_concurrency_matches_naive_sweep(spark):
+    """Differential: the distributed sweep equals a driver-side
+    sequential sweep over the same 10-minute intervals."""
+    import numpy as np
+
+    got = QUERIES["q_peak_concurrency"](spark, SF).collect()[0]
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    rows = e.collect()
+    pts = []
+    for r in rows:
+        pts.append((r["t"], -1, r["event_id"]))        # start: delta DESC
+        pts.append((r["t"] + 600_000_000, 1, r["event_id"]))  # end
+    pts.sort()
+    cum = peak = 0
+    peak_at = None
+    for t, nd, _eid in pts:
+        cum += 1 if nd == -1 else -1
+        if cum > peak:
+            peak, peak_at = cum, t
+    assert got["peak"] == peak
+    assert got["peak_at_us"] == peak_at
+    assert got["n_intervals"] == len(rows)
