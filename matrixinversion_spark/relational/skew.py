@@ -39,7 +39,10 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
             f"unmatched small rows would appear {n_salts} times)"
         )
     salted_big = big.withColumn(
-        "__salt", (F.abs(F.hash(*big.columns)) % n_salts).cast("int")
+        # pmod, not abs(hash) % n: abs(Int.MinValue) overflows under
+        # ANSI mode — a 1-in-2^32 per-row bomb that a 20M-row smoke
+        # actually hit (scripts/exp_skew_scale.py); pmod is total
+        "__salt", F.pmod(F.hash(*big.columns).cast("long"), n_salts).cast("int")
     )
     salted_small = small.withColumn(
         "__salt",

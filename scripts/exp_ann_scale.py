@@ -37,7 +37,7 @@ spark = get_spark("ann-scale")
 # hash-uniform in [-1, 1]
 def u(seed_col, j, salt):  # noqa: ANN001
     return (
-        (F.abs(F.xxhash64(seed_col, F.lit(j), F.lit(salt))) % 10_000)
+        F.pmod(F.xxhash64(seed_col, F.lit(j), F.lit(salt)), 10_000)
         / 5_000.0
         - 1.0
     )

@@ -45,7 +45,7 @@ spark = get_spark("minhash-scale")
 # whole doc FAMILIES exact duplicates — thousands of true extra
 # pairs and quadratic LSH buckets. Hash, don't pattern.)
 tok = lambda i, j: F.concat(  # noqa: E731
-    F.lit("w"), F.abs(F.xxhash64(i, F.lit(j))) % VOCAB
+    F.lit("w"), F.pmod(F.xxhash64(i, F.lit(j)), VOCAB)
 )
 base = spark.range(N).select(
     F.col("id").alias("doc_id"),
