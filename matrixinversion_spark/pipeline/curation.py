@@ -76,20 +76,56 @@ _PAIRS_SQL = f"""
 """
 
 
+def _fresh_stats_barrier(df: DataFrame) -> DataFrame:
+    """localCheckpoint + STATISTICS reset — the mandatory round
+    barrier for iterative join loops.
+
+    ``localCheckpoint`` truncates the lineage but PRESERVES the
+    optimized plan's statistics in the resulting LogicalRDD, and
+    Catalyst's size-only join estimation MULTIPLIES children's
+    ``sizeInBytes`` (a BigInt). An iterative loop with j joins per
+    round therefore compounds sizeInBytes to ~S^(j^n) — the digit
+    count triples per round for j=3 (measured: 9→32→102→312→943→2835
+    digits over 6 rounds), until the driver spends its time in
+    BigInteger.multiplyKaratsuba inside stats estimation (~80 s per
+    round by round 15 on a 640-row graph; thread dump in
+    BENCH_NOTES). Rebuilding the DataFrame from the checkpointed RDD
+    via ``internalCreateDataFrame`` drops the inherited stats, so
+    every round re-plans from the default size estimate: digits stay
+    constant and per-round cost is flat. Falls back to the plain
+    checkpoint if the internal API moves (correct, but subject to
+    the compounding — acceptable only for bounded-round loops)."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = ck.sparkSession
+        jdf = ck._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, spark)
+    except Exception:  # pragma: no cover — Spark-internal API drift
+        return ck
+
+
 def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
     """Min-label connected components over a symmetric edge list
     ``(u, v)``; returns ``(labels(doc_id, label), rounds)``.
 
     Each round does (a) neighbor-min propagation (one join + min-agg)
     and (b) a pointer-jumping shortcut ``label ← label(label)`` (one
-    more join) — (b) halves the depth of any remaining label chain, so
-    convergence is O(log D) rounds (D = component diameter), not the
-    O(D) of plain neighbor propagation (a chain of 64 docs converges
-    in ≤8 rounds — pinned by pytest). Every round's frontier is
-    checkpointed so the iterative lineage stays flat — the reference's
-    recursion (O12) has the same driver-loop-over-Spark-jobs shape.
-    Scale: shuffle volume per round is O(|E| + |V|) on uniform keys;
-    round count is the log of the largest near-dup chain.
+    more join) — (b) collapses label-referral chains, so convergence
+    is O(log D) rounds on chain-shaped layouts (a 64-doc id-ordered
+    chain converges in ≤8 rounds — pinned by pytest) but O(D) in the
+    worst case (a ring with hash-random ids, where no referral chain
+    forms — measured in scripts/exp_cc_scale.py; hash-to-min with
+    set-valued state is the known O(log n)-always upgrade if a
+    deeper-diameter workload ever appears). Near-dup graphs, this
+    operator's actual workload, have small-diameter components.
+    Every round ends in ``_fresh_stats_barrier`` — checkpoint AND
+    statistics reset; without the reset Catalyst's multiplied
+    sizeInBytes BigInts stall the driver exponentially (see the
+    barrier's docstring). Scale: shuffle volume per round is
+    O(|E| + |V|) on uniform keys.
     """
     edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("u").alias("doc_id")).distinct() \
@@ -121,7 +157,8 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
                     F.coalesce("jmp_label", "label"),
                 ).alias("label"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        new_labels = _fresh_stats_barrier(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
