@@ -44,3 +44,44 @@ def test_star_converges_fast(spark):
     labels, rounds = connected_components(edges)
     assert labels.filter(F.col("label") != 0).count() == 0
     assert rounds <= 3
+
+
+def test_fresh_stats_barrier_pins_size_estimate(spark):
+    """Regression guard for the Catalyst BigInt stats stall: across
+    15 simulated iterative rounds (3 self-joins each, like CC), the
+    optimized plan's sizeInBytes digit count must stay pinned when
+    rounds end in _fresh_stats_barrier — without the reset it
+    roughly triples per round (measured 9->2835 digits in 6 rounds),
+    which eventually stalls the driver in BigInteger multiplication
+    (BENCH_NOTES round 6)."""
+    from pyspark.sql import functions as F
+
+    from matrixinversion_spark.pipeline.curation import (
+        _fresh_stats_barrier,
+    )
+
+    df = spark.range(64).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("label")
+    )
+    df = _fresh_stats_barrier(df)
+    digits = []
+    for _ in range(15):
+        a = df.alias("a")
+        b = df.select(
+            F.col("doc_id").alias("k"), F.col("label").alias("l2")
+        )
+        c = df.select(
+            F.col("label").alias("k2"), F.col("doc_id").alias("d3")
+        )
+        nxt = (
+            a.join(b, F.col("a.label") == F.col("k"), "left")
+            .join(c, F.col("a.doc_id") == F.col("k2"), "left")
+            .select("a.doc_id", F.least("a.label", "l2").alias("label"))
+        )
+        df = _fresh_stats_barrier(nxt)
+        sz = str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        digits.append(len(sz))
+    assert max(digits) <= 25, digits  # default estimate, never compounds
+    assert df.count() == 64
