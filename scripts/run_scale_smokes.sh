@@ -1,0 +1,23 @@
+#!/bin/sh
+# Scale-smoke harness: drives the registered operators at 1-20M rows
+# against closed-form / differential oracles. sf0.01 gate-green plus
+# one of these is the cheapest way to find the bugs that only exist
+# at scale — this suite has caught, in round 6 alone:
+#   - skyline's global pass being silently batch-local (Arrow 10k
+#     batching) -> wrong frontiers past 10k candidates;
+#   - salted_join's abs(hash) % n salt overflowing under ANSI mode
+#     on Int.MinValue (1-in-2^32 per row);
+#   - the Catalyst BigInt sizeInBytes compounding stall in iterative
+#     join loops (driver stuck in BigInteger.multiplyKaratsuba);
+# plus prefix_sum's RangePartitioner double-execution misalignment
+# in round 5. Each script prints one line ending in ok=True/False
+# and exits nonzero on failure. Budget ~10 min on local[32].
+set -e
+cd "$(dirname "$0")/.."
+for s in exp_skyline_scale exp_minhash_scale exp_ann_scale \
+         exp_skew_scale exp_cc_scale; do
+    echo "=== $s"
+    python "scripts/$s.py" 2>/dev/null | grep -E "ok=|=.*s " || {
+        echo "$s FAILED"; exit 1; }
+done
+echo "all scale smokes green"
