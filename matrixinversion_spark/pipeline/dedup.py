@@ -469,3 +469,101 @@ def p_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 4).alias("cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+PPJOIN_TAU = 0.7
+
+_PPJOIN_SQL = f"""
+WITH ds AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+),
+sz AS (SELECT doc_id, len(toks) AS n FROM ds WHERE len(toks) > 0),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM ds),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+    FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {PPJOIN_TAU}
+"""
+
+
+@query("p_set_similarity_ppjoin", oracle=_PPJOIN_SQL)
+def p_set_similarity_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard >= 0.7 self-join via prefix filtering (PPJoin).
+
+    The third candidate-generation strategy alongside the inverted-
+    index join (p_dedup_ngram_jaccard) and MinHash LSH — and unlike
+    LSH it is EXACT with a pruned shuffle. Prefix-filter theorem
+    (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): order every
+    document's distinct tokens by ascending global document frequency
+    (rarest first, token string as tiebreak); if J(A,B) >= tau then A
+    and B must share a token within their first
+    |x| - ceil(tau*|x|) + 1 tokens. Only those prefix tokens are
+    exploded into the candidate self-join, so stop-words — the skew
+    and fan-out hazard of the naive inverted index — land in the
+    suffix and never enter the shuffle. Candidates are then verified
+    exactly with array_intersect on the (small) per-doc token arrays.
+
+    Scale: token-frequency count is one agg shuffle; the ranking
+    window partitions by doc_id (bounded rows per doc); the candidate
+    join shuffles only prefix tokens, whose buckets are small by
+    construction (rarest-first ordering). No false negatives — the
+    oracle is the brute-force pair scan.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+        .filter(F.size("toks") > 0)
+    )
+    tok = d.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("t")
+    )
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "t")
+    prefix = (
+        tok.join(dfreq, "t")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(PPJOIN_TAU) * F.col("n")) + 1
+        )
+        .select("doc_id", "t")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("id_a"), "t")
+        .join(prefix.select(F.col("doc_id").alias("id_b"), "t"), "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    jac = F.col("i").cast("double") / (
+        F.size("ta") + F.size("tb") - F.col("i")
+    )
+    return (
+        cand.join(
+            d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta")),
+            "id_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb")),
+            "id_b",
+        )
+        .withColumn("i", F.size(F.array_intersect("ta", "tb")))
+        .filter(jac >= PPJOIN_TAU)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -934,3 +934,80 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(lo), 4).alias("lo"),
         F.round(F.min(hi), 4).alias("hi"),
     ).drop("q1", "q3")
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "rid",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Contiguous 1-based global row ids in ``order_cols`` order —
+    the distributed ``row_number() OVER (ORDER BY ...)``.
+
+    Same two-pass shape as ``prefix_sum`` but integer-exact (bigint
+    offsets, never doubles — float prefix offsets lose exactness past
+    2^53 rows): range-repartition on the sort key, per-partition
+    row_number, then add the exclusive prefix of per-partition COUNTS
+    (a K-row driver scan, K = n_parts) via a broadcast join. The
+    widest stage is the range sort-shuffle — the unavoidable price of
+    a total order — with no SinglePartition window anywhere.
+
+    ``monotonically_increasing_id`` is the cheaper cousin when ids
+    only need to be unique, not contiguous or order-aligned; this is
+    the operator for "number the corpus 1..N" (sequence packing,
+    stable sampling frames, matrix row indexing).
+
+    ``order_cols`` must be a total order (include a unique
+    tiebreaker), else assignment within ties is nondeterministic.
+    """
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wp = W.partitionBy("_pid").orderBy(*order_cols)
+    # localCheckpoint pins RangePartitioner's sampled boundaries —
+    # the frame executes twice (counts + final join), same hazard as
+    # prefix_sum's 20M-row offset-drift smoke.
+    local = ranged.withColumn(
+        "_local", F.row_number().over(wp).cast("bigint")
+    ).localCheckpoint(eager=True)
+    counts = {
+        r["_pid"]: r["c"]
+        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    running, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(v)) for p, v in offsets.items()],
+        "_pid INT, _off BIGINT",
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+@query(
+    "q_global_row_number",
+    oracle="""
+    SELECT o_orderkey,
+           row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rid
+    FROM orders
+    """,
+)
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous ids over orders by (date, key) — distributed
+    two-pass row numbering; oracle is the single-partition ANSI
+    window DuckDB runs happily at sf0.01 and Spark must not at
+    100 TB."""
+    o = read_table(spark, sf_dir, "orders")
+    return assign_global_ids(
+        o.select("o_orderkey", "o_orderdate"),
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        out_col="rid",
+    ).select("o_orderkey", "rid")

@@ -468,3 +468,57 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t").cast("bigint").alias("peak_at_us"),
         F.lit(n_iv).cast("bigint").alias("n_intervals"),
     )
+
+
+@query(
+    "q_acf_hourly",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1),
+    pairs AS (
+        SELECT l.lag AS lag, x.c AS cx, y.c AS cy
+        FROM (SELECT unnest([1, 2, 3, 4, 5]) AS lag) l
+        JOIN hourly x ON true
+        JOIN hourly y ON y.h = x.h + l.lag)
+    SELECT lag, round(corr(cx, cy), 4) AS acf,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1-5.
+
+    Time-series diagnostic (seasonality / burstiness detection) kept
+    fully distributed: instead of a single-partition LAG window over
+    the global series, the hourly series self-joins on ``h + lag = h``
+    — a hash-shuffle join — and Pearson corr aggregates per lag.
+    Hours with zero events are absent on both sides (inner join), and
+    the oracle uses the same convention. At 100 TB the hourly rollup
+    is one agg shuffle and the series is |hours| rows — tiny — but
+    the same plan holds for per-key ACF (add the key to the join and
+    grouping) where a global-sort window would not.
+    """
+    e = read_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.floor(F.unix_micros("ts") / 3600000000).cast("bigint").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    lagged = hourly.withColumn(
+        "lag", F.explode(F.array([F.lit(i) for i in range(1, 6)]))
+    ).select("lag", (F.col("h") + F.col("lag")).alias("h"), F.col("c").alias("cx"))
+    pairs = lagged.join(
+        hourly.select("h", F.col("c").alias("cy")), "h"
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.round(F.corr("cx", "cy"), 4).alias("acf"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("lag")
+    )

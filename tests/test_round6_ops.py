@@ -319,3 +319,119 @@ def test_peak_concurrency_matches_naive_sweep(spark):
     assert got["peak"] == peak
     assert got["peak_at_us"] == peak_at
     assert got["n_intervals"] == len(rows)
+
+
+def test_ppjoin_matches_bruteforce_on_synthetic_docs(spark):
+    """Prefix-filtered set-similarity join finds EXACTLY the
+    brute-force Jaccard >= tau pairs on a synthetic corpus with
+    planted near-dups, stop-word saturation (every doc shares
+    'the a of'), and disjoint singletons."""
+    from matrixinversion_spark.pipeline.dedup import PPJOIN_TAU
+
+    base = ["the", "a", "of", "cat", "dog", "fox", "emu", "owl"]
+    docs = []
+    rng = np.random.default_rng(11)
+    for i in range(60):
+        k = rng.integers(4, 9)
+        toks = list(rng.choice(base, size=k, replace=False))
+        docs.append((i, " ".join(toks)))
+        if i % 5 == 0:  # planted near-dup: drop one token
+            docs.append((1000 + i, " ".join(toks[:-1])))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    # brute force on token SETS
+    sets = {i: frozenset(t.split(" ")) for i, t in docs}
+    want = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            j = len(a & b) / len(a | b)
+            if j >= PPJOIN_TAU:
+                want.add((ids[x], ids[y]))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/documents.parquet")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in QUERIES["p_set_similarity_ppjoin"](spark, td).collect()
+        }
+    assert got == want
+    assert want  # planted dups must produce pairs
+
+
+def test_spatial_grid_join_matches_bruteforce(spark):
+    """Grid-cell distance join == brute-force pair scan, including
+    boundary-exact pairs (dist == r) and cross-cell pairs."""
+    from matrixinversion_spark.relational.spatial import grid_distance_join
+
+    rng = np.random.default_rng(3)
+    pts = [(i, int(x), int(y)) for i, (x, y) in enumerate(
+        rng.integers(0, 3000, size=(300, 2))
+    )]
+    pts.append((900, 100, 100))
+    pts.append((901, 600, 100))  # exactly r=500 apart, straddles cells
+    df = spark.createDataFrame(pts, "id bigint, xi bigint, yi bigint")
+    got = {
+        (r["id_a"], r["id_b"], r["dist_sq"])
+        for r in grid_distance_join(df, 500).collect()
+    }
+    want = set()
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a, b = pts[i], pts[j]
+            if a[0] > b[0]:
+                a, b = b, a
+            d2 = (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+            if d2 <= 250000:
+                want.add((a[0], b[0], d2))
+    assert got == want
+    assert (900, 901, 250000) in got  # boundary pair found exactly
+
+
+def test_acf_perfect_periodicity(spark):
+    """ACF of an exactly periodic hourly series is 1.0 at the period
+    lag and negative at the half-period."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for h in range(48):  # 48 hours, period 4: counts 1,2,6,2,...
+        n = [1, 2, 6, 2][h % 4]
+        for _ in range(n):
+            rows.append(
+                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h),
+                 0, "view", 0.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        out = {
+            r["lag"]: r["acf"]
+            for r in QUERIES["q_acf_hourly"](spark, td).collect()
+        }
+    assert out[4] == 1.0
+    assert out[2] < 0  # anti-phase at half period
+
+
+def test_global_ids_contiguous_and_ordered(spark):
+    """assign_global_ids yields a contiguous 1..N permutation aligned
+    with the sort order, across many input partitions."""
+    from matrixinversion_spark.relational.profiling import assign_global_ids
+
+    rng = np.random.default_rng(5)
+    vals = [(int(v), i) for i, v in enumerate(rng.permutation(5000))]
+    df = spark.createDataFrame(vals, "k bigint, payload bigint").repartition(17)
+    out = assign_global_ids(df, [F.col("k")], n_parts=11).collect()
+    assert sorted(r["rid"] for r in out) == list(range(1, 5001))
+    by_rid = sorted(out, key=lambda r: r["rid"])
+    assert [r["k"] for r in by_rid] == sorted(v for v, _ in vals)
