@@ -8,11 +8,13 @@ surface; this extends the relational layer with the canonical
 distributed spatial-join plan (the same shape Sedona/GeoSpark use for
 DistanceJoin).
 
-Coordinates are derived deterministically from ``c_custkey`` with pure
-integer arithmetic (multiply-mod in centi-units), so the Spark plan and
-the DuckDB oracle compute bit-identical positions and the distance
-test is exact integer math — no float-comparison hazard at the radius
-boundary.
+Coordinates are derived deterministically from ``c_custkey`` via the
+repo's portable md5-prefix hash (``pipeline.dedup.hash32`` pattern) in
+centi-units, so the Spark plan and the DuckDB oracle compute
+bit-identical positions that actually SCATTER (a multiply-mod lattice
+was tried first and produced zero close pairs at sf0.01 — a vacuous
+oracle row) and the distance test is exact integer math — no
+float-comparison hazard at the radius boundary.
 
 Scale: each point is shuffled once keyed by its cell (left side) and
 nine times keyed by neighbor cells (right side) — constant fan-out,
@@ -39,8 +41,10 @@ _R_SQ = _R_CENTI * _R_CENTI  # 250000, exact in int64
 _SPATIAL_SQL = f"""
 WITH pts AS (
     SELECT c_custkey AS id,
-           CAST((c_custkey * 7919) % {_MOD} AS BIGINT) AS xi,
-           CAST((c_custkey * 104729) % {_MOD} AS BIGINT) AS yi
+           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                AS UBIGINT)::BIGINT % {_MOD} AS xi,
+           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))
+                AS UBIGINT)::BIGINT % {_MOD} AS yi
     FROM customer
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -105,11 +109,13 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle is the brute-force O(n^2) cross join — feasible at sf0.01,
     exactly what the grid plan avoids at scale.
     """
+    from matrixinversion_spark.pipeline.dedup import hash32
+
     c = read_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey").cast("bigint")
+    ks = F.col("c_custkey").cast("string")
     pts = c.select(
         F.col("c_custkey").alias("id"),
-        ((k * 7919) % _MOD).alias("xi"),
-        ((k * 104729) % _MOD).alias("yi"),
+        (hash32(ks) % _MOD).alias("xi"),
+        (hash32(F.concat(ks, F.lit("y"))) % _MOD).alias("yi"),
     )
     return grid_distance_join(pts, _R_CENTI)

@@ -394,7 +394,7 @@ def test_spatial_grid_join_matches_bruteforce(spark):
 def test_acf_perfect_periodicity(spark):
     """ACF of an exactly periodic hourly series is 1.0 at the period
     lag and negative at the half-period."""
-    import pandas as pd
+    from datetime import datetime, timedelta
 
     rows = []
     eid = 0
@@ -402,7 +402,7 @@ def test_acf_perfect_periodicity(spark):
         n = [1, 2, 6, 2][h % 4]
         for _ in range(n):
             rows.append(
-                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h),
+                (eid, datetime(2024, 1, 1) + timedelta(hours=h),
                  0, "view", 0.0, "{}")
             )
             eid += 1
