@@ -16,7 +16,8 @@ set -e
 cd "$(dirname "$0")/.."
 for s in exp_skyline_scale exp_minhash_scale exp_ann_scale \
          exp_skew_scale exp_cc_scale exp_asof_merge_scale \
-         exp_sessionize_scale; do
+         exp_sessionize_scale exp_ppjoin_scale exp_spatial_scale \
+         exp_rownum_scale; do
     echo "=== $s"
     python "scripts/$s.py" 2>/dev/null | grep -E "ok=|=.*s " || {
         echo "$s FAILED"; exit 1; }
