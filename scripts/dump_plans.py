@@ -265,6 +265,39 @@ NOTES: dict[str, str] = {
         "come from a 5-row aggregate broadcast back, and the "
         "keep-test is a stateless hash expression in the scan stage."
     ),
+    "p_set_similarity_ppjoin": (
+        "Prefix filtering keeps the candidate self-join exact but "
+        "pruned: only the |x|-ceil(tau|x|)+1 globally-rarest tokens "
+        "per doc enter the join, so stop-word buckets (the inverted "
+        "index's quadratic hazard) never shuffle. Verification is "
+        "array_intersect on already-joined rows — no second pass "
+        "over the corpus. The 1M-doc smoke's stop-token design "
+        "proves the pruning: admitted stop tokens would make the "
+        "run quadratic, not slow."
+    ),
+    "q_spatial_grid_join": (
+        "A big-x-big distance join with no cross join: both sides "
+        "hash-exchange on the grid cell (the right side at constant "
+        "9x fan-out for the neighbor cells), and the distance "
+        "predicate runs row-local post-join in integer math. "
+        "Candidate pairs scale with local density, not n^2; a dense "
+        "hotspot cell is the one residual hazard, mitigated by the "
+        "same salting pattern as skew.salted_join."
+    ),
+    "q_acf_hourly": (
+        "The lag-window formulation would funnel the series through "
+        "one task; the lag self-join keeps the plan a hash exchange "
+        "on the hour key with corr as an ordinary partial-merged "
+        "aggregate. Same plan shape holds for per-key ACF at any "
+        "cardinality."
+    ),
+    "q_global_row_number": (
+        "row_number() OVER (ORDER BY ...) with no SinglePartition "
+        "window: a range exchange (the unavoidable price of a total "
+        "order), per-partition row numbering, and a K-row broadcast "
+        "of partition-count offsets. The widest stage equals a "
+        "global ORDER BY's — nothing is serialized."
+    ),
 }
 
 
