@@ -518,3 +518,26 @@ def cdc_latest_state(events: DataFrame,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment: join each micro-batch of
+    the event stream against a static dimension table.
+
+    The production-default streaming pattern: the static side is
+    planned as an ordinary batch relation inside every micro-batch,
+    so a small dimension broadcasts (no shuffle of the stream, no
+    state store, no watermark needed — unlike stream-stream joins).
+    Inner join on the key; events without a dimension row are kept
+    with NULL attributes (left join) so the stream is never silently
+    filtered by late dimension loads.
+
+    At scale: the dimension re-broadcasts per micro-batch, which is
+    the knob to watch — for a large or slowly-changing dimension the
+    upgrade path is Delta/snapshot refresh + foreachBatch, not a
+    bigger broadcast.
+    """
+    d = F.broadcast(dim)
+    return events.join(d, events["user_id"] == d["dim_user_id"], "left").drop(
+        "dim_user_id"
+    )

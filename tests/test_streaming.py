@@ -282,3 +282,36 @@ def test_cdc_latest_state_stream_matches_batch(spark):
         assert g["last_event_id"] == w["last_event_id"], u
         assert abs(g["last_value"] - w["last_value"]) < 1e-12, u
         assert g["n_ops"] == w["n_ops"], u
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static left broadcast join == the same join in batch;
+    users missing from the dim survive with NULL tier."""
+    dim = spark.createDataFrame(
+        [(i, "gold" if i % 3 == 0 else "basic") for i in range(0, 50, 2)],
+        "dim_user_id bigint, tier string",
+    )
+    stream = sops.read_events_stream(spark, SF_DIR)
+    sops.run_to_memory(
+        sops.enriched_stream(stream, dim)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "enriched",
+    )
+    got = {
+        (r["tier"], r["n"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .join(
+            F.broadcast(dim),
+            F.col("user_id") == F.col("dim_user_id"),
+            "left",
+        )
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["tier"], r["n"]) for r in batch.collect()}
+    assert got == want
+    assert None in {t for t, _ in want}  # unmatched users kept as NULL
