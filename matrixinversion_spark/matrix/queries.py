@@ -585,3 +585,69 @@ def la_pinv_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n int, m int, mp_residual_r6 double, ok boolean, "
         "left_inverse_ok boolean",
     )
+
+
+@query(
+    "la_condition_number",
+    oracle=(
+        "SELECT 256 AS n, 1000.0 AS kappa_true, 0.0 AS rel_err_r6, "
+        "TRUE AS ok"
+    ),
+)
+def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral condition number κ₂(A) of an SPD matrix with a KNOWN
+    planted spectrum, estimated entirely with the distributed
+    operator set: power iteration on A gives λmax; power iteration
+    on the pipeline's own A⁻¹ (matrix/inverse.py) gives 1/λmin; the
+    product is κ₂. The matrix is Q·diag(d)·Qᵀ with
+    d = max(1000·0.5^i, 1) — κ₂ = 1000 exactly, and both dominant
+    ratios are ≥ 2, so 30 iterations converge ~0.25^30 ≈ 1e-18 past
+    the 6-decimal check. Extends the reference's inversion surface
+    (LUInverse.java) with the diagnostic users run an inversion FOR:
+    how close to singular the system is.
+
+    Scale shape: per step one block gemm against an n×1 frame (the
+    vector never leaves the cluster; only the scalar norm crosses to
+    the driver) — identical loop skeleton to la_power_iteration, so
+    the cost at any n is 2·iters vector gemms plus one full inverse.
+    """
+    from matrixinversion_spark.matrix.lu import _checkpoint
+
+    n, bs, iters = 256, 64, 30
+    rng = np.random.default_rng(77)
+    q_np, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.maximum(1000.0 * 0.5 ** np.arange(n), 1.0)
+    a_np = (q_np * d) @ q_np.T
+    a = BlockMatrixFrame.from_numpy(spark, a_np, block_size=bs)
+    a.persist()
+    a_inv = invmod.inverse(a, leaf_size=bs)
+    a_inv = _checkpoint(a_inv)
+    a_inv.persist()
+
+    def dominant(m: BlockMatrixFrame) -> float:
+        v = BlockMatrixFrame.from_numpy(
+            spark,
+            rng.standard_normal((n, 1)) / np.sqrt(n),
+            block_size=bs,
+        )
+        lam = 0.0
+        for _ in range(iters):
+            w = _checkpoint(ops.multiply(m, v))
+            w.persist()
+            norm2 = w.df.select(
+                F.sum(
+                    F.aggregate(
+                        "data", F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                ).alias("s")
+            ).collect()[0]["s"]
+            lam = float(np.sqrt(norm2))
+            v = ops.scale(w, 1.0 / lam)
+        return lam
+
+    kappa = dominant(a) * dominant(a_inv)
+    rel_err = abs(kappa - 1000.0) / 1000.0
+    return spark.createDataFrame(
+        [(n, 1000.0, float(round(rel_err, 6)), bool(rel_err < 1e-6))],
+        "n int, kappa_true double, rel_err_r6 double, ok boolean",
+    )
