@@ -221,3 +221,55 @@ def q_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+def write_balanced(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    order_cols: list | None = None,
+) -> int:
+    """Write parquet with uniformly-sized output files; returns the
+    file count.
+
+    The two production failure modes this fixes at 100 TB: thousands
+    of KB-sized files per partition (shuffle.partitions-shaped
+    output destroys downstream scan planning and NameNode/catalog
+    metadata) and single multi-GB files (no read parallelism,
+    stragglers on re-ingest). One count() pass sizes the job, then
+    either ``repartition(k)`` (round-robin, uniform by construction)
+    or — when ``order_cols`` is given — ``repartitionByRange`` so
+    files are also range-clustered for min/max skipping, with
+    ``maxRecordsPerFile`` as the hard upper bound against range
+    skew. The count is one extra scan over the input; on a real
+    pipeline the row count usually already exists (Observation /
+    previous stage metrics) and can be passed through instead — the
+    repartition + bounded-write shape is the point.
+
+    File-count contract: between k and 2k where k = ceil(n/target)
+    — round-robin spreads rows within ±(input partitions/2) per
+    task, so a task marginally over target splits one extra file;
+    every file is hard-capped at target rows.
+    """
+    import math
+
+    n = df.count()
+    k = max(1, math.ceil(n / target_rows_per_file))
+    shaped = (
+        df.repartitionByRange(k, *order_cols)
+        if order_cols
+        else df.repartition(k)
+    )
+    (
+        shaped.write.option("maxRecordsPerFile", target_rows_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    files = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    return files

@@ -435,3 +435,43 @@ def test_global_ids_contiguous_and_ordered(spark):
     assert sorted(r["rid"] for r in out) == list(range(1, 5001))
     by_rid = sorted(out, key=lambda r: r["rid"])
     assert [r["k"] for r in by_rid] == sorted(v for v, _ in vals)
+
+
+def test_write_balanced_file_sizing(spark, tmp_path):
+    """write_balanced turns a skew-partitioned frame into uniform
+    ~target-row files, both round-robin and range-clustered."""
+    from matrixinversion_spark.relational.io import write_balanced
+
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    # adversarial layout: 64 partitions, one holding 90% of rows
+    skewed = df.repartition(64, (F.col("k") < 9000).cast("int"))
+
+    out = str(tmp_path / "rr")
+    n_files = write_balanced(skewed, out, 1000)
+    # round-robin spreads ±(n_input_partitions/2) rows per task, so a
+    # task just over target splits one extra file: k <= files <= 2k
+    assert 10 <= n_files <= 20
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name())
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 1000 for r in per_file)
+    assert sum(r["count"] for r in per_file) == 10_000
+    # no KB-file explosion: median file holds a meaningful share
+    sizes = sorted(r["count"] for r in per_file)
+    assert sizes[len(sizes) // 2] >= 500
+
+    out2 = str(tmp_path / "ranged")
+    n_files2 = write_balanced(skewed, out2, 1000, order_cols=[F.col("k")])
+    assert n_files2 >= 10
+    # range clustering: per-file min/max spans must not overlap
+    spans = sorted(
+        (r["mn"], r["mx"])
+        for r in spark.read.parquet(out2)
+        .groupBy(F.input_file_name())
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .collect()
+    )
+    assert all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
