@@ -255,21 +255,23 @@ def write_balanced(
 
     n = df.count()
     k = max(1, math.ceil(n / target_rows_per_file))
-    shaped = (
-        df.repartitionByRange(k, *order_cols)
-        if order_cols
-        else df.repartition(k)
-    )
+    if order_cols:
+        # sortWithinPartitions is load-bearing for the clustering
+        # contract: repartitionByRange only ROUTES rows — within a
+        # partition they sit in shuffle-arrival order, so when
+        # maxRecordsPerFile rolls an oversized partition into a
+        # second file, unsorted rows would give both files the full
+        # key span (min/max skipping defeated exactly in the
+        # range-skew case the cap exists for).
+        shaped = df.repartitionByRange(k, *order_cols).sortWithinPartitions(
+            *order_cols
+        )
+    else:
+        shaped = df.repartition(k)
     (
         shaped.write.option("maxRecordsPerFile", target_rows_per_file)
         .mode("overwrite")
         .parquet(path)
     )
-    spark = df.sparkSession
-    files = (
-        spark.read.parquet(path)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .count()
-    )
-    return files
+    # file count from listing metadata — no job over the rows
+    return len(df.sparkSession.read.parquet(path).inputFiles())

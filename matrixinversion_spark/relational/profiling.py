@@ -91,14 +91,20 @@ def prefix_sum(
         .agg(F.sum(value_col).alias("t"))
         .collect()
     }
-    running, offsets = 0.0, {}
+    running, offsets = 0, {}
     for pid in sorted(totals):
         offsets[pid] = running
         running += totals[pid]
     spark = df.sparkSession
+    # integer inputs keep integer offsets (exact past 2^53, where a
+    # DOUBLE offset would silently round — e.g. global row numbering)
+    integral = all(isinstance(v, int) for v in offsets.values())
     off_df = spark.createDataFrame(
-        [(int(p), float(v)) for p, v in offsets.items()],
-        "_pid INT, _off DOUBLE",
+        [
+            (int(p), int(v) if integral else float(v))
+            for p, v in offsets.items()
+        ],
+        "_pid INT, _off BIGINT" if integral else "_pid INT, _off DOUBLE",
     )
     return (
         local.join(F.broadcast(off_df), "_pid")
@@ -945,13 +951,14 @@ def assign_global_ids(
     """Contiguous 1-based global row ids in ``order_cols`` order —
     the distributed ``row_number() OVER (ORDER BY ...)``.
 
-    Same two-pass shape as ``prefix_sum`` but integer-exact (bigint
-    offsets, never doubles — float prefix offsets lose exactness past
-    2^53 rows): range-repartition on the sort key, per-partition
-    row_number, then add the exclusive prefix of per-partition COUNTS
-    (a K-row driver scan, K = n_parts) via a broadcast join. The
-    widest stage is the range sort-shuffle — the unavoidable price of
-    a total order — with no SinglePartition window anywhere.
+    Implemented AS ``prefix_sum`` over a column of ones (integer-
+    exact: bigint offsets, never doubles — float prefix offsets lose
+    exactness past 2^53 rows): range-repartition on the sort key,
+    per-partition running count, then add the exclusive prefix of
+    per-partition totals (a K-row driver scan, K = n_parts) via a
+    broadcast join. The widest stage is the range sort-shuffle — the
+    unavoidable price of a total order — with no SinglePartition
+    window anywhere.
 
     ``monotonically_increasing_id`` is the cheaper cousin when ids
     only need to be unique, not contiguous or order-aligned; this is
@@ -961,35 +968,19 @@ def assign_global_ids(
     ``order_cols`` must be a total order (include a unique
     tiebreaker), else assignment within ties is nondeterministic.
     """
-    ranged = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    wp = W.partitionBy("_pid").orderBy(*order_cols)
-    # localCheckpoint pins RangePartitioner's sampled boundaries —
-    # the frame executes twice (counts + final join), same hazard as
-    # prefix_sum's 20M-row offset-drift smoke.
-    local = ranged.withColumn(
-        "_local", F.row_number().over(wp).cast("bigint")
-    ).localCheckpoint(eager=True)
-    counts = {
-        r["_pid"]: r["c"]
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    }
-    running, offsets = 0, {}
-    for pid in sorted(counts):
-        offsets[pid] = running
-        running += counts[pid]
-    off_df = df.sparkSession.createDataFrame(
-        [(int(p), int(v)) for p, v in offsets.items()],
-        "_pid INT, _off BIGINT",
-    )
-    return (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_pid", "_local", "_off")
-    )
+    # row_number == running sum of ones under a total order, so this
+    # is exactly prefix_sum's machinery (range repartition, local
+    # window, checkpointed boundaries, K-row offset broadcast) — one
+    # implementation, one place to maintain the RangePartitioner
+    # double-execution fix. The bigint ones column keeps prefix_sum
+    # on its integer-exact offset path.
+    return prefix_sum(
+        df.withColumn("_ones", F.lit(1).cast("bigint")),
+        order_cols,
+        "_ones",
+        out_col=out_col,
+        n_parts=n_parts,
+    ).drop("_ones")
 
 
 @query(

@@ -38,13 +38,13 @@ _MOD = 100000
 _R_CENTI = 500
 _R_SQ = _R_CENTI * _R_CENTI  # 250000, exact in int64
 
+from matrixinversion_spark.pipeline.dedup import _hash32_sql, hash32
+
 _SPATIAL_SQL = f"""
 WITH pts AS (
     SELECT c_custkey AS id,
-           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
-                AS UBIGINT)::BIGINT % {_MOD} AS xi,
-           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))
-                AS UBIGINT)::BIGINT % {_MOD} AS yi
+           {_hash32_sql("CAST(c_custkey AS VARCHAR)")} % {_MOD} AS xi,
+           {_hash32_sql("CAST(c_custkey AS VARCHAR) || 'y'")} % {_MOD} AS yi
     FROM customer
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -66,12 +66,20 @@ def grid_distance_join(points: DataFrame, r: int) -> DataFrame:
     the right point's nine distinct neighbor cells. ``id_a < id_b``
     keeps each unordered pair once.
     """
+    # integer floor division: (x - pmod(x, r)) div r is exact in
+    # int64 at any magnitude (double-division floor loses exactness
+    # past ~2^53/r and can shift a boundary point's cell) and floors
+    # correctly for negative coordinates (pmod is non-negative).
+    def cell(c: str) -> F.Column:
+        b = f"CAST({c} AS BIGINT)"
+        return F.expr(f"({b} - pmod({b}, {r})) div {r}")
+
     pts = points.select(
         "id",
         F.col("xi").cast("bigint").alias("xi"),
         F.col("yi").cast("bigint").alias("yi"),
-        F.floor(F.col("xi") / r).alias("cx"),
-        F.floor(F.col("yi") / r).alias("cy"),
+        cell("xi").alias("cx"),
+        cell("yi").alias("cy"),
     )
     off = F.array([F.lit(d) for d in (-1, 0, 1)])
     right = (

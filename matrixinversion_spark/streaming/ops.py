@@ -528,9 +528,9 @@ def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     planned as an ordinary batch relation inside every micro-batch,
     so a small dimension broadcasts (no shuffle of the stream, no
     state store, no watermark needed — unlike stream-stream joins).
-    Inner join on the key; events without a dimension row are kept
-    with NULL attributes (left join) so the stream is never silently
-    filtered by late dimension loads.
+    LEFT join on the key: events without a dimension row are kept
+    with NULL attributes, so the stream is never silently filtered
+    by late dimension loads.
 
     At scale: the dimension re-broadcasts per micro-batch, which is
     the knob to watch — for a large or slowly-changing dimension the

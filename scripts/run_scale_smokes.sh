@@ -19,7 +19,12 @@ for s in exp_skyline_scale exp_minhash_scale exp_ann_scale \
          exp_sessionize_scale exp_ppjoin_scale exp_spatial_scale \
          exp_rownum_scale; do
     echo "=== $s"
-    python "scripts/$s.py" 2>/dev/null | grep -E "ok=|=.*s " || {
-        echo "$s FAILED"; exit 1; }
+    # capture output so the script's exit code is NOT lost in a pipe
+    # (plain sh has no pipefail: 'python | grep' returns grep's 0 and
+    # would swallow an ok=False run whose line still matches 'ok=')
+    out=$(python "scripts/$s.py" 2>/dev/null) || {
+        printf '%s\n' "$out"; echo "$s FAILED"; exit 1; }
+    printf '%s\n' "$out" | grep -E "ok=|=.*s "
+    case "$out" in *"ok=False"*) echo "$s FAILED"; exit 1;; esac
 done
 echo "all scale smokes green"
