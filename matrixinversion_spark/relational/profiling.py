@@ -1002,3 +1002,44 @@ def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_orderdate"), F.col("o_orderkey")],
         out_col="rid",
     ).select("o_orderkey", "rid")
+
+
+@query(
+    "q_exact_global_median",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(median(l_extendedprice), 6) AS median
+    FROM lineitem
+    """,
+)
+def q_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median over the whole table with no single-point
+    bottleneck: Spark's ``percentile`` aggregate buffers every value
+    in the (here: single global) aggregation state, which dies at
+    fact-table scale; ``percentile_approx`` is the mergeable-sketch
+    answer but is approximate. This is the exact path: number the
+    rows with ``assign_global_ids`` (range sort-shuffle + K-row
+    offset broadcast — the price of a total order, nothing
+    serialized), then pick rank ceil(N/2) / ceil((N+1)/2) and
+    average them (even-N interpolation, matching SQL ``median``).
+    Selection generalizes to any exact quantile set for the price of
+    one sort — the ANALYZE-style twin of q_histogram_equi_depth's
+    ntile envelopes.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    n = li.count()
+    lo, hi = (n + 1) // 2, (n + 2) // 2
+    numbered = assign_global_ids(
+        li,
+        [
+            F.col("l_extendedprice"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+    )
+    return numbered.filter(F.col("rid").isin(int(lo), int(hi))).agg(
+        F.lit(n).cast("bigint").alias("n"),
+        F.round(F.avg("l_extendedprice"), 6).alias("median"),
+    )
