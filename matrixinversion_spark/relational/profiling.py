@@ -94,17 +94,30 @@ def prefix_sum(
     running, offsets = 0, {}
     for pid in sorted(totals):
         offsets[pid] = running
-        running += totals[pid]
+        # F.sum over an all-NULL partition yields None — skip it
+        # (contributes nothing to the running total) instead of
+        # raising TypeError on the +=.
+        if totals[pid] is not None:
+            running += totals[pid]
     spark = df.sparkSession
     # integer inputs keep integer offsets (exact past 2^53, where a
-    # DOUBLE offset would silently round — e.g. global row numbering)
-    integral = all(isinstance(v, int) for v in offsets.values())
+    # DOUBLE offset would silently round — e.g. global row numbering);
+    # Decimal totals keep Decimal offsets (exact, no float round-trip)
+    import decimal
+
+    vals = list(offsets.values())
+    integral = all(isinstance(v, int) for v in vals)
+    decimals = not integral and all(
+        isinstance(v, (int, decimal.Decimal)) for v in vals
+    )
+    if integral:
+        schema, conv = "_pid INT, _off BIGINT", int
+    elif decimals:
+        schema, conv = "_pid INT, _off DECIMAL(38,18)", decimal.Decimal
+    else:
+        schema, conv = "_pid INT, _off DOUBLE", float
     off_df = spark.createDataFrame(
-        [
-            (int(p), int(v) if integral else float(v))
-            for p, v in offsets.items()
-        ],
-        "_pid INT, _off BIGINT" if integral else "_pid INT, _off DOUBLE",
+        [(int(p), conv(v)) for p, v in offsets.items()], schema
     )
     return (
         local.join(F.broadcast(off_df), "_pid")

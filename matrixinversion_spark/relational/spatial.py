@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from matrixinversion_spark.pipeline.dedup import _hash32_sql, hash32
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
@@ -37,8 +38,6 @@ from matrixinversion_spark.session import read_table
 _MOD = 100000
 _R_CENTI = 500
 _R_SQ = _R_CENTI * _R_CENTI  # 250000, exact in int64
-
-from matrixinversion_spark.pipeline.dedup import _hash32_sql, hash32
 
 _SPATIAL_SQL = f"""
 WITH pts AS (
@@ -117,8 +116,6 @@ def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle is the brute-force O(n^2) cross join — feasible at sf0.01,
     exactly what the grid plan avoids at scale.
     """
-    from matrixinversion_spark.pipeline.dedup import hash32
-
     c = read_table(spark, sf_dir, "customer")
     ks = F.col("c_custkey").cast("string")
     pts = c.select(

@@ -463,6 +463,11 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     peak = cum.agg(F.max("cum")).collect()[0][0]  # one scalar — bounded
     n_iv = e.count()
+    if peak is None:  # empty events table: one NULL row, no crash
+        return spark.createDataFrame(
+            [(None, None, 0)],
+            "peak BIGINT, peak_at_us BIGINT, n_intervals BIGINT",
+        )
     return cum.filter(F.col("cum") == peak).agg(
         F.lit(int(peak)).cast("bigint").alias("peak"),
         F.min("t").cast("bigint").alias("peak_at_us"),
