@@ -36,6 +36,7 @@ import matrixinversion_spark.relational.regress  # noqa: F401,E402
 import matrixinversion_spark.relational.profiling  # noqa: F401,E402
 import matrixinversion_spark.relational.temporal  # noqa: F401,E402
 import matrixinversion_spark.relational.spatial  # noqa: F401,E402
+import matrixinversion_spark.relational.infostats  # noqa: F401,E402
 
 try:  # pipeline/matrix registrations land as they are implemented
     import matrixinversion_spark.pipeline.dedup  # noqa: F401,E402

@@ -1,0 +1,296 @@
+"""Information-theoretic and distribution-audit statistics.
+
+Shannon entropy profiles, the Gini concentration coefficient on a
+distributed rank, a two-sample Kolmogorov-Smirnov distance over
+shared-shuffle ECDFs, and exact largest-remainder (Hamilton)
+apportionment — the statistical-audit layer of a data platform
+(feature-drift detection, inequality/concentration monitoring,
+A/B distribution testing, quota allocation).
+
+Reference provenance: the reference is a matrix engine with no
+relational or statistical surface (SURVEY.md §2.2); these are
+engine extensions per SURVEY.md §2.3, expressed so the heavy stages
+(global ranks, ECDFs) run on the distributed prefix-sum machinery
+in ``profiling.py`` rather than single-partition ANSI windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.relational.profiling import (
+    assign_global_ids,
+    prefix_sum,
+)
+from matrixinversion_spark.session import read_table
+
+
+@query(
+    "q_entropy_by_type",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, hour(ts) AS h, count(*) AS n
+        FROM events GROUP BY 1, 2),
+    t AS (
+        SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.event_type,
+           CAST(t.tot AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum(-(n * 1.0 / tot) * ln(n * 1.0 / tot)), 6)
+               AS entropy_nats
+    FROM c JOIN t USING (event_type)
+    GROUP BY c.event_type, t.tot
+    """,
+)
+def q_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each event type's hour-of-day
+    distribution — the drift/anomaly profile ("did this event stop
+    being uniform over the day?").
+
+    Two partial-aggregating groupBys and a window total partitioned
+    by event_type — every stage map-side combines, the widest
+    shuffle carries one row per (type, hour), i.e. bounded by
+    |types|x24 regardless of event count. p*ln(p) stays JVM-side;
+    the 6-dp round absorbs the float-sum ordering difference between
+    engines (24 terms, error ~1e-15)."""
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type", F.hour("ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    wt = W.partitionBy("event_type")
+    p = F.col("n") * 1.0 / F.sum("n").over(wt)
+    return (
+        c.withColumn("tot", F.sum("n").over(wt))
+        .withColumn("term", -p * F.log(p))
+        .groupBy("event_type", "tot")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bins"),
+            F.round(F.sum("term"), 6).alias("entropy_nats"),
+        )
+        .select(
+            "event_type",
+            F.col("tot").cast("bigint").alias("n_events"),
+            "n_bins",
+            "entropy_nats",
+        )
+    )
+
+
+@query(
+    "q_gini_spend",
+    oracle="""
+    WITH s AS (
+        SELECT o_custkey, sum(o_totalprice) AS spend
+        FROM orders GROUP BY 1),
+    r AS (
+        SELECT spend,
+               row_number() OVER (ORDER BY spend, o_custkey) AS i,
+               count(*) OVER () AS n,
+               sum(spend) OVER () AS tot
+        FROM s)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(2.0 * sum(i * spend) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM r
+    """,
+)
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer total spend via the rank
+    identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending
+    ranks — revenue-concentration monitoring.
+
+    The global rank is the only scale hazard: the ANSI form is a
+    single-partition ``row_number() OVER (ORDER BY ...)``, which the
+    oracle may run at sf0.01 and a 100 TB engine must not. Here it
+    runs on ``assign_global_ids`` (range sort-shuffle + K-row offset
+    broadcast, profiling.py) — the widest stage is the range
+    shuffle, the same price as any global ORDER BY. The final
+    reduction is a single partial-aggregated row. Rank flips between
+    near-equal spends (float sums differing across engines in the
+    last ulp) perturb gini by <1e-12 — absorbed by the 6-dp round.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    ranked = assign_global_ids(
+        s, [F.col("spend"), F.col("o_custkey")], out_col="i"
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(
+            2.0
+            * F.sum(F.col("i") * F.col("spend"))
+            / (F.count("*") * F.sum("spend"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_ks_2sample",
+    oracle="""
+    WITH mm AS (
+        SELECT min(event_type) AS t1, max(event_type) AS t2
+        FROM events),
+    g AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = (SELECT t1 FROM mm)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = (SELECT t2 FROM mm)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events
+        WHERE event_type IN (SELECT t1 FROM mm)
+           OR event_type IN (SELECT t2 FROM mm)
+        GROUP BY value),
+    c AS (
+        SELECT sum(c1) OVER (ORDER BY value) AS a,
+               sum(c2) OVER (ORDER BY value) AS b
+        FROM g),
+    n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(max(abs(a * 1.0 / n1 - b * 1.0 / n2)), 6) AS ks_d
+    FROM c, n GROUP BY n1, n2
+    """,
+)
+def q_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the ``value``
+    distributions of the lexicographically first and last event
+    types (chosen in-query — regen-safe) — the canonical
+    distribution-shift test behind A/B gates and drift monitors.
+
+    D = max_x |F1(x) - F2(x)| needs both ECDFs under ONE total
+    order: grouping by distinct value (ties collapse, so the sup is
+    evaluated after each tie group — the statistically correct
+    handling) then ONE shared range shuffle carrying BOTH running
+    counts via the multi-column ``prefix_sum``. The ANSI twin is a
+    single-partition ORDER BY window; this scales like a global
+    sort. a/n1 and b/n2 are single IEEE divisions of integers —
+    bit-identical across engines, so the 6-dp round is belt and
+    braces."""
+    e = read_table(spark, sf_dir, "events")
+    mm = e.agg(
+        F.min("event_type").alias("t1"), F.max("event_type").alias("t2")
+    )
+    g = (
+        e.join(F.broadcast(mm))
+        .filter(
+            (F.col("event_type") == F.col("t1"))
+            | (F.col("event_type") == F.col("t2"))
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == F.col("t1"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("t2"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    cum = prefix_sum(
+        g, [F.col("value")], ["c1", "c2"], out_col=["a", "b"]
+    )
+    # two bounded scalars (total counts) — driver-side by design,
+    # same pattern as q_peak_concurrency's argmax constant
+    tot = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[
+        0
+    ]
+    n1, n2 = int(tot["n1"]), int(tot["n2"])
+    return cum.agg(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        F.round(
+            F.max(F.abs(F.col("a") * 1.0 / n1 - F.col("b") * 1.0 / n2)), 6
+        ).alias("ks_d"),
+    )
+
+
+_BUDGET = 1_000_000
+
+
+@query(
+    "q_allocation_lrm",
+    oracle=f"""
+    WITH w AS (
+        SELECT n_name, count(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1),
+    t AS (SELECT sum(cnt) AS tot FROM w),
+    q AS (
+        SELECT n_name, cnt,
+               floor(({_BUDGET}.0 * cnt) / tot) AS fl,
+               ({_BUDGET}.0 * cnt) / tot
+                   - floor(({_BUDGET}.0 * cnt) / tot) AS rem
+        FROM w, t),
+    r AS (
+        SELECT n_name, cnt, fl,
+               row_number() OVER (ORDER BY rem DESC, n_name) AS rk,
+               (SELECT {_BUDGET} - sum(fl) FROM q) AS short
+        FROM q)
+    SELECT n_name, CAST(cnt AS BIGINT) AS cnt,
+           CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r
+    """,
+)
+def q_allocation_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split a fixed
+    integer budget across nations proportionally to customer count,
+    with the allocations summing EXACTLY to the budget — quota
+    assignment, sample-size allocation, shard sizing.
+
+    Floor the real quota, then hand the leftover units to the
+    largest fractional remainders (nation name tiebreak). The
+    per-group stage is a partial-aggregated count shuffle (scales
+    with data); the remainder ranking runs over ONE ROW PER GROUP —
+    dimension cardinality, not data size — so the unpartitioned
+    window is bounded and safe, as in q_abc_classification. The
+    quota arithmetic is the same two IEEE ops on both engines
+    ((B*cnt)/tot, then floor), so the floor boundary cannot disagree
+    cross-engine."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    w = (
+        c.join(
+            F.broadcast(n),
+            c["c_nationkey"] == n["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = W.partitionBy()  # |nations| rows — bounded, not data-sized
+    quota = (F.lit(float(_BUDGET)) * F.col("cnt")) / F.sum("cnt").over(tot)
+    q = w.select(
+        "n_name",
+        "cnt",
+        F.floor(quota).alias("fl"),
+        (quota - F.floor(quota)).alias("rem"),
+    )
+    r = q.select(
+        "n_name",
+        "cnt",
+        "fl",
+        F.row_number()
+        .over(W.orderBy(F.col("rem").desc(), F.col("n_name")))
+        .alias("rk"),
+        (F.lit(_BUDGET) - F.sum("fl").over(W.partitionBy())).alias(
+            "short"
+        ),
+    )
+    return r.select(
+        "n_name",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (
+            F.col("fl")
+            + F.when(F.col("rk") <= F.col("short"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

@@ -515,3 +515,79 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m_raw", 2).alias("monetary"),
         F.concat_ws("-", r_q, f_q, m_q).alias("rfm"),
     )
+
+
+@query(
+    "q_association_rules",
+    oracle="""
+    WITH n AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item AS (
+        SELECT l_partkey AS p, count(DISTINCT l_orderkey) AS np
+        FROM lineitem GROUP BY 1),
+    pair AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               count(DISTINCT a.l_orderkey) AS n12
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(DISTINCT a.l_orderkey) >= 2)
+    SELECT p1, p2, CAST(n12 AS BIGINT) AS n12,
+           round(n12 * 1.0 / i1.np, 6) AS conf_1_2,
+           round(n12 * 1.0 / i2.np, 6) AS conf_2_1,
+           round((n12 * 1.0 * n.n_orders) / (i1.np * i2.np), 6) AS lift
+    FROM pair
+    JOIN item i1 ON pair.p1 = i1.p
+    JOIN item i2 ON pair.p2 = i2.p
+    CROSS JOIN n
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the co-purchase pairs:
+    confidence in both directions and lift — the scoring step that
+    turns q_copurchase_pairs' candidates into a recommendation /
+    market-basket output (support >= 2 baskets, as there).
+
+    Three aggregations share the l_orderkey / l_partkey shuffle
+    keys: per-item basket counts (one groupBy, map-side partials),
+    the pair counts (the one self-join, blowup bounded per-basket),
+    and a single global distinct-basket count. The item frequencies
+    join back BROADCAST — item cardinality is the part dimension,
+    not the fact table — so the pair frame shuffles exactly once.
+    All three ratios are single IEEE divisions of exact integers
+    (bit-identical across engines); lift multiplies first
+    ((n12*N)/(np1*np2), both engines associating identically) and
+    rounds at 6 dp."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    n_orders = li.select("l_orderkey").distinct().count()  # one scalar
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.countDistinct("l_orderkey").alias("np")
+    )
+    pair = q_copurchase_pairs(spark, sf_dir).withColumnRenamed(
+        "n_orders", "n12"
+    )
+    i1 = item.select(F.col("p").alias("p1"), F.col("np").alias("np1"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("np").alias("np2"))
+    return (
+        pair.join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .select(
+            "p1",
+            "p2",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.round(F.col("n12") * 1.0 / F.col("np1"), 6).alias(
+                "conf_1_2"
+            ),
+            F.round(F.col("n12") * 1.0 / F.col("np2"), 6).alias(
+                "conf_2_1"
+            ),
+            F.round(
+                (F.col("n12") * 1.0 * F.lit(n_orders))
+                / (F.col("np1") * F.col("np2")),
+                6,
+            ).alias("lift"),
+        )
+    )

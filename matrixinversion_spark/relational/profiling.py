@@ -32,7 +32,7 @@ from matrixinversion_spark.session import read_table
 def _ranged_running(
     df: DataFrame,
     order_cols: list[Column],
-    value_col: str,
+    value_col: str | list[str],
     n_parts: int,
 ) -> DataFrame:
     """The distributed half of ``prefix_sum``: range-repartition on
@@ -40,7 +40,13 @@ def _ranged_running(
     partitioned by spark_partition_id — never SinglePartition).
     Split out so the plan-shape pytest can assert on the stage
     BEFORE ``prefix_sum`` checkpoints it (checkpointing truncates
-    the visible lineage to a Scan ExistingRDD)."""
+    the visible lineage to a Scan ExistingRDD).
+
+    Accepts one value column (``_local``) or a list (``_local_0``,
+    ``_local_1``, ...) — a list shares the single range shuffle
+    across all running totals (e.g. the two-sample ECDFs of the KS
+    statistic)."""
+    cols = [value_col] if isinstance(value_col, str) else list(value_col)
     ranged = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -49,14 +55,43 @@ def _ranged_running(
     wp = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    return ranged.withColumn("_local", F.sum(value_col).over(wp))
+    if isinstance(value_col, str):
+        return ranged.withColumn("_local", F.sum(value_col).over(wp))
+    for i, c in enumerate(cols):
+        ranged = ranged.withColumn(f"_local_{i}", F.sum(c).over(wp))
+    return ranged
+
+
+def _offset_frame(spark, offsets: dict[int, object], name: str):
+    """K-row (pid, exclusive-offset) frame with a type-faithful
+    offset column: integer inputs keep BIGINT offsets (exact past
+    2^53, where DOUBLE silently rounds — e.g. global row numbering),
+    Decimal totals keep DECIMAL (no lossy float round-trip), else
+    DOUBLE."""
+    import decimal
+
+    vals = list(offsets.values())
+    integral = all(isinstance(v, int) for v in vals)
+    decimals = not integral and all(
+        isinstance(v, (int, decimal.Decimal)) for v in vals
+    )
+    if integral:
+        typ, conv = "BIGINT", int
+    elif decimals:
+        typ, conv = "DECIMAL(38,18)", decimal.Decimal
+    else:
+        typ, conv = "DOUBLE", float
+    return spark.createDataFrame(
+        [(int(p), conv(v)) for p, v in offsets.items()],
+        f"_pid INT, {name} {typ}",
+    )
 
 
 def prefix_sum(
     df: DataFrame,
     order_cols: list[Column],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     n_parts: int = 32,
 ) -> DataFrame:
     """Inclusive running total of ``value_col`` over the total order
@@ -73,9 +108,17 @@ def prefix_sum(
     no single-task bottleneck — at 100 TB the widest stage is still
     a full sort-shuffle, the same price as any global ORDER BY.
 
+    ``value_col`` may be a list of columns; all running totals then
+    share ONE range shuffle (out_col must be a same-length list).
+
     ``order_cols`` must be a total order (include a tiebreaker) or
     the result is nondeterministic.
     """
+    multi = not isinstance(value_col, str)
+    vcols = list(value_col) if multi else [value_col]
+    ocols = list(out_col) if multi else [out_col]
+    if len(ocols) != len(vcols):
+        raise ValueError("out_col must match value_col length")
     # localCheckpoint pins the range boundaries: RangePartitioner
     # SAMPLES its split points, and this frame is executed twice
     # (totals collect + final join) — without materializing, the two
@@ -85,45 +128,36 @@ def prefix_sum(
     local = _ranged_running(df, order_cols, value_col, n_parts)
     local = local.localCheckpoint(eager=True)
     # K rows on the driver — bounded by n_parts, never by data size.
-    totals = {
-        r["_pid"]: r["t"]
-        for r in local.groupBy("_pid")
-        .agg(F.sum(value_col).alias("t"))
+    total_rows = (
+        local.groupBy("_pid")
+        .agg(*[F.sum(c).alias(f"t{i}") for i, c in enumerate(vcols)])
         .collect()
-    }
-    running, offsets = 0, {}
-    for pid in sorted(totals):
-        offsets[pid] = running
-        # F.sum over an all-NULL partition yields None — skip it
-        # (contributes nothing to the running total) instead of
-        # raising TypeError on the +=.
-        if totals[pid] is not None:
-            running += totals[pid]
+    )
     spark = df.sparkSession
-    # integer inputs keep integer offsets (exact past 2^53, where a
-    # DOUBLE offset would silently round — e.g. global row numbering);
-    # Decimal totals keep Decimal offsets (exact, no float round-trip)
-    import decimal
-
-    vals = list(offsets.values())
-    integral = all(isinstance(v, int) for v in vals)
-    decimals = not integral and all(
-        isinstance(v, (int, decimal.Decimal)) for v in vals
+    out = local
+    local_names = (
+        [f"_local_{i}" for i in range(len(vcols))] if multi else ["_local"]
     )
-    if integral:
-        schema, conv = "_pid INT, _off BIGINT", int
-    elif decimals:
-        schema, conv = "_pid INT, _off DECIMAL(38,18)", decimal.Decimal
-    else:
-        schema, conv = "_pid INT, _off DOUBLE", float
-    off_df = spark.createDataFrame(
-        [(int(p), conv(v)) for p, v in offsets.items()], schema
-    )
-    return (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_pid", "_local", "_off")
-    )
+    off_frames = []
+    for i in range(len(vcols)):
+        totals = {r["_pid"]: r[f"t{i}"] for r in total_rows}
+        running, offsets = 0, {}
+        for pid in sorted(totals):
+            offsets[pid] = running
+            # F.sum over an all-NULL partition yields None — skip it
+            # (contributes nothing to the running total) instead of
+            # raising TypeError on the +=.
+            if totals[pid] is not None:
+                running += totals[pid]
+        off_frames.append(_offset_frame(spark, offsets, f"_off_{i}"))
+    off_df = off_frames[0]
+    for f in off_frames[1:]:
+        off_df = off_df.join(f, "_pid")
+    out = out.join(F.broadcast(off_df), "_pid")
+    for i, (oc, lc) in enumerate(zip(ocols, local_names)):
+        out = out.withColumn(oc, F.col(lc) + F.col(f"_off_{i}"))
+    drop = ["_pid", *local_names, *[f"_off_{i}" for i in range(len(vcols))]]
+    return out.drop(*drop)
 
 
 @query(
