@@ -94,24 +94,26 @@ def bloom_semi_filter(
     if n_build is None:
         n_build = build.count()  # one sizing scalar
     m_bits = max(1024, 1 << (int(n_build * bits_per_key)).bit_length())
-    words = bloom_words(build, build_key, m_bits, k)
+    # cache + identical broadcast subplan per join: the k joins all
+    # broadcast the SAME words frame, so Spark reuses one exchange
+    # (ReusedExchange) instead of recomputing the build aggregation
+    # k times; the cache covers engines/planners that don't.
+    words = bloom_words(build, build_key, m_bits, k).cache()
     out = probe
     conds = []
     for i in range(k):
         p = _bit_pos(F.col(probe_key), i, m_bits)
+        w_i = words.alias(f"_bw{i}")  # alias dodges self-join ambiguity
         out = (
             out.withColumn(f"_w{i}", (p / 64).cast("bigint"))
             .withColumn(f"_b{i}", (p % 64).cast("int"))
             .join(
-                F.broadcast(
-                    words.select(
-                        F.col("word_idx").alias(f"_w{i}"),
-                        F.col("mask").alias(f"_m{i}"),
-                    )
-                ),
-                f"_w{i}",
+                F.broadcast(w_i),
+                F.col(f"_w{i}") == F.col(f"_bw{i}.word_idx"),
                 "left",
             )
+            .drop(F.col(f"_bw{i}.word_idx"))
+            .withColumnRenamed("mask", f"_m{i}")
         )
         conds.append(
             F.expr(f"(shiftright(_m{i}, _b{i}) & 1) = 1")
