@@ -51,6 +51,7 @@ except ImportError:
     pass
 try:
     import matrixinversion_spark.matrix.queries  # noqa: F401,E402
+    import matrixinversion_spark.matrix.cg  # noqa: F401,E402
 except ImportError:
     pass
 

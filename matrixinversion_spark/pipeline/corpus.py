@@ -254,3 +254,74 @@ def p_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), "w1", "w2")
         .limit(_BIGRAM_K)
     )
+
+
+# -- split leakage audit ----------------------------------------------------
+
+_LEAK_SQL = f"""
+WITH h AS (
+    SELECT doc_id,
+           md5(text) AS th,
+           CASE WHEN {_hash32_sql("CAST(doc_id AS VARCHAR) || ':split'")}
+                     % 100 < 80 THEN 'train'
+                WHEN {_hash32_sql("CAST(doc_id AS VARCHAR) || ':split'")}
+                     % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents),
+tr AS (SELECT DISTINCT th FROM h WHERE split = 'train'),
+ev AS (SELECT * FROM h WHERE split <> 'train')
+SELECT ev.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN tr.th IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked
+FROM ev LEFT JOIN tr ON ev.th = tr.th
+GROUP BY ev.split
+"""
+
+
+@query("p_split_leakage_audit", oracle=_LEAK_SQL)
+def p_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: how many val/test documents share an
+    EXACT text hash with any train document — the release gate that
+    catches evaluation contamination introduced by duplicates
+    crossing the hash-split boundary (the split is per-doc-id, so
+    two copies of the same text can land in different splits; this
+    op quantifies exactly that).
+
+    The train fingerprint set is md5-distinct (one uniform shuffle,
+    map-side combined), then the held-out side LEFT-joins it on the
+    16-byte hash — at 100 TB the train-hash frame is still orders
+    smaller than the corpus and hash-partitions evenly; near-dup
+    leakage (not just exact) composes this same shape with the
+    MinHash signatures from p_dedup_minhash_lsh instead of md5.
+    Complements p_decontaminate (train vs EXTERNAL benchmark) by
+    auditing leakage INTERNAL to the corpus release."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
+        % 100
+    )
+    h = d.select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tr = h.filter(F.col("split") == "train").select("th").distinct()
+    ev = h.filter(F.col("split") != "train")
+    return (
+        ev.join(
+            tr.withColumnRenamed("th", "tr_th"),
+            ev["th"] == F.col("tr_th"),
+            "left",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("tr_th").isNotNull().cast("long"))
+            .cast("bigint")
+            .alias("n_leaked"),
+        )
+    )

@@ -200,3 +200,29 @@ def test_association_rules_metrics_consistent(spark):
         assert 0.0 < r["conf_1_2"] <= 1.0
         assert 0.0 < r["conf_2_1"] <= 1.0
         assert r["lift"] > 0.0
+
+
+def test_cg_matches_numpy_solve(spark):
+    """Distributed CG == numpy.linalg.solve on a seeded SPD system,
+    and the iteration count stays far below the dimension (the
+    well-conditioned regime CG exists for)."""
+    import numpy as np
+
+    from matrixinversion_spark.matrix import ops
+    from matrixinversion_spark.matrix.cg import cg_solve
+    from matrixinversion_spark.matrix.core import BlockMatrixFrame
+
+    rng = np.random.default_rng(11)
+    n, bs = 128, 32
+    m = rng.uniform(size=(n, n))
+    a_np = 0.5 * (m + m.T) + n * np.eye(n)
+    b_np = rng.uniform(size=(n, 1))
+    a = BlockMatrixFrame.from_numpy(spark, a_np, block_size=bs)
+    b = BlockMatrixFrame.from_numpy(spark, b_np, block_size=bs)
+    x, iters, rnorm = cg_solve(a, b, tol=1e-12)
+    want = np.linalg.solve(a_np, b_np)
+    got = x.to_numpy()
+    assert np.max(np.abs(got - want)) < 1e-9
+    assert iters < n // 2, iters
+    resid = ops.max_abs_diff(ops.multiply(a, x), b)
+    assert resid < 1e-9
