@@ -294,3 +294,176 @@ def q_allocation_lrm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH mm AS (
+        SELECT min(event_type) AS t1, max(event_type) AS t2
+        FROM events),
+    s AS (
+        SELECT CASE WHEN event_type = (SELECT t1 FROM mm)
+                    THEN 1 ELSE 2 END AS grp,
+               count(*) AS n, avg(value) AS m, var_samp(value) AS v
+        FROM events
+        WHERE event_type IN (SELECT t1 FROM mm)
+           OR event_type IN (SELECT t2 FROM mm)
+        GROUP BY 1),
+    w AS (
+        SELECT max(CASE WHEN grp = 1 THEN n END) AS n1,
+               max(CASE WHEN grp = 2 THEN n END) AS n2,
+               max(CASE WHEN grp = 1 THEN m END) AS m1,
+               max(CASE WHEN grp = 2 THEN m END) AS m2,
+               max(CASE WHEN grp = 1 THEN v END) AS v1,
+               max(CASE WHEN grp = 2 THEN v END) AS v2
+        FROM s)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1)
+                    + pow(v2 / n2, 2) / (n2 - 1)), 6) AS df
+    FROM w
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the ``value``
+    distributions of the lexicographically first and last event
+    types (same in-query selection as q_ks_2sample — regen-safe):
+    mean difference, t statistic, and Welch-Satterthwaite degrees
+    of freedom — the A/B-testing workhorse.
+
+    One partial-aggregated groupBy produces (n, mean, var) per
+    group — count/avg/var_samp are all single-pass mergeable
+    aggregates, so at 100 TB this is one map-side-combined shuffle
+    of two rows, then scalar arithmetic. The pow() calls act on
+    aggregate scalars (not per row), so faithful-vs-correct rounding
+    differences between engines sit ~1e-16 off and die at the 6-dp
+    round."""
+    e = read_table(spark, sf_dir, "events")
+    mm = e.agg(
+        F.min("event_type").alias("t1"), F.max("event_type").alias("t2")
+    )
+    s = (
+        e.join(F.broadcast(mm))
+        .filter(
+            (F.col("event_type") == F.col("t1"))
+            | (F.col("event_type") == F.col("t2"))
+        )
+        .groupBy(
+            F.when(F.col("event_type") == F.col("t1"), 1)
+            .otherwise(2)
+            .alias("grp")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("grp") == g, F.col(c))).alias(f"{c}{g}")
+            for g in (1, 2)
+            for c in ("n", "m", "v")
+        ]
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df"),
+    )
+
+
+@query(
+    "q_mannwhitney_u",
+    oracle="""
+    WITH mm AS (
+        SELECT min(event_type) AS t1, max(event_type) AS t2
+        FROM events),
+    g AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = (SELECT t1 FROM mm)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = (SELECT t2 FROM mm)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events
+        WHERE event_type IN (SELECT t1 FROM mm)
+           OR event_type IN (SELECT t2 FROM mm)
+        GROUP BY value),
+    c AS (
+        SELECT c1, c2,
+               sum(c1 + c2) OVER (ORDER BY value) - (c1 + c2) AS before,
+        FROM g),
+    r AS (
+        SELECT sum(c1 * (before + (c1 + c2 + 1) / 2.0)) AS r1,
+               sum(c1) AS n1, sum(c2) AS n2
+        FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u1
+    FROM r
+    """,
+)
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) statistic between the same two
+    event-type samples as q_welch_ttest — the non-parametric
+    alternative when values aren't normal. Ties get textbook
+    midranks: group by distinct value, running total of pooled
+    counts gives each tie group's rank range, midrank =
+    preceding + (ties+1)/2.
+
+    The running pooled count rides the SAME multi-column
+    ``prefix_sum`` machinery as the KS statistic — one range
+    shuffle over DISTINCT values (bounded by value cardinality,
+    not row count); everything after is exact half-integer
+    arithmetic (midranks are k/2, exactly representable — the
+    4-dp round is cosmetic)."""
+    e = read_table(spark, sf_dir, "events")
+    mm = e.agg(
+        F.min("event_type").alias("t1"), F.max("event_type").alias("t2")
+    )
+    g = (
+        e.join(F.broadcast(mm))
+        .filter(
+            (F.col("event_type") == F.col("t1"))
+            | (F.col("event_type") == F.col("t2"))
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == F.col("t1"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(
+                F.when(F.col("event_type") == F.col("t2"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c2"),
+        )
+        .withColumn("ct", F.col("c1") + F.col("c2"))
+    )
+    cum = prefix_sum(g, [F.col("value")], "ct", out_col="run")
+    mid = (F.col("run") - F.col("ct")) + (F.col("ct") + 1) / 2.0
+    return cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.round(
+            F.sum(F.col("c1") * mid)
+            - F.sum("c1") * (F.sum("c1") + 1) / 2.0,
+            4,
+        ).alias("u1"),
+    )

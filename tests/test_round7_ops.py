@@ -226,3 +226,16 @@ def test_cg_matches_numpy_solve(spark):
     assert iters < n // 2, iters
     resid = ops.max_abs_diff(ops.multiply(a, x), b)
     assert resid < 1e-9
+
+
+def test_welch_and_mannwhitney_sane(spark):
+    """t-stat finite, df between min(n)-1 and n1+n2-2; U within its
+    exact range [0, n1*n2]."""
+    w = QUERIES["q_welch_ttest"](spark, SF).collect()[0]
+    assert w["n1"] > 1 and w["n2"] > 1
+    assert abs(w["t_stat"]) < 1e6
+    assert (
+        min(w["n1"], w["n2"]) - 1 <= w["df"] <= w["n1"] + w["n2"] - 2
+    )
+    u = QUERIES["q_mannwhitney_u"](spark, SF).collect()[0]
+    assert 0.0 <= u["u1"] <= u["n1"] * u["n2"]
