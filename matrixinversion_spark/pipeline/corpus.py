@@ -1,12 +1,14 @@
-"""Corpus governance operators: deterministic splits, PII scrubbing,
-weighted sampling, and count-based bigram language-model statistics.
+"""Corpus governance operators: split-leakage auditing, sequential
+Poisson weighted sampling, and bigram conditional probabilities.
 
-The dataset-release layer of a training-data pipeline: hash-bucketed
-train/val/test assignment (stable under re-runs and appends), regex
-PII redaction with audit counts, sequential Poisson sampling
-(Ohlsson) for weight-proportional subcorpora, and the bigram
-count/conditional-probability table that seeds classic LM filtering
-(perplexity proxies, junk detection).
+The dataset-release layer of a training-data pipeline, extending the
+round-5 governance ops in ``text.py`` (``p_hash_split``,
+``p_pii_scrub``, ``p_weighted_sample``, ``p_ngram_counts``) with the
+release-gate pieces they stop short of: an exact-hash leakage audit
+ACROSS the hash split's boundaries, a weighted sampler whose ranking
+key is ulp-exact cross-engine (sequential Poisson, vs A-ES's
+log-key), and the conditional-probability table on top of the raw
+bigram counts.
 
 Reference provenance: the reference is a matrix engine with no text
 surface (SURVEY.md §2.2); these extend the pipeline layer mandated
@@ -26,126 +28,6 @@ from pyspark.sql.window import Window as W
 from matrixinversion_spark.pipeline.dedup import _hash32_sql, hash32
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
-
-# -- deterministic split ----------------------------------------------------
-
-_SPLIT_SQL = f"""
-WITH h AS (
-    SELECT doc_id, n_chars,
-           {_hash32_sql("CAST(doc_id AS VARCHAR) || ':split'")} % 100
-               AS bucket
-    FROM documents)
-SELECT CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'val'
-            ELSE 'test' END AS split,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
-       CAST(sum(doc_id) AS BIGINT) AS id_checksum
-FROM h GROUP BY 1
-"""
-
-
-@query("p_train_split", oracle=_SPLIT_SQL)
-def p_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """80/10/10 train/val/test assignment by hashing the document id
-    — the release-stability contract: a document's split NEVER
-    changes when the corpus is re-run, appended to, or re-sharded,
-    because membership depends only on its own id (contrast
-    randomSplit, which reshuffles membership with partitioning).
-    Summary per split: count, total chars, id checksum — the same
-    triple both engines must reproduce, which also proves
-    disjointness + exhaustiveness (checksums sum to the whole-corpus
-    values; pinned by the pytest).
-
-    One partial-aggregated groupBy over a hash expression — no
-    shuffle wider than 3 rows survives the map side."""
-    d = read_table(spark, sf_dir, "documents")
-    bucket = (
-        hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
-        % 100
-    )
-    return (
-        d.withColumn(
-            "split",
-            F.when(bucket < 80, "train")
-            .when(bucket < 90, "val")
-            .otherwise("test"),
-        )
-        .groupBy("split")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
-            F.sum("doc_id").cast("bigint").alias("id_checksum"),
-        )
-    )
-
-
-# -- PII scrub --------------------------------------------------------------
-
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE_RE = "555-01[0-9]{2}"
-
-_PII_SQL = f"""
-WITH aug AS (
-    SELECT doc_id,
-           text || ' contact user' || CAST(doc_id AS VARCHAR)
-                || '@example.com tel 555-01'
-                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
-    FROM documents)
-SELECT doc_id,
-       md5(regexp_replace(
-               regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-               '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5,
-       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
-           AS n_emails,
-       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
-           AS n_phones
-FROM aug
-"""
-
-
-@query("p_pii_scrub", oracle=_PII_SQL)
-def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex PII redaction with per-document audit counts — the
-    compliance pass every released corpus goes through (emails and
-    NANP-reserved 555-01xx test numbers here; production adds SSNs,
-    credit cards, addresses to the same machinery).
-
-    TESTDATA's synthetic documents contain no organic PII, so the
-    operator plants deterministic contact strings derived from
-    doc_id IN-QUERY — identically on both engines — making the
-    redaction counts non-vacuous (>= 1 email + 1 phone per doc, more
-    if the corpus text itself ever matches). Everything is
-    row-local expression work (regexp_replace / regexp_extract_all,
-    codegen'd, zero shuffles); the regexes stay in the
-    RE2-compatible subset so Java and DuckDB agree. The output
-    carries md5(scrubbed) rather than the scrubbed text — hash-
-    comparable without moving the corpus."""
-    d = read_table(spark, sf_dir, "documents")
-    t = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com tel 555-01"),
-        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
-    )
-    aug = d.select("doc_id", t.alias("t"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
-        _PHONE_RE,
-        "<PHONE>",
-    )
-    return aug.select(
-        "doc_id",
-        F.md5(scrubbed).alias("scrubbed_md5"),
-        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0)))
-        .cast("bigint")
-        .alias("n_phones"),
-    )
-
 
 # -- sequential Poisson sampling -------------------------------------------
 
@@ -170,11 +52,12 @@ def p_weighted_sample_sps(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest — inclusion probability approximately proportional to
     length, the standard size-biased corpus subsample.
 
-    Chosen over Efraimidis-Spirakis (u^(1/w)) deliberately: xi is
-    ONE IEEE division of exactly-representable operands, so both
-    engines compute bit-identical keys and the top-k is
-    deterministic cross-engine; pow/log keys are only
-    faithfully-rounded and can flip ranks in the last ulp. The
+    Companion to ``text.p_weighted_sample`` (Efraimidis-Spirakis,
+    key = ln(u)/w): SPS is chosen here because xi = u/w is ONE IEEE
+    division of exactly-representable operands, so both engines
+    compute bit-identical keys and the top-k is deterministic
+    cross-engine; A-ES's log keys are only faithfully-rounded and
+    can in principle flip ranks in the last ulp. The
     top-k runs as TakeOrdered (per-partition heaps + driver merge of
     k-row partials) — no global sort, no single-task window; the
     ANSI ORDER BY ... LIMIT oracle is the semantic twin the
@@ -222,8 +105,12 @@ ORDER BY c DESC, bg.w1, bg.w2 LIMIT {_BIGRAM_K}
 @query("p_bigram_lm", oracle=_BIGRAM_SQL)
 def p_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus bigrams with conditional probability
-    P(w2|w1) = c(w1,w2) / c(w1,·) — the count table behind bigram
-    LM scoring, collocation mining, and boilerplate detection.
+    P(w2|w1) = c(w1,w2) / c(w1,·) — the table behind bigram LM
+    scoring, collocation mining, and boilerplate detection. Builds
+    ON what ``text.p_ngram_counts`` stops at: that op emits raw
+    thresholded bigram counts; this one adds the left-marginal
+    normalization (the actual LM probabilities) and a
+    deterministic top-k.
 
     Tokens come from one split + posexplode; bigrams pair each
     token with its successor via lead() partitioned BY DOCUMENT
@@ -262,10 +149,10 @@ _LEAK_SQL = f"""
 WITH h AS (
     SELECT doc_id,
            md5(text) AS th,
-           CASE WHEN {_hash32_sql("CAST(doc_id AS VARCHAR) || ':split'")}
-                     % 100 < 80 THEN 'train'
-                WHEN {_hash32_sql("CAST(doc_id AS VARCHAR) || ':split'")}
-                     % 100 < 90 THEN 'val'
+           CASE WHEN {_hash32_sql("CAST(doc_id AS VARCHAR)")}
+                     % 100 < 90 THEN 'train'
+                WHEN {_hash32_sql("CAST(doc_id AS VARCHAR)")}
+                     % 100 < 95 THEN 'validation'
                 ELSE 'test' END AS split
     FROM documents),
 tr AS (SELECT DISTINCT th FROM h WHERE split = 'train'),
@@ -281,12 +168,14 @@ GROUP BY ev.split
 
 @query("p_split_leakage_audit", oracle=_LEAK_SQL)
 def p_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-leakage audit: how many val/test documents share an
-    EXACT text hash with any train document — the release gate that
-    catches evaluation contamination introduced by duplicates
-    crossing the hash-split boundary (the split is per-doc-id, so
-    two copies of the same text can land in different splits; this
-    op quantifies exactly that).
+    """Split-leakage audit: how many validation/test documents share
+    an EXACT text hash with any train document — the release gate
+    that catches evaluation contamination introduced by duplicates
+    crossing the split boundary. Audits the ACTUAL registered split
+    (``text.p_hash_split``'s 90/5/5 md5-bucket assignment, same hash
+    same thresholds): the split is per-doc-id, so two copies of the
+    same text can land in different splits; this op quantifies
+    exactly that.
 
     The train fingerprint set is md5-distinct (one uniform shuffle,
     map-side combined), then the held-out side LEFT-joins it on the
@@ -297,15 +186,12 @@ def p_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements p_decontaminate (train vs EXTERNAL benchmark) by
     auditing leakage INTERNAL to the corpus release."""
     d = read_table(spark, sf_dir, "documents")
-    bucket = (
-        hash32(F.concat(F.col("doc_id").cast("string"), F.lit(":split")))
-        % 100
-    )
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
     h = d.select(
         "doc_id",
         F.md5("text").alias("th"),
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "val")
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "validation")
         .otherwise("test")
         .alias("split"),
     )

@@ -1,6 +1,8 @@
 """Property tests for the round-7 operators: statistical audits
-(entropy/Gini/KS/apportionment), the bloom join prefilter, and the
-corpus-governance ops (split/PII/SPS-sample/bigram LM)."""
+(entropy/Gini/KS/apportionment/Welch/Mann-Whitney), the bloom join
+prefilter, the corpus-governance additions (split-leakage audit,
+SPS sampling, bigram conditional probabilities), and the
+conjugate-gradient solver."""
 
 import math
 
@@ -135,34 +137,21 @@ def test_bloom_query_matches_plain_join(spark):
     assert got == want
 
 
-def test_split_partitions_whole_corpus(spark):
-    """Splits are disjoint and exhaustive: counts/chars/checksums sum
-    to the whole-corpus values, and ratios are near 80/10/10."""
-    from matrixinversion_spark.session import read_table
-
-    rows = {r["split"]: r for r in QUERIES["p_train_split"](spark, SF).collect()}
-    assert set(rows) == {"train", "val", "test"}
-    d = read_table(spark, SF, "documents")
-    tot = d.agg(
-        F.count("*").alias("n"),
-        F.sum("n_chars").alias("c"),
-        F.sum("doc_id").alias("s"),
-    ).collect()[0]
-    assert sum(r["n_docs"] for r in rows.values()) == tot["n"]
-    assert sum(r["n_chars_total"] for r in rows.values()) == tot["c"]
-    assert sum(r["id_checksum"] for r in rows.values()) == tot["s"]
-    assert 0.7 < rows["train"]["n_docs"] / tot["n"] < 0.9
-
-
-def test_pii_scrub_redacts_everything(spark):
-    """After scrubbing, no document hash equals the unscrubbed hash
-    (every doc had planted PII) and every doc reports >= 1 email and
-    >= 1 phone."""
-    rows = QUERIES["p_pii_scrub"](spark, SF).collect()
-    assert len(rows) > 0
-    for r in rows:
-        assert r["n_emails"] >= 1
-        assert r["n_phones"] >= 1
+def test_leakage_audit_covers_heldout_and_bounds(spark):
+    """The audit's held-out doc counts equal p_hash_split's
+    validation+test counts exactly (same bucketing), and leaks are
+    bounded by docs."""
+    leak = {
+        r["split"]: r
+        for r in QUERIES["p_split_leakage_audit"](spark, SF).collect()
+    }
+    split = {
+        r["split"]: r for r in QUERIES["p_hash_split"](spark, SF).collect()
+    }
+    assert set(leak) == {"validation", "test"}
+    for s in ("validation", "test"):
+        assert leak[s]["n_docs"] == split[s]["n_docs"]
+        assert 0 <= leak[s]["n_leaked"] <= leak[s]["n_docs"]
 
 
 def test_sps_sample_is_size_biased(spark):
