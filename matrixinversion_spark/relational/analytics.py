@@ -22,31 +22,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @query(
-    "q_window_distribution",
-    oracle="""
-    SELECT c_custkey,
-           ntile(4)            OVER w AS bal_quartile,
-           round(percent_rank() OVER w, 6) AS bal_pct_rank,
-           round(cume_dist()    OVER w, 6) AS bal_cume_dist
-    FROM customer
-    WHERE c_nationkey <= 4
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-    """,
-)
-def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: quartile assignment, percent
-    rank, cumulative distribution per nation."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") <= 4)
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("bal_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
-    )
-
-
-@query(
     "q_window_navigation",
     oracle="""
     SELECT o_custkey, o_orderkey,
