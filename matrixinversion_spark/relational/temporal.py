@@ -527,3 +527,205 @@ def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@query(
+    "q_point_in_time_join",
+    oracle="""
+    WITH chg AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+    iv AS (
+        SELECT o_custkey, o_orderpriority AS priority,
+               o_orderdate AS vf,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS vt
+        FROM chg WHERE prev IS NULL OR prev <> o_orderpriority),
+    f AS (
+        SELECT o.o_custkey AS k, l.l_shipdate AS t,
+               l.l_extendedprice * (1 - l.l_discount) AS rev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT coalesce(iv.priority, 'none') AS priority_at_ship,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(f.rev), 2) AS revenue
+    FROM f
+    LEFT JOIN iv ON f.k = iv.o_custkey
+                AND iv.vf <= f.t
+                AND (iv.vt IS NULL OR f.t < iv.vt)
+    GROUP BY 1
+    """,
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join: attribute every shipped line item to
+    the customer's order-priority REGIME that was valid on the ship
+    date — the canonical "join facts to an SCD2 dimension AS OF event
+    time" (feature-store training joins, bi-temporal reporting). The
+    dimension timeline is q_scd2_intervals' change-point compaction
+    of orders.
+
+    Plan: the oracle's interval-containment LEFT JOIN is quadratic
+    per key and unindexable at scale; the engine instead runs the
+    union-marker sweep (the q_asof_join pattern): change points and
+    facts union into ONE frame, one (custkey)-partitioned window
+    carries the last preceding dim value onto each fact — a single
+    sort shuffle regardless of interval count, ties broken
+    change-point-last exactly like the oracle's zero-length-interval
+    semantics ([d,d) contains nothing; the last change on date d
+    owns [d, next))."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+
+    wchg = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderpriority").over(wchg).alias("prev"),
+    ).filter(
+        F.col("prev").isNull()
+        | (F.col("prev") != F.col("o_orderpriority"))
+    )
+    dim = chg.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_fact"),
+        F.col("o_orderkey").alias("tie"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lit(None).cast("double").alias("rev"),
+    )
+    facts = (
+        li.join(o.select("o_orderkey", "o_custkey"), 
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("l_shipdate").alias("t"),
+            F.lit(1).alias("is_fact"),
+            F.lit(0).cast("long").alias("tie"),
+            F.lit(None).cast("string").alias("priority"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+    )
+    # dim sorts before facts at equal t (vf <= t inclusive); among
+    # same-date change points the LAST (max orderkey) wins — exactly
+    # the oracle's zero-length-interval collapse
+    sweep = W.partitionBy("k").orderBy(
+        "t", "is_fact", "tie"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    tagged = dim.unionByName(facts).withColumn(
+        "cur", F.last("priority", ignorenulls=True).over(sweep)
+    )
+    return (
+        tagged.filter(F.col("is_fact") == 1)
+        .groupBy(
+            F.coalesce(F.col("cur"), F.lit("none")).alias(
+                "priority_at_ship"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_attribution_linear",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               count(*) FILTER (WHERE event_type = 'click') OVER w
+                   AS c_click,
+               count(*) FILTER (WHERE event_type = 'view') OVER w
+                   AS c_view
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (SELECT * FROM t WHERE event_type = 'purchase')
+    SELECT channel,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           round(credit, 2) AS credit
+    FROM (
+        SELECT 'click' AS channel,
+               count(*) FILTER (WHERE c_click > 0) AS n_purchases,
+               sum(value * c_click / (c_click + c_view))
+                   FILTER (WHERE c_click + c_view > 0) AS credit
+        FROM p
+        UNION ALL
+        SELECT 'view',
+               count(*) FILTER (WHERE c_view > 0),
+               sum(value * c_view / (c_click + c_view))
+                   FILTER (WHERE c_click + c_view > 0)
+        FROM p
+        UNION ALL
+        SELECT 'direct',
+               count(*) FILTER (WHERE c_click + c_view = 0),
+               sum(value) FILTER (WHERE c_click + c_view = 0)
+        FROM p) u
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    EQUALLY across all its preceding click/view touches in the same
+    user stream (all-direct purchases keep full credit) — the
+    fractional complement of q_attribution_last_touch, and the
+    shape position-based (U/W) models reduce to.
+
+    Two FILTERed counts share one user-partitioned window pass (a
+    single sort shuffle); the per-purchase fractional split is
+    row-local arithmetic, and the final three-channel report is one
+    map-side-combined aggregation. value*c/(c1+c2): the division is
+    a single IEEE op of exact integers scaled by value — both
+    engines agree bit-for-bit before the 2-dp round."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c_click = F.count(
+        F.when(F.col("event_type") == "click", 1)
+    ).over(w)
+    c_view = F.count(F.when(F.col("event_type") == "view", 1)).over(w)
+    p = (
+        e.select(
+            "event_type",
+            "value",
+            c_click.alias("c_click"),
+            c_view.alias("c_view"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("c_tot", F.col("c_click") + F.col("c_view"))
+    )
+    agg = p.agg(
+        F.sum(F.when(F.col("c_click") > 0, 1).otherwise(0)).alias("np_c"),
+        F.sum(
+            F.when(
+                F.col("c_tot") > 0,
+                F.col("value") * F.col("c_click") / F.col("c_tot"),
+            )
+        ).alias("cr_c"),
+        F.sum(F.when(F.col("c_view") > 0, 1).otherwise(0)).alias("np_v"),
+        F.sum(
+            F.when(
+                F.col("c_tot") > 0,
+                F.col("value") * F.col("c_view") / F.col("c_tot"),
+            )
+        ).alias("cr_v"),
+        F.sum(F.when(F.col("c_tot") == 0, 1).otherwise(0)).alias("np_d"),
+        F.sum(F.when(F.col("c_tot") == 0, F.col("value"))).alias("cr_d"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'click', np_c, cr_c, 'view', np_v, cr_v, "
+            "'direct', np_d, cr_d) AS (channel, n_purchases, credit)"
+        )
+    ).select(
+        "channel",
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+        F.round("credit", 2).alias("credit"),
+    )

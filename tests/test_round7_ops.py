@@ -228,3 +228,32 @@ def test_welch_and_mannwhitney_sane(spark):
     )
     u = QUERIES["q_mannwhitney_u"](spark, SF).collect()[0]
     assert 0.0 <= u["u1"] <= u["n1"] * u["n2"]
+
+
+def test_linear_attribution_conserves_value(spark):
+    """Linear credit is conservative: total credited value equals
+    total purchase value (nothing double-counted or dropped)."""
+    from matrixinversion_spark.session import read_table
+
+    rows = QUERIES["q_attribution_linear"](spark, SF).collect()
+    assert {r["channel"] for r in rows} == {"click", "view", "direct"}
+    credited = sum(r["credit"] or 0.0 for r in rows)
+    total = (
+        read_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(credited - total) < 0.05
+
+
+def test_pit_join_covers_every_lineitem(spark):
+    """Every shipped line item lands in exactly one priority regime:
+    the PIT join's item count equals the lineitem row count."""
+    from matrixinversion_spark.session import read_table
+
+    rows = QUERIES["q_point_in_time_join"](spark, SF).collect()
+    n_attr = sum(r["n_items"] for r in rows)
+    n_li = read_table(spark, SF, "lineitem").count()
+    assert n_attr == n_li
+    assert all(r["n_items"] > 0 for r in rows)
