@@ -44,6 +44,10 @@ HEADLINE = [
     # simply lack these keys; existing fingerprints are unaffected)
     "q_skyline",
     "q_window_count_distinct",
+    # round-7 representatives: the bloom runtime filter (broadcast-only
+    # probe path) and the shared-shuffle two-sample KS
+    "q_bloom_prefilter_join",
+    "q_ks_2sample",
 ]
 
 INVERSE_N = 2048

@@ -71,36 +71,87 @@ def cg_solve(
     b: BlockMatrixFrame,
     tol: float = 1e-10,
     max_iter: int = 200,
+    precondition: str | None = None,
 ) -> tuple[BlockMatrixFrame, int, float]:
-    """Solve A·x = b for SPD A by conjugate gradients.
+    """Solve A·x = b for SPD A by (optionally preconditioned)
+    conjugate gradients.
 
     Returns (x, iterations, final ||r||_2). ``tol`` is RELATIVE to
     ||b||_2 (stop when ||r|| <= tol*||b||) — the standard CG
     criterion; an absolute test would over- or under-iterate with
-    the scale of b. Caller guarantees A is symmetric positive
-    definite — CG silently diverges otherwise (the pytest covers
-    the contract with a residual assertion).
+    the scale of b. ``precondition='jacobi'`` divides residuals by
+    diag(A) (extracted JVM-side, one narrow map) — the cheap fix
+    for badly row/column-scaled systems, where plain CG's iteration
+    count grows with the diagonal spread (pinned by the pytest's
+    1e6-spread comparison). Caller guarantees A is symmetric
+    positive definite — CG silently diverges otherwise.
     """
     spark = a.df.sparkSession
     n = a.n_rows
+    if precondition not in (None, "jacobi"):
+        raise ValueError(f"unknown preconditioner {precondition!r}")
+    dinv = _diag_inv(a) if precondition == "jacobi" else None
     x = BlockMatrixFrame.from_numpy(
         spark, np.zeros((n, 1)), block_size=a.block_size, keep_zeros=True
     )
     r = _pin(b)  # r0 = b - A·0 = b
-    p = r
+    z = _ewise_mul(r, dinv) if dinv is not None else r
+    p = z
     rr = dot(r, r)
+    rz = dot(r, z) if dinv is not None else rr
     stop = (tol * tol) * max(rr, 1e-300)  # rr0 == ||b||^2 at x0 = 0
     it = 0
     while it < max_iter and rr > stop:
         ap = ops.multiply(a, p)
-        alpha = rr / dot(p, ap)
+        alpha = rz / dot(p, ap)
         x = _pin(ops._axpy(x, p, alpha))
         r = _pin(ops._axpy(r, ap, -alpha))
-        rr_new = dot(r, r)
-        p = _pin(ops._axpy(r, p, rr_new / rr))
-        rr = rr_new
+        rr = dot(r, r)
+        if dinv is not None:
+            z = _pin(_ewise_mul(r, dinv))
+            rz_new = dot(r, z)
+        else:
+            z, rz_new = r, rr
+        p = _pin(ops._axpy(z, p, rz_new / rz))
+        rz = rz_new
         it += 1
     return x, it, float(np.sqrt(rr))
+
+
+def _diag_inv(a: BlockMatrixFrame) -> BlockMatrixFrame:
+    """1/diag(A) as an n×1 block vector — diagonal blocks only
+    (bi == bj filter pushes to the scan), per-block gather via a JVM
+    ``transform`` over the flattened payload. Zero diagonal entries
+    are the caller's contract violation (SPD has none)."""
+    d = (
+        a.df.filter(F.col("bi") == F.col("bj"))
+        .select(
+            "bi",
+            F.lit(0).alias("bj"),
+            F.col("rows"),
+            F.lit(1).alias("cols"),
+            F.expr(
+                "transform(sequence(0, rows - 1),"
+                " i -> 1.0 / data[i * cols + i])"
+            ).alias("data"),
+        )
+    )
+    return BlockMatrixFrame(d, a.n_rows, 1, a.block_size)
+
+
+def _ewise_mul(v: BlockMatrixFrame, w: BlockMatrixFrame) -> BlockMatrixFrame:
+    """Elementwise product of two equal-shaped block vectors
+    (zip_with, inner join on coordinates)."""
+    lv = v.df.select("bi", "bj", "rows", "cols", F.col("data").alias("a"))
+    rw = w.df.select("bi", "bj", F.col("data").alias("b"))
+    out = lv.join(rw, ["bi", "bj"]).select(
+        "bi",
+        "bj",
+        "rows",
+        "cols",
+        F.zip_with("a", "b", lambda x, y: x * y).alias("data"),
+    )
+    return BlockMatrixFrame(out, v.n_rows, v.n_cols, v.block_size)
 
 
 @query(
