@@ -298,6 +298,36 @@ NOTES: dict[str, str] = {
         "of partition-count offsets. The widest stage equals a "
         "global ORDER BY's — nothing is serialized."
     ),
+    "q_bloom_prefilter_join": (
+        "The probe (fact) side reaches the real join through k "
+        "BroadcastHashJoins against the m/64-row bloom words frame "
+        "— no SortMergeJoin/ShuffledHashJoin anywhere on the probe "
+        "path, so the fact table is never shuffled until the bloom "
+        "has already killed the non-matching ~96%. The build-side "
+        "bit_or aggregation appears once and is reused across the "
+        "k broadcasts (ReusedExchange + cache)."
+    ),
+    "q_ks_2sample": (
+        "Both ECDF running counts share ONE range exchange (the "
+        "multi-column prefix_sum): grouping by distinct value "
+        "map-side combines first, so the sort-shuffle carries one "
+        "row per distinct value, not per event. The ANSI twin is a "
+        "single-partition ORDER BY window — the scale trap this "
+        "plan exists to avoid."
+    ),
+    "q_gini_spend": (
+        "The global rank rides assign_global_ids: range exchange + "
+        "per-partition numbering + K-row offset broadcast; the "
+        "final Gini reduction is one partial-aggregated row. No "
+        "SinglePartition window despite the ORDER-BY-all semantics."
+    ),
+    "q_point_in_time_join": (
+        "SCD2 AS-OF semantics without the quadratic interval join: "
+        "change points and facts union into one frame and a single "
+        "custkey-partitioned sort window sweeps the valid dimension "
+        "value onto each fact. One sort shuffle total, regardless "
+        "of how many intervals each key accumulates."
+    ),
 }
 
 
