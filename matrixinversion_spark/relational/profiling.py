@@ -87,12 +87,31 @@ def _offset_frame(spark, offsets: dict[int, object], name: str):
     )
 
 
+_INLINE_OFFSET_MAX = 256
+
+
+def _typed_lit(v) -> Column:
+    """Literal with the same type policy as ``_offset_frame``:
+    int → BIGINT (exact past 2^53), Decimal → DECIMAL(38,18),
+    else DOUBLE."""
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return F.lit(v).cast("double")
+    if isinstance(v, int):
+        return F.lit(v).cast("bigint")
+    if isinstance(v, decimal.Decimal):
+        return F.lit(v).cast("decimal(38,18)")
+    return F.lit(float(v))
+
+
 def prefix_sum(
     df: DataFrame,
     order_cols: list[Column],
     value_col: str | list[str],
     out_col: str | list[str] = "cum",
     n_parts: int = 32,
+    grand_total_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Inclusive running total of ``value_col`` over the total order
     given by ``order_cols`` — distributed.
@@ -102,8 +121,10 @@ def prefix_sum(
     sort key so each task owns a contiguous key range, (2) computes
     the sequential running sum inside each partition, and (3) adds
     the exclusive prefix of the per-partition totals, which is a
-    K-row driver-side scan (K = ``n_parts``) joined back by a
-    broadcast. Equivalent to
+    K-row driver-side scan (K = ``n_parts``) folded back in as a
+    literal CASE on the partition id (broadcast-joined instead only
+    past ``_INLINE_OFFSET_MAX`` partitions, where a K-branch CASE
+    would bloat codegen). Equivalent to
     ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` but with
     no single-task bottleneck — at 100 TB the widest stage is still
     a full sort-shuffle, the same price as any global ORDER BY.
@@ -111,14 +132,42 @@ def prefix_sum(
     ``value_col`` may be a list of columns; all running totals then
     share ONE range shuffle (out_col must be a same-length list).
 
+    ``grand_total_col`` (same shape as ``value_col``) attaches each
+    column's GRAND total as a constant column — free, because the
+    per-partition totals are already on the driver for the exclusive
+    scan; callers that would otherwise re-aggregate the input for
+    the total (a second scan + a second action) should take it from
+    here instead (e.g. the KS statistic's n1/n2).
+
     ``order_cols`` must be a total order (include a tiebreaker) or
     the result is nondeterministic.
     """
     multi = not isinstance(value_col, str)
     vcols = list(value_col) if multi else [value_col]
+    if multi and isinstance(out_col, str):
+        raise ValueError(
+            "value_col is a list, so out_col must be a same-length "
+            "list of names (a plain string would be split into "
+            "characters)"
+        )
     ocols = list(out_col) if multi else [out_col]
     if len(ocols) != len(vcols):
         raise ValueError("out_col must match value_col length")
+    if grand_total_col is not None:
+        if multi and isinstance(grand_total_col, str):
+            raise ValueError(
+                "value_col is a list, so grand_total_col must be a "
+                "same-length list of names"
+            )
+        gcols = (
+            list(grand_total_col) if multi else [grand_total_col]
+        )
+        if len(gcols) != len(vcols):
+            raise ValueError(
+                "grand_total_col must match value_col length"
+            )
+    else:
+        gcols = None
     # localCheckpoint pins the range boundaries: RangePartitioner
     # SAMPLES its split points, and this frame is executed twice
     # (totals collect + final join) — without materializing, the two
@@ -138,7 +187,8 @@ def prefix_sum(
     local_names = (
         [f"_local_{i}" for i in range(len(vcols))] if multi else ["_local"]
     )
-    off_frames = []
+    per_col_offsets: list[dict[int, object]] = []
+    grand_totals = []
     for i in range(len(vcols)):
         totals = {r["_pid"]: r[f"t{i}"] for r in total_rows}
         running, offsets = 0, {}
@@ -149,15 +199,47 @@ def prefix_sum(
             # raising TypeError on the +=.
             if totals[pid] is not None:
                 running += totals[pid]
-        off_frames.append(_offset_frame(spark, offsets, f"_off_{i}"))
-    off_df = off_frames[0]
-    for f in off_frames[1:]:
-        off_df = off_df.join(f, "_pid")
-    out = out.join(F.broadcast(off_df), "_pid")
-    for i, (oc, lc) in enumerate(zip(ocols, local_names)):
-        out = out.withColumn(oc, F.col(lc) + F.col(f"_off_{i}"))
-    drop = ["_pid", *local_names, *[f"_off_{i}" for i in range(len(vcols))]]
-    return out.drop(*drop)
+        grand_totals.append(running)
+        per_col_offsets.append(offsets)
+    if len(total_rows) <= _INLINE_OFFSET_MAX:
+        # small partition count: fold the exclusive offsets into the
+        # projection as a literal CASE on _pid — zero extra exchanges
+        # and zero broadcast jobs in the final stage (measured: the
+        # K-row broadcast-join alternative costs ~3 extra Spark jobs
+        # per prefix_sum under AQE, pure scheduler latency at scale)
+        for i, (oc, lc) in enumerate(zip(ocols, local_names)):
+            expr: Column | None = None
+            for pid, off in per_col_offsets[i].items():
+                branch = (F.col("_pid") == pid, _typed_lit(off))
+                expr = (
+                    F.when(*branch)
+                    if expr is None
+                    else expr.when(*branch)
+                )
+            out = out.withColumn(
+                oc,
+                F.col(lc)
+                + (_typed_lit(0) if expr is None else expr),
+            )
+    else:
+        # very wide partition counts (4k+ tasks at real scale): a
+        # 4k-branch CASE would bloat codegen, so fall back to the
+        # K-row broadcast join
+        off_frames = [
+            _offset_frame(spark, per_col_offsets[i], f"_off_{i}")
+            for i in range(len(vcols))
+        ]
+        off_df = off_frames[0]
+        for f in off_frames[1:]:
+            off_df = off_df.join(f, "_pid")
+        out = out.join(F.broadcast(off_df), "_pid")
+        for i, (oc, lc) in enumerate(zip(ocols, local_names)):
+            out = out.withColumn(oc, F.col(lc) + F.col(f"_off_{i}"))
+        out = out.drop(*[f"_off_{i}" for i in range(len(vcols))])
+    if gcols is not None:
+        for gc, gt in zip(gcols, grand_totals):
+            out = out.withColumn(gc, _typed_lit(gt))
+    return out.drop("_pid", *local_names)
 
 
 @query(
