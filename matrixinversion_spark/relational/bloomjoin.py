@@ -39,6 +39,56 @@ from pyspark.sql import functions as F
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
+# persist()ed words frames for filters too large to ship as a local
+# relation — released via release_bloom_caches() (ADVICE r7: an
+# untracked .cache() per invocation leaked storage for the app's
+# lifetime).
+_ACTIVE_BLOOM_CACHES: list[DataFrame] = []
+
+# m/64 words ≤ this → collect the aggregated filter once and
+# re-broadcast it as a LocalTableScan (Spark's own runtime bloom
+# filter likewise materializes the filter driver-side). 2^21 words
+# = 16 MB = a filter for ~8M build keys at 16 bits/key.
+_LOCAL_WORDS_MAX = 1 << 21
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def release_bloom_caches() -> int:
+    """Unpersist every words frame parked by the large-filter path;
+    returns how many were released."""
+    n = len(_ACTIVE_BLOOM_CACHES)
+    while _ACTIVE_BLOOM_CACHES:
+        _ACTIVE_BLOOM_CACHES.pop().unpersist()
+    return n
+
+
+def _normalize_key_types(
+    probe: DataFrame, probe_key: str, build: DataFrame, build_key: str
+) -> tuple[Column, Column]:
+    """Key expressions hashed on both sides — widened to a COMMON
+    type, because xxhash64 is type-sensitive: hashing an INT probe
+    against a BIGINT build would silently drop true members (no
+    false negatives broken). Integral widths widen to bigint,
+    float widens to double; any other mismatch raises."""
+    pt = dict(probe.dtypes)[probe_key]
+    bt = dict(build.dtypes)[build_key]
+    if pt == bt:
+        return F.col(probe_key), F.col(build_key)
+    if pt in _INTEGRAL and bt in _INTEGRAL:
+        wide = "bigint"
+    elif pt in ("float", "double") and bt in ("float", "double"):
+        wide = "double"
+    else:
+        raise ValueError(
+            f"bloom_semi_filter: probe key {probe_key!r} ({pt}) and "
+            f"build key {build_key!r} ({bt}) have incompatible types; "
+            "cast them to a common type first (xxhash64 is "
+            "type-sensitive, so a mismatch breaks the no-false-"
+            "negatives guarantee)."
+        )
+    return F.col(probe_key).cast(wide), F.col(build_key).cast(wide)
+
 
 def _bit_pos(key: Column, salt: int, m_bits: int) -> Column:
     """Bit position of hash #salt for ``key`` — xxhash64 is JVM-side
@@ -47,14 +97,15 @@ def _bit_pos(key: Column, salt: int, m_bits: int) -> Column:
 
 
 def bloom_words(
-    build: DataFrame, key: str, m_bits: int, k: int
+    build: DataFrame, key: str | Column, m_bits: int, k: int
 ) -> DataFrame:
     """The m-bit filter as a (word_idx BIGINT, mask BIGINT) frame —
     m/64 rows total, built with one explode + one bit_or groupBy
     (map-side combined: each task merges its local bits before the
     m/64-row shuffle)."""
+    key_col = F.col(key) if isinstance(key, str) else key
     pos = F.explode(
-        F.array(*[_bit_pos(F.col(key), i, m_bits) for i in range(k)])
+        F.array(*[_bit_pos(key_col, i, m_bits) for i in range(k)])
     ).alias("_pos")
     return (
         build.select(pos)
@@ -94,15 +145,30 @@ def bloom_semi_filter(
     if n_build is None:
         n_build = build.count()  # one sizing scalar
     m_bits = max(1024, 1 << (int(n_build * bits_per_key)).bit_length())
-    # cache + identical broadcast subplan per join: the k joins all
-    # broadcast the SAME words frame, so Spark reuses one exchange
-    # (ReusedExchange) instead of recomputing the build aggregation
-    # k times; the cache covers engines/planners that don't.
-    words = bloom_words(build, build_key, m_bits, k).cache()
+    probe_expr, build_expr = _normalize_key_types(
+        probe, probe_key, build, build_key
+    )
+    words = bloom_words(build, build_expr, m_bits, k)
+    if m_bits // 64 <= _LOCAL_WORDS_MAX:
+        # The filter is a bounded artifact (m/64 words, NOT data):
+        # materialize it once and re-broadcast a LocalTableScan for
+        # each of the k probes — one aggregation job, no cache, no
+        # per-invocation storage leak. This is how Spark's own
+        # InjectRuntimeFilter ships its bloom filter too.
+        words = probe.sparkSession.createDataFrame(
+            words.collect(), schema="word_idx bigint, mask bigint"
+        )
+    else:
+        # Too large to ship driver-side: persist so the k broadcast
+        # probes don't re-run the build aggregation (the three
+        # exchanges are not canonically identical, so ReuseExchange
+        # does not fire). Tracked for release_bloom_caches().
+        words = words.persist()
+        _ACTIVE_BLOOM_CACHES.append(words)
     out = probe
     conds = []
     for i in range(k):
-        p = _bit_pos(F.col(probe_key), i, m_bits)
+        p = _bit_pos(probe_expr, i, m_bits)
         w_i = words.alias(f"_bw{i}")  # alias dodges self-join ambiguity
         out = (
             out.withColumn(f"_w{i}", (p / 64).cast("bigint"))

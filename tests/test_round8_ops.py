@@ -73,3 +73,47 @@ def test_prefix_sum_wide_partition_join_fallback(spark):
     got = {r["k"]: r["cum"] for r in out.collect()}
     assert got[0] == 1 and got[399] == 400
     assert 300 > profiling._INLINE_OFFSET_MAX
+
+
+def test_bloom_mixed_int_widths_no_false_negatives(spark):
+    """INT probe vs BIGINT build (and vice versa) must still honor
+    the no-false-negatives guarantee: both sides widen to bigint
+    before hashing (xxhash64 is type-sensitive)."""
+    from matrixinversion_spark.relational.bloomjoin import bloom_semi_filter
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(2000)], "k INT"
+    )
+    build = spark.createDataFrame(
+        [(i,) for i in range(0, 2000, 7)], "bk BIGINT"
+    )
+    kept = {
+        r["k"]
+        for r in bloom_semi_filter(probe, "k", build, "bk").collect()
+    }
+    members = set(range(0, 2000, 7))
+    assert members <= kept  # zero false negatives
+
+
+def test_bloom_incompatible_key_types_raise(spark):
+    from matrixinversion_spark.relational.bloomjoin import bloom_semi_filter
+
+    probe = spark.createDataFrame([("1",)], "k STRING")
+    build = spark.createDataFrame([(1,)], "bk BIGINT")
+    with pytest.raises(ValueError, match="incompatible"):
+        bloom_semi_filter(probe, "k", build, "bk")
+
+
+def test_bloom_no_cache_leak_small_filter(spark):
+    """Normal sizings ship the words as a local relation: no new
+    persisted RDDs accumulate across invocations."""
+    from matrixinversion_spark.relational import bloomjoin
+
+    probe = spark.range(0, 5000).withColumnRenamed("id", "k")
+    build = spark.range(0, 500).withColumnRenamed("id", "bk")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for _ in range(3):
+        bloomjoin.bloom_semi_filter(probe, "k", build, "bk").count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after == before
+    assert not bloomjoin._ACTIVE_BLOOM_CACHES
