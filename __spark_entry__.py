@@ -38,6 +38,7 @@ import matrixinversion_spark.relational.temporal  # noqa: F401,E402
 import matrixinversion_spark.relational.spatial  # noqa: F401,E402
 import matrixinversion_spark.relational.infostats  # noqa: F401,E402
 import matrixinversion_spark.relational.bloomjoin  # noqa: F401,E402
+import matrixinversion_spark.relational.avro_ocf  # noqa: F401,E402
 
 try:  # pipeline/matrix registrations land as they are implemented
     import matrixinversion_spark.pipeline.dedup  # noqa: F401,E402
