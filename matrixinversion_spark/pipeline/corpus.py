@@ -211,3 +211,175 @@ def p_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_leaked"),
         )
     )
+
+
+# -- NEAR-DUP split leakage audit -------------------------------------------
+
+_NEARDUP_TAU = 0.8
+
+
+def near_dup_leakage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    tau: float = _NEARDUP_TAU,
+) -> DataFrame:
+    """Per held-out split: how many docs are a NEAR-duplicate of any
+    train doc — LSH band buckets (MinHash 16, 4×4 — the exact
+    machinery of ``dedup.p_dedup_minhash_lsh``) generate candidates
+    across the split boundary, then each candidate pair is verified
+    with the EXACT distinct-shingle Jaccard ≥ tau. The bucket gate is
+    part of the operator's declared semantics (it is what makes the
+    audit run at corpus scale: candidates shuffle on (band, bkey),
+    never all-pairs), and the verification being exact means every
+    reported leak is real.
+
+    Returns (split, n_docs, n_leaked) for each non-train split.
+    """
+    from matrixinversion_spark.pipeline.dedup import (
+        base_hashes,
+        lsh_bands,
+        minhash_signature,
+        shingles_from_tokens,
+    )
+
+    sh = docs.select(
+        id_col,
+        split_col,
+        F.split(text_col, " ").alias("_ts"),
+    ).select(
+        id_col,
+        split_col,
+        shingles_from_tokens(F.col("_ts")).alias("_sh"),
+    )
+    # NOT persisted: shingle arrays are 3-5× the text size, so at
+    # corpus scale caching them is a memory cliff; the two consumers
+    # (signatures over all docs, verification over candidate docs
+    # only) each rescan instead — CPU duplication, no storage leak.
+    sig = (
+        sh.filter(F.size("_sh") > 0)
+        .select(id_col, split_col, base_hashes(F.col("_sh")).alias("_hb"))
+        .select(id_col, split_col, *minhash_signature(F.col("_hb")))
+    )
+    bands = lsh_bands(sig, id_col)
+    splits = sig.select(id_col, split_col)
+    tr_b = (
+        bands.join(splits, id_col)
+        .filter(F.col(split_col) == "train")
+        .select(F.col(id_col).alias("tr_id"), "band_id", "bkey")
+    )
+    ev_b = (
+        bands.join(splits, id_col)
+        .filter(F.col(split_col) != "train")
+        .select(F.col(id_col).alias("ev_id"), "band_id", "bkey")
+    )
+    cand = (
+        ev_b.join(tr_b, ["band_id", "bkey"])
+        .select("ev_id", "tr_id")
+        .distinct()
+    )
+    sh_ev = sh.select(F.col(id_col).alias("ev_id"), F.col("_sh").alias("_sa"))
+    sh_tr = sh.select(F.col(id_col).alias("tr_id"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    leaked = (
+        cand.join(sh_ev, "ev_id")
+        .join(sh_tr, "tr_id")
+        .filter(inter.cast("double") / union >= tau)
+        .select("ev_id")
+        .distinct()
+        .withColumn("_leak", F.lit(1))
+    )
+    ev_docs = docs.filter(F.col(split_col) != "train").select(
+        F.col(id_col).alias("ev_id"), split_col
+    )
+    out = (
+        ev_docs.join(leaked, "ev_id", "left")
+        .groupBy(split_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_leak"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_leaked"),
+        )
+    )
+    return out
+
+
+def _neardup_leak_sql() -> str:
+    from matrixinversion_spark.pipeline.dedup import (
+        _band_sql,
+        _minhash_sig_cte,
+        _shingles_sql,
+        N_BANDS,
+    )
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {_band_sql(b)} AS bkey FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH spl AS (
+    SELECT doc_id,
+           CASE WHEN {_hash32_sql("CAST(doc_id AS VARCHAR)")}
+                     % 100 < 90 THEN 'train'
+                WHEN {_hash32_sql("CAST(doc_id AS VARCHAR)")}
+                     % 100 < 95 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents),
+shs AS (
+    SELECT doc_id, {_shingles_sql()} AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+{_minhash_sig_cte("sigs").strip()},
+bands AS ({bands_union}),
+cand AS (
+    SELECT DISTINCT e.doc_id AS ev_id, t.doc_id AS tr_id
+    FROM bands e
+    JOIN spl se ON se.doc_id = e.doc_id AND se.split <> 'train'
+    JOIN bands t ON e.band_id = t.band_id AND e.bkey = t.bkey
+    JOIN spl st ON st.doc_id = t.doc_id AND st.split = 'train'),
+leaked AS (
+    SELECT DISTINCT c.ev_id
+    FROM cand c
+    JOIN shs a ON a.doc_id = c.ev_id
+    JOIN shs b ON b.doc_id = c.tr_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= {_NEARDUP_TAU})
+SELECT s.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN l.ev_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked
+FROM spl s LEFT JOIN leaked l ON s.doc_id = l.ev_id
+WHERE s.split <> 'train'
+GROUP BY s.split
+"""
+
+
+@query("p_split_leakage_neardup", oracle=_neardup_leak_sql())
+def p_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup split-leakage audit over the registered 90/5/5 hash
+    split: exact-hash leakage (``p_split_leakage_audit``) misses
+    paraphrase contamination — a val doc that shares 80%+ of its
+    shingles with a train doc without being byte-identical. This is
+    the composition the exact audit's docstring promises: the same
+    cross-boundary LEFT-join shape, with MinHash+LSH band buckets as
+    the candidate gate and exact shingle-Jaccard verification.
+
+    100 TB path: signatures are per-doc JVM array expressions (no
+    shuffle), candidates shuffle once on (band, bkey) with the train
+    side restricted to the bucketed candidates, verification joins
+    shingle sets only for candidate pairs. The corpus never takes an
+    all-pairs join."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    docs = d.select(
+        "doc_id",
+        "text",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return near_dup_leakage(docs)

@@ -19,6 +19,8 @@ quality→dedup→stats pipeline a training-data run actually executes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,6 +78,11 @@ _PAIRS_SQL = f"""
 """
 
 
+# one-shot: the fallback warning fires once per process, not once
+# per iterative round
+_BARRIER_FALLBACK_WARNED = False
+
+
 def _fresh_stats_barrier(df: DataFrame) -> DataFrame:
     """localCheckpoint + STATISTICS reset — the mandatory round
     barrier for iterative join loops.
@@ -103,7 +110,19 @@ def _fresh_stats_barrier(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(jnew, spark)
-    except Exception:  # pragma: no cover — Spark-internal API drift
+    except Exception as exc:  # Spark-internal API drift
+        global _BARRIER_FALLBACK_WARNED
+        if not _BARRIER_FALLBACK_WARNED:
+            _BARRIER_FALLBACK_WARNED = True
+            warnings.warn(
+                "_fresh_stats_barrier: internalCreateDataFrame "
+                f"unavailable ({exc!r}); falling back to the plain "
+                "localCheckpoint. Iterative loops remain CORRECT but "
+                "Catalyst sizeInBytes compounding returns — expect "
+                "exponential planning cost past ~10 rounds.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck
 
 

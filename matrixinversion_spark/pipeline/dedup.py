@@ -122,6 +122,33 @@ def minhash_signature(base_col: Column) -> list[Column]:
     ]
 
 
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_id, bkey) rows — all N_BANDS band keys emitted in
+    ONE pass over the signature frame (explode of a struct array); a
+    per-band union would scan it N_BANDS times and quadruple the
+    stage count. Shared by the near-dup candidate join and the
+    near-dup split-leakage audit."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        id_col, F.explode(band_structs).alias("bs")
+    ).select(id_col, F.col("bs.band_id").alias("band_id"),
+             F.col("bs.bkey").alias("bkey"))
+
+
 def _minhash_sql_exprs() -> list[str]:
     base = f"list_transform(sh, s -> {_hash32_sql('s')} % {MERSENNE31})"
     return [
@@ -222,10 +249,10 @@ def p_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH dedup (cross-engine deterministic)
 # ---------------------------------------------------------------------------
 
-def _minhash_sig_cte() -> str:
+def _minhash_sig_cte(name: str = "sig") -> str:
     mh = ",\n           ".join(_minhash_sql_exprs())
     return f"""
-sig AS (
+{name} AS (
     SELECT doc_id, {mh}
     FROM (SELECT doc_id, {_shingles_sql()} AS sh
           FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))
@@ -296,28 +323,7 @@ def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig.persist()
 
-    # all N_BANDS band keys in ONE pass over sig (explode of a struct
-    # array) — a per-band union would scan the signature frame
-    # N_BANDS times and quadruple the stage count
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    ":",
-                    *[
-                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                ).alias("bkey"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.explode(band_structs).alias("bs")
-    ).select("doc_id", F.col("bs.band_id").alias("band_id"),
-             F.col("bs.bkey").alias("bkey"))
+    bands = lsh_bands(sig)
 
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
