@@ -423,3 +423,165 @@ except ImportError:  # pragma: no cover
         raise NotImplementedError(
             "pyspark.sql.datasource requires PySpark >= 4.0"
         )
+
+
+# ---------------------------------------------------------------------------
+# Reference final-inverse TEXT format (`LUInverse.java:356-384`)
+# ---------------------------------------------------------------------------
+
+
+def write_inverse_text(
+    m: BlockMatrixFrame, out_dir: str, n_u: int = 1, n_l: int = 1
+) -> int:
+    """Write ``m`` in the reference's final-inverse text layout
+    (`LUInverse.java:356-384`): nU*nL files ``Ai.{n0}.{n1}``, each
+    holding the strided decimation rows ≡ n0 (mod nU) × columns ≡ n1
+    (mod nL); first line is the header ``0:N:0:N:nL:n1``, then one
+    ``row:v v … v`` line per row. The reference interleaves this
+    write with its final U·L multiply; here the multiply is `ops.gemm`
+    and this is a plain egress of any block matrix — same files, one
+    (n0, n1) shuffle.
+
+    Number formatting is ``repr(float)`` (shortest round-trip), not
+    Java's ``Double.toString`` — byte-identical for typical values,
+    divergent for some exponent spellings (``1e-05`` vs ``1.0E-5``);
+    both parse back to the same double, and ``read_inverse_text``
+    normalizes via cast. Same shared-filesystem constraint as
+    ``save_reference_matrix``; the parquet block sink is the scale
+    path, this exists for reference-format parity.
+
+    Returns the number of files written (= n_u * n_l).
+    """
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise ValueError(
+            "write_inverse_text writes with task-local open(); use "
+            "the parquet block sink for remote storage"
+        )
+    master = m.df.sparkSession.conf.get("spark.master", "")
+    if master and not master.startswith("local"):
+        raise RuntimeError(
+            "write_inverse_text requires a shared filesystem; "
+            f"master {master!r} cannot guarantee that"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    bs, n_rows = m.block_size, m.n_rows
+
+    def to_strides(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Each block row → one segment per n1 stride: (n0, n1,
+        row_no, j0, vals) with vals the block's columns ≡ n1 (mod
+        n_l), in ascending global column order."""
+        for pdf in batches:
+            out: dict[str, list] = {
+                "n0": [], "n1": [], "row_no": [], "j0": [], "vals": []
+            }
+            for bi, bj, r, c, data in zip(
+                pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+            ):
+                blk = np.asarray(data, dtype=np.float64).reshape(
+                    int(r), int(c)
+                )
+                col0 = int(bj) * bs
+                gcols = col0 + np.arange(int(c))
+                for n1 in range(n_l):
+                    mask = (gcols % n_l) == n1
+                    if not mask.any():
+                        continue
+                    sub = blk[:, mask]
+                    for li in range(int(r)):
+                        row_no = int(bi) * bs + li
+                        out["n0"].append(row_no % n_u)
+                        out["n1"].append(n1)
+                        out["row_no"].append(row_no)
+                        out["j0"].append(col0)
+                        out["vals"].append(sub[li].tolist())
+            yield pd.DataFrame(out)
+
+    seg_schema = (
+        "n0 int, n1 int, row_no long, j0 int, vals array<double>"
+    )
+
+    def write_file(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        n0, n1 = int(key[0]), int(key[1])
+        pdf = pdf.sort_values(["row_no", "j0"])
+        path = os.path.join(out_dir, f"Ai.{n0}.{n1}")
+        with open(path, "w") as f:
+            f.write(f"0:{n_rows}:0:{n_rows}:{n_l}:{n1}\n")
+            cur_row, parts = None, []
+            def emit():
+                if cur_row is not None:
+                    f.write(
+                        f"{cur_row}:"
+                        + " ".join(repr(v) for v in parts)
+                        + "\n"
+                    )
+            for row_no, vals in zip(pdf["row_no"], pdf["vals"]):
+                if row_no != cur_row:
+                    emit()
+                    cur_row, parts = int(row_no), []
+                parts.extend(float(v) for v in vals)
+            emit()
+        return pd.DataFrame({"path": [path], "n": [len(pdf)]})
+
+    written = (
+        m.df.mapInPandas(to_strides, seg_schema)
+        .groupBy("n0", "n1")
+        .applyInPandas(write_file, "path string, n long")
+        .count()
+    )
+    return int(written)
+
+
+def read_inverse_text(spark: SparkSession, path: str):
+    """Read reference final-inverse text files back as a cell frame
+    ``(row_no BIGINT, col_no BIGINT, value DOUBLE)`` — fully
+    distributed: ``spark.read.text`` + JVM split/posexplode (no
+    Python in the parse path). Headers (``0:N:0:N:nL:n1``) carry the
+    per-file column stride; they are joined back to the data lines by
+    file name (a tiny broadcast: one row per file)."""
+    import glob as globmod
+
+    files = (
+        sorted(globmod.glob(os.path.join(path, "Ai.*")))
+        or sorted(globmod.glob(path))
+    )
+    if not files:
+        raise FileNotFoundError(path)
+    # header scan: one small driver read per FILE (file count = nU*nL,
+    # a grid constant, not data-sized)
+    meta = []
+    for fp in files:
+        with open(fp) as f:
+            h = f.readline().strip().split(":")
+        meta.append((os.path.basename(fp), int(h[4]), int(h[5])))
+    meta_df = spark.createDataFrame(
+        meta, "fname string, n_l int, n1 int"
+    )
+    lines = (
+        spark.read.text(files)
+        .withColumn(
+            "fname",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        # headers have 6 colon fields, data lines exactly 2 ("row:vals")
+        .filter(F.size(F.split("value", ":")) == 2)
+    )
+    parsed = (
+        lines.join(F.broadcast(meta_df), "fname")
+        .select(
+            F.split("value", ":").getItem(0).cast("bigint").alias(
+                "row_no"
+            ),
+            F.posexplode(
+                F.split(F.split("value", ":").getItem(1), " ")
+            ).alias("j", "v"),
+            "n_l",
+            "n1",
+        )
+        .select(
+            "row_no",
+            (F.col("j").cast("bigint") * F.col("n_l") + F.col("n1"))
+            .alias("col_no"),
+            F.col("v").cast("double").alias("value"),
+        )
+    )
+    return parsed

@@ -651,3 +651,72 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, 1000.0, float(round(rel_err, 6)), bool(rel_err < 1e-6))],
         "n int, kappa_true double, rel_err_r6 double, ok boolean",
     )
+
+
+@query(
+    "la_inverse_text_format",
+    oracle="""
+    SELECT 6 AS n_files, CAST(400 AS BIGINT) AS n_cells,
+           0.0 AS max_abs_err, TRUE AS ok
+    """,
+)
+def la_inverse_text_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's final-inverse TEXT egress
+    (`LUInverse.java:356-384`: strided ``Ai.{n0}.{n1}`` files, header
+    ``0:N:0:N:nL:n1``, ``row:v v …`` lines) round-tripped exactly: a
+    seeded 20×20 block matrix is written on a 2×3 stride grid, read
+    back through the distributed text ingress (JVM split/posexplode),
+    and every cell compared against the original — repr() doubles
+    round-trip bit-exactly, so max_abs_err is identically 0."""
+    import os
+    import tempfile
+
+    from matrixinversion_spark.matrix.io import (
+        read_inverse_text,
+        write_inverse_text,
+    )
+
+    n = 20
+    m = BlockMatrixFrame.random_uniform(spark, n, block_size=8, seed=11)
+    out = os.path.join(tempfile.gettempdir(), "mi_spark_inverse_text")
+    n_files = write_inverse_text(m, out, n_u=2, n_l=3)
+
+    def cells(batches):
+        for pdf in batches:
+            rows = []
+            for bi, bj, r, c, d in zip(
+                pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"],
+                pdf["data"],
+            ):
+                blk = np.asarray(d, dtype=np.float64).reshape(
+                    int(r), int(c)
+                )
+                for li in range(int(r)):
+                    for lj in range(int(c)):
+                        rows.append(
+                            (int(bi) * 8 + li, int(bj) * 8 + lj,
+                             float(blk[li, lj]))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["row_no", "col_no", "orig"]
+            )
+
+    orig = m.df.mapInPandas(
+        cells, "row_no long, col_no long, orig double"
+    )
+    back = read_inverse_text(spark, out)
+    return (
+        back.join(orig, ["row_no", "col_no"], "full")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.max(F.abs(F.col("value") - F.col("orig"))).alias("err"),
+        )
+        .select(
+            F.lit(n_files).cast("int").alias("n_files"),
+            "n_cells",
+            F.coalesce(F.col("err"), F.lit(-1.0)).alias("max_abs_err"),
+            (
+                (F.col("n_cells") == n * n) & (F.col("err") == 0.0)
+            ).alias("ok"),
+        )
+    )

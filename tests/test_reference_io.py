@@ -220,3 +220,39 @@ def test_save_refuses_remote_scheme_paths(spark):
         save_reference_matrix(m, "s3a://bucket/blocks")
     with pytest.raises(ValueError, match="remote path"):
         save_reference_matrix(m, "hdfs://nn/blocks")
+
+
+def test_inverse_text_roundtrip(spark, tmp_path):
+    """Reference final-inverse text layout (`LUInverse.java:356-384`):
+    strided Ai.{n0}.{n1} files round-trip exactly through the text
+    egress + distributed ingress, across stride grids and a
+    non-divisible block size."""
+    import numpy as np
+    from matrixinversion_spark.matrix.core import BlockMatrixFrame
+    from matrixinversion_spark.matrix.io import (
+        read_inverse_text,
+        write_inverse_text,
+    )
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((10, 10))
+    a[0, 0] = 1e-7  # exponent-spelled repr
+    a[3, 4] = 0.0
+    m = BlockMatrixFrame.from_numpy(spark, a, block_size=4)
+    for n_u, n_l in [(1, 1), (2, 3)]:
+        out = str(tmp_path / f"inv_text_{n_u}_{n_l}")
+        n_files = write_inverse_text(m, out, n_u=n_u, n_l=n_l)
+        assert n_files == n_u * n_l
+        import os
+        names = sorted(os.listdir(out))
+        assert names == sorted(
+            f"Ai.{i}.{j}" for i in range(n_u) for j in range(n_l)
+        )
+        with open(os.path.join(out, names[0])) as f:
+            assert f.readline().startswith("0:10:0:10:")
+        cells = read_inverse_text(spark, out).collect()
+        assert len(cells) == 100
+        back = np.zeros((10, 10))
+        for r in cells:
+            back[r["row_no"], r["col_no"]] = r["value"]
+        np.testing.assert_array_equal(back, a)  # exact: repr round-trips
