@@ -136,10 +136,10 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
     is O(log D) rounds on chain-shaped layouts (a 64-doc id-ordered
     chain converges in ≤8 rounds — pinned by pytest) but O(D) in the
     worst case (a ring with hash-random ids, where no referral chain
-    forms — measured in scripts/exp_cc_scale.py; hash-to-min with
-    set-valued state is the known O(log n)-always upgrade if a
-    deeper-diameter workload ever appears). Near-dup graphs, this
-    operator's actual workload, have small-diameter components.
+    forms — measured in scripts/exp_cc_scale.py; for such
+    deep-diameter graphs use ``connected_components_hashmin``, the
+    O(log n)-always variant). Near-dup graphs, this operator's
+    actual workload, have small-diameter components.
     Every round ends in ``_fresh_stats_barrier`` — checkpoint AND
     statistics reset; without the reset Catalyst's multiplied
     sizeInBytes BigInts stall the driver exponentially (see the
@@ -187,6 +187,66 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
         labels = new_labels
         if changed == 0:
             break
+    return labels, rounds
+
+
+def connected_components_hashmin(
+    edges: DataFrame,
+) -> tuple[DataFrame, int]:
+    """Hash-to-Min connected components (Rastogi, Machanavajjhala,
+    Chitnis, Das Sarma — "Finding Connected Components in Map-Reduce
+    in Logarithmic Rounds", ICDE 2013, public): O(log n) rounds on
+    EVERY graph shape, including the hash-random rings where
+    ``connected_components``' pointer jumping degrades to O(D).
+
+    State is the exploded cluster relation (v, w) meaning
+    w ∈ C(v), initialized to self + neighbors. Each round, every
+    vertex sends its whole cluster to the cluster's min and the min
+    to every other member; the new cluster is the union of what
+    arrived. At convergence the min vertex holds its full component
+    and every other vertex holds exactly {min}, so labels are
+    ``groupBy(v).min(w)``.
+
+    Trade-off vs the default: per-round shuffle is the state size —
+    expected O(|V|+|E|) but with a known worst-case blow-up on
+    high-degree stars mid-convergence (the min vertex's cluster
+    grows to the component size; fine, that IS the answer, but it
+    transits the shuffle each round). Default stays pointer-jumping
+    (near-dup graphs are small-diameter); use this for
+    deep-diameter graphs. Same ``_fresh_stats_barrier`` per round —
+    the iterative-loop stats compounding applies identically.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    state = (
+        edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+        .union(edges.select(F.col("u").alias("v"),
+                            F.col("u").alias("w")))
+        .distinct()
+    )
+    state = _fresh_stats_barrier(state)
+    n_old = state.count()
+    rounds = 0
+    while True:
+        rounds += 1
+        mins = state.groupBy("v").agg(F.min("w").alias("m"))
+        s = state.join(mins, "v")
+        to_min = s.select(F.col("m").alias("v"), F.col("w"))
+        min_to_rest = s.filter(F.col("w") != F.col("m")).select(
+            F.col("w").alias("v"), F.col("m").alias("w")
+        )
+        new_state = to_min.union(min_to_rest).distinct()
+        new_state = _fresh_stats_barrier(new_state)
+        n_new = new_state.count()
+        added = (
+            new_state.join(state, ["v", "w"], "left_anti").count()
+        )
+        state = new_state
+        if added == 0 and n_new == n_old:
+            break
+        n_old = n_new
+    labels = state.groupBy(F.col("v").alias("doc_id")).agg(
+        F.min("w").alias("label")
+    )
     return labels, rounds
 
 

@@ -85,3 +85,56 @@ def test_fresh_stats_barrier_pins_size_estimate(spark):
         digits.append(len(sz))
     assert max(digits) <= 25, digits  # default estimate, never compounds
     assert df.count() == 64
+
+
+def _sym_edges(spark, pairs):
+    rows = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    return spark.createDataFrame(rows, "u LONG, v LONG")
+
+
+def test_hashmin_matches_pointer_jumping(spark):
+    import random
+
+    from matrixinversion_spark.pipeline.curation import (
+        connected_components,
+        connected_components_hashmin,
+    )
+
+    rng = random.Random(5)
+    ids = rng.sample(range(10**6), 60)
+    pairs = []
+    # three components: a chain, a star, a clique-ish blob
+    pairs += [(ids[i], ids[i + 1]) for i in range(19)]
+    pairs += [(ids[20], ids[i]) for i in range(21, 40)]
+    pairs += [
+        (ids[i], ids[j]) for i in range(40, 50) for j in range(i + 1, 50)
+    ]
+    edges = _sym_edges(spark, pairs)
+    lab_pj, _ = connected_components(edges)
+    lab_hm, _ = connected_components_hashmin(edges)
+    got_pj = {r["doc_id"]: r["label"] for r in lab_pj.collect()}
+    got_hm = {r["doc_id"]: r["label"] for r in lab_hm.collect()}
+    assert got_hm == got_pj
+
+
+def test_hashmin_log_rounds_on_hash_random_ring(spark):
+    """The workload pointer jumping is O(D) on: a ring whose vertex
+    ids are hash-scattered, so no referral chains form. Hash-to-Min
+    must converge in O(log n) rounds."""
+    import math
+    import random
+
+    from matrixinversion_spark.pipeline.curation import (
+        connected_components_hashmin,
+    )
+
+    n = 64
+    rng = random.Random(9)
+    ids = rng.sample(range(10**9), n)
+    pairs = [(ids[i], ids[(i + 1) % n]) for i in range(n)]
+    edges = _sym_edges(spark, pairs)
+    labels, rounds = connected_components_hashmin(edges)
+    got = {r["label"] for r in labels.collect()}
+    assert got == {min(ids)}
+    # ICDE-2013 bound is ~2 log n + the convergence-check round
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
