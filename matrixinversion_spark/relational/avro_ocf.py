@@ -640,6 +640,21 @@ try:
             self.codec = options.get("codec", "deflate")
             self.avro_schema = spark_to_avro_schema(schema)
             self.overwrite = overwrite
+            # runs driver-side at plan time: clear stale part files
+            # NOW — a rewrite with fewer partitions must not leave
+            # orphans for the reader to pick up
+            if overwrite and os.path.isdir(self.path):
+                import glob as globmod
+
+                for old in globmod.glob(
+                    os.path.join(self.path, "part-*.avro")
+                ):
+                    os.remove(old)
+            elif not overwrite and os.path.isdir(self.path):
+                raise ValueError(
+                    f"avro_ocf: {self.path} exists (use "
+                    "mode('overwrite'))"
+                )
 
         def write(self, iterator):
             from pyspark import TaskContext

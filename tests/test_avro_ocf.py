@@ -162,3 +162,14 @@ def test_registered_query_matches_parquet(spark):
         assert got[k]["n_rows"] == exp[k]["n_rows"]
         assert got[k]["sum_qty"] == exp[k]["sum_qty"]
         assert abs(got[k]["sum_price"] - exp[k]["sum_price"]) < 1e-6
+
+
+def test_overwrite_clears_stale_parts(spark, tmp_path):
+    """Rewriting with fewer partitions must not leave orphan part
+    files for the reader to pick up."""
+    out = str(tmp_path / "ow")
+    write_avro(spark.range(0, 100).repartition(5), out)
+    write_avro(spark.range(100, 110).repartition(2), out)
+    back = read_avro(spark, out)
+    assert back.count() == 10
+    assert back.agg(F.min("id"), F.max("id")).collect()[0] == (100, 109)
