@@ -48,6 +48,12 @@ HEADLINE = [
     # probe path) and the shared-shuffle two-sample KS
     "q_bloom_prefilter_join",
     "q_ks_2sample",
+    # round-8 representative: near-dup split-leakage audit (LSH band
+    # candidates + exact-Jaccard verify; CPU = JVM shingle hashing,
+    # one (band,bkey) candidate shuffle). q_avro_roundtrip is NOT
+    # here deliberately: its 19 s at sf0.1 measures the pure-Python
+    # interchange codec, not a Spark plan (BENCH_NOTES r8).
+    "p_split_leakage_neardup",
 ]
 
 INVERSE_N = 2048

@@ -304,8 +304,9 @@ NOTES: dict[str, str] = {
         "— no SortMergeJoin/ShuffledHashJoin anywhere on the probe "
         "path, so the fact table is never shuffled until the bloom "
         "has already killed the non-matching ~96%. The build-side "
-        "bit_or aggregation appears once and is reused across the "
-        "k broadcasts (ReusedExchange + cache)."
+        "bit_or aggregation runs ONCE: the words are a bounded "
+        "filter artifact (m/64 rows), collected and re-broadcast as "
+        "a LocalTableScan per probe (r8; 14→10 jobs, no cache)."
     ),
     "q_ks_2sample": (
         "Both ECDF running counts share ONE range exchange (the "
@@ -327,6 +328,23 @@ NOTES: dict[str, str] = {
         "custkey-partitioned sort window sweeps the valid dimension "
         "value onto each fact. One sort shuffle total, regardless "
         "of how many intervals each key accumulates."
+    ),
+    "p_split_leakage_neardup": (
+        "Signatures are per-doc JVM array expressions (zero "
+        "shuffle); the only data-sized exchange is the (band, bkey) "
+        "candidate join between the held-out and train band frames; "
+        "exact-Jaccard verification joins shingle sets for candidate "
+        "pairs only. The corpus never takes an all-pairs join — the "
+        "brute-force cross-split Jaccard the DuckDB oracle runs is "
+        "exactly the plan this operator exists to avoid."
+    ),
+    "q_avro_roundtrip": (
+        "The Avro files enter the plan as a PythonDataSource scan "
+        "with one input partition per container file (write "
+        "parallelism round-trips into read parallelism), feeding a "
+        "partial+final hash aggregate. The codec itself is the "
+        "Python interchange path — at 100 TB the JVM spark-avro "
+        "package reads the same files with this same plan shape."
     ),
 }
 
