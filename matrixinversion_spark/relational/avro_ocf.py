@@ -48,6 +48,8 @@ import zlib
 from datetime import date, datetime, timedelta, timezone
 from decimal import Decimal
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -759,3 +761,127 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ship"
         ),
     )
+
+
+# ---------------------------------------------------------------
+# row-level to_avro / from_avro (the spark-avro FUNCTION API shape:
+# single-record Avro binary per row — the Kafka payload encoding).
+# Implemented over mapInArrow, NOT a pandas UDF: pandas coerces
+# nullable int64 struct fields to float64 (silent precision loss
+# past 2^53) and collapses NULL structs into all-NaN rows; Arrow
+# batches preserve exact types and per-row struct validity.
+# ---------------------------------------------------------------
+
+
+def _avro_value_adapter(sch):
+    """Converter from pyarrow ``to_pylist`` values (dicts for
+    structs, aware datetimes for timestamps) to the tuple form the
+    compiled encoder walks."""
+    if isinstance(sch, list):
+        inner = _avro_value_adapter(sch[0] if sch[1] == "null" else sch[1])
+        return lambda v: None if v is None else inner(v)
+    if isinstance(sch, dict):
+        t = sch["type"]
+        if t == "record":
+            fields = [
+                (f["name"], _avro_value_adapter(f["type"]))
+                for f in sch["fields"]
+            ]
+            return lambda v: tuple(fa(v[fn]) for fn, fa in fields)
+        if t == "array":
+            item = _avro_value_adapter(sch["items"])
+            return lambda v: [item(x) for x in v]
+        if t == "map":
+            val = _avro_value_adapter(sch["values"])
+            return lambda v: {k: val(x) for k, x in v.items()}
+    return lambda v: v
+
+
+def with_avro_bytes(
+    df: DataFrame, payload_cols: list[str], out_col: str = "avro"
+) -> DataFrame:
+    """Append ``out_col`` (BINARY): each row's ``payload_cols``
+    serialized as one single-datum Avro record (no container
+    framing) — what ``pyspark.sql.avro.functions.to_avro`` emits for
+    Kafka values. All non-payload columns pass through."""
+    import pyarrow as pa
+
+    payload_struct = T.StructType(
+        [df.schema[c] for c in payload_cols]
+    )
+    avsc = spark_to_avro_schema(payload_struct)
+    # fresh StructType — StructType.add MUTATES the receiver, and
+    # df.schema returns the DataFrame's cached instance
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.BinaryType(), True)]
+    )
+
+    def encode(batches):
+        enc = _compile_encoder(avsc)
+        adapters = [
+            _avro_value_adapter(f["type"]) for f in avsc["fields"]
+        ]
+        for batch in batches:
+            cols = [
+                batch.column(batch.schema.get_field_index(c)).to_pylist()
+                for c in payload_cols
+            ]
+            out = []
+            for vals in zip(*cols) if cols else []:
+                buf = bytearray()
+                enc(buf, tuple(a(v) for a, v in zip(adapters, vals)))
+                out.append(bytes(buf))
+            if not cols:
+                out = [b""] * batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(out, pa.binary())],
+                schema=pa.schema(
+                    list(batch.schema) + [pa.field(out_col, pa.binary())]
+                ),
+            )
+
+    return df.mapInArrow(encode, out_schema)
+
+
+def parse_avro_bytes(
+    df: DataFrame,
+    bytes_col: str,
+    payload_schema: T.StructType,
+    out_col: str = "payload",
+) -> DataFrame:
+    """Inverse of ``with_avro_bytes``: decode a BINARY column of
+    single-datum Avro records into a STRUCT column
+    (``from_avro`` semantics; NULL bytes → NULL struct)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    avsc = spark_to_avro_schema(payload_schema)
+    names = [f.name for f in payload_schema.fields]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, payload_schema, True)]
+    )
+    pa_struct = to_arrow_type(payload_schema)
+
+    def decode(batches):
+        d = _compile_decoder(avsc)
+        for batch in batches:
+            raw = batch.column(
+                batch.schema.get_field_index(bytes_col)
+            ).to_pylist()
+            dicts = [
+                None
+                if b is None
+                else dict(zip(names, d(_Cursor(bytes(b)))))
+                for b in raw
+            ]
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [pa.array(dicts, type=pa_struct)],
+                schema=pa.schema(
+                    list(batch.schema) + [pa.field(out_col, pa_struct)]
+                ),
+            )
+
+    return df.mapInArrow(decode, out_schema)

@@ -173,3 +173,59 @@ def test_overwrite_clears_stale_parts(spark, tmp_path):
     back = read_avro(spark, out)
     assert back.count() == 10
     assert back.agg(F.min("id"), F.max("id")).collect()[0] == (100, 109)
+
+
+def test_empty_dataframe_roundtrip(spark, tmp_path):
+    """Zero-row writes produce valid header-only container files the
+    reader handles (0 blocks)."""
+    out = str(tmp_path / "empty")
+    df = spark.createDataFrame([], "id bigint, s string")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["id", "s"]
+
+
+def test_unicode_and_long_strings(spark, tmp_path):
+    big = "λσπ≥" * 5000  # multi-byte utf-8, 60 KB
+    df = spark.createDataFrame(
+        [(1, big), (2, "日本語テキスト"), (3, "emoji 🎉🚀")],
+        "id bigint, s string",
+    )
+    out = str(tmp_path / "uni")
+    write_avro(df, out)
+    back = {r["id"]: r["s"] for r in read_avro(spark, out).collect()}
+    assert back[1] == big and back[2] == "日本語テキスト"
+    assert back[3] == "emoji 🎉🚀"
+
+
+def test_with_parse_avro_bytes_roundtrip(spark):
+    """Kafka-payload shape: row -> single-datum avro binary ->
+    struct; exact int64 (past 2^53), null-safe, type-preserving
+    (mapInArrow, no pandas NaN coercion)."""
+    from matrixinversion_spark.relational.avro_ocf import (
+        parse_avro_bytes,
+        with_avro_bytes,
+    )
+
+    big = (1 << 60) + 7  # would corrupt under float64 coercion
+    df = spark.createDataFrame(
+        [(1, big, "x", 1.5), (2, None, None, -0.25)],
+        "id long, n long, s string, v double",
+    )
+    enc = with_avro_bytes(df, ["n", "s", "v"], out_col="avro")
+    rows = {r["id"]: r["avro"] for r in enc.collect()}
+    assert isinstance(rows[1], (bytes, bytearray))
+    st = T.StructType(
+        [
+            T.StructField("n", T.LongType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    back = parse_avro_bytes(
+        enc.select("id", "avro"), "avro", st, out_col="p"
+    ).collect()
+    got = {r["id"]: r["p"] for r in back}
+    assert got[1]["n"] == big and got[1]["s"] == "x"
+    assert got[2]["n"] is None and got[2]["v"] == -0.25
