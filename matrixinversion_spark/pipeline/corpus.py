@@ -383,3 +383,105 @@ def p_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
     )
     return near_dup_leakage(docs)
+
+
+# -- dataset release report -------------------------------------------------
+
+_RELEASE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, text, lang,
+           md5(text) AS th,
+           CASE WHEN {_hash32_sql("CAST(doc_id AS VARCHAR)")}
+                     % 100 < 90 THEN 'train'
+                WHEN {_hash32_sql("CAST(doc_id AS VARCHAR)")}
+                     % 100 < 95 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM documents),
+tr AS (SELECT DISTINCT th FROM h WHERE split = 'train'),
+leak AS (
+    SELECT h.split, count(*) AS n_leaked
+    FROM h JOIN tr ON h.th = tr.th
+    WHERE h.split <> 'train'
+    GROUP BY h.split),
+base AS (
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) - count(DISTINCT th) AS BIGINT)
+               AS n_dup_docs
+    FROM h GROUP BY split)
+SELECT b.split, b.n_docs, b.n_chars, b.n_tokens, b.n_langs,
+       b.n_dup_docs,
+       CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked_exact
+FROM base b LEFT JOIN leak l ON b.split = l.split
+"""
+
+
+@query("p_release_report", oracle=_RELEASE_SQL)
+def p_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card release report: one row per split of the
+    registered 90/5/5 hash split with the numbers a corpus release
+    publishes — doc/char/token counts, language count, WITHIN-split
+    exact-duplicate count, and cross-boundary exact-hash leakage
+    (train rows report 0 by definition). The governance capstone:
+    every column is the output of an operator this engine registers
+    individually (hash split, token stats, exact dedup, leakage
+    audit), composed into the single frame a release pipeline gates
+    on.
+
+    Plan: one groupBy(split) aggregation with map-side partials over
+    a single scan (counts, sums, two count-distincts), plus the
+    md5-distinct train-fingerprint join for leakage — the same
+    bounded shapes as the constituent operators; nothing data-sized
+    reaches the driver."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    h = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.md5("text").alias("th"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tr = (
+        h.filter(F.col("split") == "train")
+        .select(F.col("th").alias("tr_th"))
+        .distinct()
+    )
+    leak = (
+        h.filter(F.col("split") != "train")
+        .join(tr, F.col("th") == F.col("tr_th"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    base = h.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count("*") - F.countDistinct("th"))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+    )
+    return (
+        base.join(leak, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_chars",
+            "n_tokens",
+            "n_langs",
+            "n_dup_docs",
+            F.coalesce(F.col("n_leaked"), F.lit(0))
+            .cast("bigint")
+            .alias("n_leaked_exact"),
+        )
+    )

@@ -223,3 +223,32 @@ def test_stats_barrier_fallback_warns(spark, monkeypatch):
         if issubclass(w.category, RuntimeWarning)
         and "internalCreateDataFrame" in str(w.message)
     ]
+
+
+def test_release_report_consistent_with_constituents(spark):
+    """The report's columns must equal the standalone operators'
+    answers on the same data: leakage column == p_split_leakage_audit,
+    split sizes == the hash split, dup counts == exact-dedup math."""
+    import matrixinversion_spark.pipeline.corpus as corpus
+    from matrixinversion_spark.registry import QUERIES
+
+    rep = {
+        r["split"]: r
+        for r in QUERIES["p_release_report"](spark, SF_DIR).collect()
+    }
+    assert set(rep) == {"train", "validation", "test"}
+    leak = {
+        r["split"]: r
+        for r in QUERIES["p_split_leakage_audit"](spark, SF_DIR).collect()
+    }
+    for s in ("validation", "test"):
+        assert rep[s]["n_docs"] == leak[s]["n_docs"]
+        assert rep[s]["n_leaked_exact"] == leak[s]["n_leaked"]
+    assert rep["train"]["n_leaked_exact"] == 0
+    total = sum(rep[s]["n_docs"] for s in rep)
+    from matrixinversion_spark.session import read_table
+
+    assert total == read_table(spark, SF_DIR, "documents").count()
+    for s in rep:
+        assert rep[s]["n_dup_docs"] >= 0
+        assert rep[s]["n_tokens"] >= rep[s]["n_docs"]  # >=1 token/doc
