@@ -40,7 +40,6 @@ missing high-frequency format by the round-7 verdict.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
