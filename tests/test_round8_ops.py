@@ -252,3 +252,21 @@ def test_release_report_consistent_with_constituents(spark):
     for s in rep:
         assert rep[s]["n_dup_docs"] >= 0
         assert rep[s]["n_tokens"] >= rep[s]["n_docs"]  # >=1 token/doc
+
+
+def test_bloom_large_filter_persist_path_and_release(spark, monkeypatch):
+    """Above _LOCAL_WORDS_MAX the words persist instead of collecting;
+    release_bloom_caches() must free every tracked frame."""
+    from matrixinversion_spark.relational import bloomjoin
+
+    monkeypatch.setattr(bloomjoin, "_LOCAL_WORDS_MAX", 1)  # force path
+    probe = spark.range(0, 3000).withColumnRenamed("id", "k")
+    build = spark.range(0, 300).withColumnRenamed("id", "bk")
+    kept = {
+        r["k"]
+        for r in bloomjoin.bloom_semi_filter(probe, "k", build, "bk").collect()
+    }
+    assert set(range(300)) <= kept  # no false negatives on this path
+    assert len(bloomjoin._ACTIVE_BLOOM_CACHES) == 1
+    released = bloomjoin.release_bloom_caches()
+    assert released == 1 and not bloomjoin._ACTIVE_BLOOM_CACHES
