@@ -530,7 +530,9 @@ def write_ocf(
 
 def read_ocf_header(fobj):
     """(avro_schema, codec, sync, data_offset) from an OCF header."""
-    head = fobj.read(1 << 16)
+    # 1 MB covers the metadata map even for thousand-column schemas
+    # (the avro.schema JSON is the dominant entry)
+    head = fobj.read(1 << 20)
     if head[:4] != MAGIC:
         raise ValueError("not an Avro object container file")
     c = _Cursor(head)
@@ -613,10 +615,16 @@ try:
         return paths
 
     class _AvroReader(DataSourceReader):
-        def __init__(self, options):
+        def __init__(self, options, schema):
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("avro_ocf: 'path' is required")
+            # the schema Spark will interpret our tuples under —
+            # either the file's own (default) or user-supplied via
+            # .schema(...); we resolve by NAME per file (Avro schema
+            # resolution), so a reordered/subset read schema and
+            # per-file field drift both stay correct.
+            self.read_fields = [f.name for f in schema.fields]
 
         def partitions(self):
             # one partition per container file: the writer emits one
@@ -626,7 +634,20 @@ try:
             return [_AvroPartition(p) for p in _list_avro_files(self.path)]
 
         def read(self, partition):
-            yield from iter_ocf_rows(partition.path)
+            with open(partition.path, "rb") as f:
+                file_sch, _, _, _ = read_ocf_header(f)
+            file_fields = [fl["name"] for fl in file_sch["fields"]]
+            if file_fields == self.read_fields:
+                yield from iter_ocf_rows(partition.path)
+                return
+            # by-name projection: requested field absent in this
+            # file → None (Avro resolution's missing-field default)
+            pos = {n: i for i, n in enumerate(file_fields)}
+            idx = [pos.get(n) for n in self.read_fields]
+            for row in iter_ocf_rows(partition.path):
+                yield tuple(
+                    None if i is None else row[i] for i in idx
+                )
 
     class _AvroCommit(WriterCommitMessage):
         def __init__(self, path: str, n_rows: int):
@@ -692,7 +713,7 @@ try:
             return avro_to_spark_schema(sch)
 
         def reader(self, schema):
-            return _AvroReader(self.options)
+            return _AvroReader(self.options, schema)
 
         def writer(self, schema, overwrite):
             return _AvroWriter(self.options, schema, overwrite)

@@ -229,3 +229,37 @@ def test_with_parse_avro_bytes_roundtrip(spark):
     got = {r["id"]: r["p"] for r in back}
     assert got[1]["n"] == big and got[1]["s"] == "x"
     assert got[2]["n"] is None and got[2]["v"] == -0.25
+
+
+def test_user_read_schema_projected_by_name(spark, tmp_path):
+    """A user-supplied read schema resolves by NAME (Avro schema
+    resolution): reordered and subset schemas read correctly, and a
+    requested field absent from the file yields nulls."""
+    out = str(tmp_path / "proj")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0)], "id bigint, s string, v double"
+    )
+    write_avro(df, out)
+    from matrixinversion_spark.relational.avro_ocf import (
+        register_avro_datasource,
+    )
+
+    register_avro_datasource(spark)
+    # reordered + subset
+    got = (
+        spark.read.format("avro_ocf")
+        .schema("v double, id bigint")
+        .load(out)
+        .orderBy("id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [(1.5, 1), (-2.0, 2)]
+    # extra requested field → nulls
+    got2 = (
+        spark.read.format("avro_ocf")
+        .schema("id bigint, missing string")
+        .load(out)
+        .orderBy("id")
+        .collect()
+    )
+    assert [tuple(r) for r in got2] == [(1, None), (2, None)]
