@@ -485,3 +485,75 @@ def p_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_leaked_exact"),
         )
     )
+
+
+# -- BPE merge-pair counting -----------------------------------------------
+
+_BPE_TOP_K = 20
+
+
+@query(
+    "p_bpe_pair_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, count(*) AS wf FROM tok WHERE length(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substring(w, i, 2))) AS pair,
+               wf
+        FROM vocab
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT {_BPE_TOP_K}
+    """,
+)
+def p_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE tokenizer training at corpus scale (Sennrich
+    2016): count adjacent-symbol pairs weighted by word frequency and
+    surface the top merge candidates — the inner loop every
+    subword-tokenizer build runs over the training corpus.
+
+    The scale insight is WHERE the pair explosion runs: the corpus's
+    one shuffle builds the word-frequency VOCAB (hash groupBy with
+    map-side combine — shuffle volume is distinct words per
+    partition, not corpus tokens); the quadratic-ish symbol-pair
+    explode then runs over the vocab only, which Heaps' law keeps
+    sublinear in corpus size (~K * N^0.5). Top-k lowers to
+    TakeOrderedAndProject (per-partition heaps — no global sort).
+    Later merge rounds re-segment words against the growing merge
+    table and re-count — each round the same two-shuffle shape over
+    the (cached) vocab, never re-reading the corpus.
+
+    Tokens are lowercased [a-z]+ runs of length >= 2, so the symbol
+    alphabet is engine-portable ASCII and the initial symbol
+    inventory is single characters (the classic BPE start state);
+    pairs at this round are therefore exactly character bigrams
+    within words, weighted by word frequency."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("t")
+    )
+    vocab = (
+        docs.select(F.explode(F.split("t", "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_TOP_K)
+    )

@@ -532,3 +532,115 @@ def p_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, int(len(x)), ok)],
         "k int, n_points bigint, matches_numpy boolean",
     )
+
+
+SEMDEDUP_TAU = 0.38  # demo-corpus threshold; production runs ~0.95+
+
+
+def _ivf_assign(n: DataFrame) -> DataFrame:
+    """Nearest-coarse-centroid assignment (same deterministic
+    centroid set as ``p_ann_ivf_topk``: vec_id < N_CENTROIDS, nprobe
+    = 1). Broadcast centroid cross join + per-vector argmax — the
+    corpus never shuffles for the assignment itself."""
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    acos = F.round(
+        dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("cid"))
+    return (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("acos", acos)
+        .withColumn("arnk", F.row_number().over(aw))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "label", "e", "nrm", "cid")
+    )
+
+
+@query(
+    "p_semantic_dedup",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+             WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, e, nrm, cid FROM (
+            SELECT x.vec_id, x.e, x.nrm, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY round(list_dot_product(x.e, cent.ce)
+                                      / (x.nrm * cent.cn), 6) DESC, cent.cid
+                   ) AS arnk
+            FROM n x CROSS JOIN cent
+        ) WHERE arnk = 1
+    ),
+    dups AS (
+        SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6)
+              >= {SEMDEDUP_TAU}
+        GROUP BY b.vec_id
+    )
+    SELECT s.vec_id, s.cid,
+           CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+           d.dup_of
+    FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """,
+)
+def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    coarse-cluster the embedding space, then drop any vector whose
+    cosine to an EARLIER vector in the same cluster exceeds tau —
+    near-duplicate *meaning*, not near-duplicate *bytes*, which
+    MinHash/SimHash (`dedup.py`) cannot see across paraphrases.
+
+    Deterministic demo variant: clusters are the same fixed coarse
+    centroids as ``p_ann_ivf_topk`` (first N_CENTROIDS vectors,
+    nprobe = 1) so the DuckDB oracle replicates assignment exactly,
+    and the keep rule is greedy min-id (a vector survives iff no
+    smaller-id same-cluster vector is within tau). tau = 0.38 is
+    demo-scale for the synthetic corpus (max pairwise cos ~0.51);
+    production semantic dedup runs ~0.95.
+
+    100 TB shape: assignment is a broadcast cross join (centroid
+    table is tiny) — the corpus's ONE shuffle is on ``cid`` for the
+    in-cluster pair join, and pair volume is bounded per-cluster,
+    never global. At real scale the guard is cluster size: k-means
+    with enough centroids keeps cells ~|corpus|/k, and oversized
+    cells re-split with a second-level codebook (IVF-style) before
+    pairing; the greedy min-id rule needs no iteration, so the whole
+    operator is two joins deep."""
+    n = _vectors(spark, sf_dir)
+    assign = _ivf_assign(n)
+    a = assign.select(
+        F.col("cid").alias("acid"),
+        F.col("vec_id").alias("i"),
+        F.col("e").alias("ae"),
+        F.col("nrm").alias("an"),
+    )
+    b = assign.select("cid", F.col("vec_id").alias("j"), "e", "nrm")
+    cos = F.round(
+        dot(F.col("ae"), F.col("e")) / (F.col("an") * F.col("nrm")), 6
+    )
+    dups = (
+        a.join(b, (F.col("acid") == F.col("cid")) & (F.col("i") < F.col("j")))
+        .filter(cos >= SEMDEDUP_TAU)
+        .groupBy("j")
+        .agg(F.min("i").alias("dup_of"))
+    )
+    return (
+        assign.join(dups, assign.vec_id == dups.j, "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("dup_of").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+            "dup_of",
+        )
+    )

@@ -591,3 +591,78 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+SN_WINDOW = 3    # sorted-neighborhood sliding-window width
+SN_MAX_DIST = 1  # residual edit-distance threshold
+
+
+@query(
+    "q_sorted_neighborhood_er",
+    oracle=f"""
+    WITH r AS (
+        SELECT c_custkey, c_name,
+               row_number() OVER (ORDER BY c_name, c_custkey) AS rid
+        FROM customer
+    )
+    SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+           CAST(b.rid - a.rid AS BIGINT) AS gap,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM r a JOIN r b ON b.rid - a.rid BETWEEN 1 AND {SN_WINDOW}
+    WHERE levenshtein(a.c_name, b.c_name) <= {SN_MAX_DIST}
+    """,
+)
+def q_sorted_neighborhood_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernandez &
+    Stolfo 1995): sort the corpus on a blocking key, slide a fixed
+    window of width w over the sorted order, and score only pairs
+    that fall inside the same window — candidate count is w*N
+    (linear), never the O(N^2) of an unblocked theta join.
+
+    Distributed shape: the global sort order comes from
+    ``assign_global_ids`` (range shuffle + per-partition numbering —
+    NO SinglePartition window), and "within w positions" becomes an
+    EQUI join: the right side explodes each row into its w
+    predecessor positions (rid - 1 .. rid - w) and joins on that
+    position key. One range shuffle for the ids, one uniform hash
+    shuffle for the join; the residual Levenshtein filter runs
+    JVM-side post-join. At 100 TB the window never widens with data
+    size, and multi-pass variants just re-run with a second blocking
+    key (e.g. reversed name) and union the candidate sets.
+    Complements ``q_fuzzy_join``'s length-banding: sorted
+    neighborhood catches pairs length-banding misses when the edit
+    touches string length unevenly across a skewed length
+    distribution, and its candidate volume is tunable (w) rather
+    than data-dependent."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    from matrixinversion_spark.relational.profiling import assign_global_ids
+
+    r = assign_global_ids(
+        c, [F.col("c_name"), F.col("c_custkey")], out_col="rid"
+    )
+    a = r.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("name1"),
+        F.col("rid").alias("arid"),
+    )
+    b = r.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("name2"),
+        F.col("rid").alias("brid"),
+        F.explode(
+            F.array(
+                *[F.col("rid") - o for o in range(1, SN_WINDOW + 1)]
+            )
+        ).alias("probe"),
+    )
+    dist = F.levenshtein("name1", "name2")
+    return (
+        a.join(b, F.col("arid") == F.col("probe"))
+        .filter(dist <= SN_MAX_DIST)
+        .select(
+            "k1",
+            "k2",
+            (F.col("brid") - F.col("arid")).cast("bigint").alias("gap"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Round-8 second-wave operators: sorted-neighborhood ER blocking,
+SemDeDup-style semantic dedup, and BPE merge-pair counting."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.pipeline.corpus import p_bpe_pair_counts
+from matrixinversion_spark.pipeline.similarity import (
+    SEMDEDUP_TAU,
+    _ivf_assign,
+    _vectors,
+    p_semantic_dedup,
+)
+from matrixinversion_spark.relational.mining import (
+    SN_MAX_DIST,
+    SN_WINDOW,
+    q_sorted_neighborhood_er,
+)
+from matrixinversion_spark.session import read_table
+
+from .conftest import SF_DIR
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_sorted_neighborhood_matches_bruteforce_window(spark):
+    got = {
+        (r["k1"], r["k2"], r["gap"], r["dist"])
+        for r in q_sorted_neighborhood_er(spark, SF_DIR).collect()
+    }
+    rows = sorted(
+        read_table(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_name")
+        .collect(),
+        key=lambda r: (r["c_name"], r["c_custkey"]),
+    )
+    exp = set()
+    for i, a in enumerate(rows):
+        for gap in range(1, SN_WINDOW + 1):
+            if i + gap >= len(rows):
+                continue
+            b = rows[i + gap]
+            d = _lev(a["c_name"], b["c_name"])
+            if d <= SN_MAX_DIST:
+                exp.add((a["c_custkey"], b["c_custkey"], gap, d))
+    assert got == exp
+    assert exp  # the demo corpus must actually produce candidates
+    # blocking bound: every pair is within the window by construction
+    assert all(1 <= g <= SN_WINDOW for (_, _, g, _) in got)
+
+
+def test_semantic_dedup_keep_semantics(spark):
+    out = p_semantic_dedup(spark, SF_DIR).collect()
+    n_total = _vectors(spark, SF_DIR).count()
+    assert len(out) == n_total  # one verdict per vector
+    # dup_of must point at an earlier vector in the SAME cluster with
+    # cosine >= tau; keep <=> no such vector exists
+    assign = {
+        r["vec_id"]: (r["cid"], r["e"], r["nrm"])
+        for r in _ivf_assign(_vectors(spark, SF_DIR)).collect()
+    }
+
+    def cos(i, j):
+        _, ei, ni = assign[i]
+        _, ej, nj = assign[j]
+        return round(
+            sum(a * b for a, b in zip(ei, ej)) / (ni * nj), 6
+        )
+
+    for r in out:
+        vid, cid = r["vec_id"], r["cid"]
+        assert assign[vid][0] == cid
+        earlier = [
+            j
+            for j, (cj, _, _) in assign.items()
+            if cj == cid and j < vid and cos(j, vid) >= SEMDEDUP_TAU
+        ]
+        if r["keep"] == 1:
+            assert r["dup_of"] is None and not earlier
+        else:
+            assert earlier and r["dup_of"] == min(earlier)
+    # survivors of each cluster are mutually non-duplicate
+    kept = [r["vec_id"] for r in out if r["keep"] == 1]
+    assert kept
+    for i in kept:
+        for j in kept:
+            if i < j and assign[i][0] == assign[j][0]:
+                assert cos(i, j) < SEMDEDUP_TAU
+
+
+def test_bpe_pair_counts_match_python_recount(spark):
+    got = {r["pair"]: r["cnt"] for r in p_bpe_pair_counts(spark, SF_DIR).collect()}
+    texts = [
+        r["text"]
+        for r in read_table(spark, SF_DIR, "documents").select("text").collect()
+    ]
+    vocab: Counter[str] = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                vocab[w] += 1
+    pairs: Counter[str] = Counter()
+    for w, wf in vocab.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += wf
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert got == dict(top)
+    # top-k must lower to per-partition heaps, not a global sort
+    plan = p_bpe_pair_counts(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
