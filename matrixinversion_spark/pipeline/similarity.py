@@ -644,3 +644,141 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
     )
+
+
+PQ_M = 8       # subspaces
+PQ_DSUB = 8    # dims per subspace (EMB_DIM = PQ_M * PQ_DSUB)
+PQ_K = 8       # codewords per subspace (vec_id < PQ_K slices)
+
+
+@query(
+    "p_ann_pq_adc",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    sub AS (
+        SELECT vec_id, m, e[m * {PQ_DSUB} + 1 : (m + 1) * {PQ_DSUB}] AS xs
+        FROM n CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
+    ),
+    cb AS (SELECT m, vec_id AS k, xs AS cs FROM sub
+           WHERE vec_id < {PQ_K}),
+    enc AS (
+        SELECT vec_id, m, k FROM (
+            SELECT s.vec_id, s.m, c.k,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY round(list_sum(list_transform(
+                                    range(1, {PQ_DSUB} + 1),
+                                    i -> (s.xs[i] - c.cs[i])
+                                         * (s.xs[i] - c.cs[i]))), 6),
+                                c.k
+                   ) AS rn
+            FROM sub s JOIN cb c ON s.m = c.m
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, c.m, c.k,
+               list_dot_product(q.xs, c.cs) AS ip
+        FROM sub q JOIN cb c ON q.m = c.m
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    score AS (
+        SELECT l.query_id, x.vec_id AS neighbor_id,
+               round(sum(l.ip), 6) AS adc_ip
+        FROM enc x JOIN lut l ON x.m = l.m AND x.k = l.k
+        WHERE l.query_id != x.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_ip, rnk FROM (
+        SELECT query_id, neighbor_id, adc_ip,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_ip DESC, neighbor_id) AS rnk
+        FROM score
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def p_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou et al. 2011): split each vector into M subspaces, quantize
+    every subspace to its nearest codeword (one byte per subspace at
+    real K=256), and score queries against the CODES via a per-query
+    lookup table — the memory tier between brute force (full floats)
+    and IVF cell-probing, and the standard composition partner of
+    both (IVF-PQ).
+
+    Deterministic demo variant: the codebook per subspace is the
+    sub-slices of the first PQ_K vectors (same fixed-seed trick as
+    the IVF centroids) so the DuckDB oracle replicates encoding
+    exactly; encoding ties break on round(dist², 6) then codeword id.
+
+    100 TB shape, stage by stage: the codebook is M*K tiny rows —
+    broadcast; ENCODING is a broadcast join + `min(struct(dist, k))`
+    hash aggregate (map-side combinable, ONE corpus-sized shuffle on
+    (vec_id, m) — and at real scale you fold argmin into the explode
+    with a zero-shuffle `array_sort(transform(...))[0]` over a
+    codebook literal); the query LUT is Q*M*K rows — broadcast; ADC
+    scoring joins CODES (M small ints per vector, 32x smaller than
+    the float vectors) against the LUT and sums M lookups per
+    (query, vector) — the whole corpus is scanned per query batch at
+    byte-width, which is the PQ trade: O(N*M) table-lookup adds
+    instead of O(N*D) float multiplies over 32x the bytes. Recall
+    gap vs exact is measured by the `p_knn_bruteforce` twin; compose
+    with `p_ann_ivf_topk`'s cells to cut N to N/n_cells (IVF-PQ)."""
+    n = _vectors(spark, sf_dir)
+    ms = F.explode(
+        F.array(*[F.lit(m) for m in range(PQ_M)])
+    ).alias("m")
+    sub = n.select(
+        "vec_id",
+        ms,
+        "e",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("xs"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("m").alias("cm"),
+        F.col("vec_id").alias("k"),
+        F.col("xs").alias("cs"),
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("xs"), F.col("cs"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    enc = (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", F.struct(dist2.alias("d"), "k").alias("dk"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dk")["k"].alias("k"))
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "k",
+            dot(F.col("xs"), F.col("cs")).alias("ip"),
+        )
+    )
+    score = (
+        enc.join(
+            F.broadcast(lut),
+            (enc.m == lut.m) & (enc.k == lut.k)
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("ip"), 6).alias("adc_ip"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_ip"), F.asc("neighbor_id")
+    )
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_ip", "rnk")
+    )

@@ -123,3 +123,57 @@ def test_bpe_pair_counts_match_python_recount(spark):
     # top-k must lower to per-partition heaps, not a global sort
     plan = p_bpe_pair_counts(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_matches_python_replication(spark):
+    from matrixinversion_spark.pipeline.similarity import (
+        N_QUERIES,
+        PQ_DSUB,
+        PQ_K,
+        PQ_M,
+        TOP_K,
+        p_ann_pq_adc,
+    )
+
+    vecs = {
+        r["vec_id"]: r["e"] for r in _vectors(spark, SF_DIR).collect()
+    }
+    # codebook = sub-slices of the first PQ_K vectors
+    cb = {
+        (m, k): vecs[k][m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    }
+
+    def code(vid, m):
+        xs = vecs[vid][m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        return min(
+            range(PQ_K),
+            key=lambda k: (
+                round(sum((x - c) ** 2 for x, c in zip(xs, cb[(m, k)])), 6),
+                k,
+            ),
+        )
+
+    def adc(qid, vid):
+        s = 0.0
+        for m in range(PQ_M):
+            qs = vecs[qid][m * PQ_DSUB : (m + 1) * PQ_DSUB]
+            cs = cb[(m, code(vid, m))]
+            s += sum(a * b for a, b in zip(qs, cs))
+        return round(s, 6)
+
+    exp = set()
+    for q in range(N_QUERIES):
+        scored = sorted(
+            ((adc(q, v), v) for v in vecs if v != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rnk, (s, v) in enumerate(scored[:TOP_K], 1):
+            exp.add((q, v, s, rnk))
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adc_ip"], r["rnk"])
+        for r in p_ann_pq_adc(spark, SF_DIR).collect()
+    }
+    assert got == exp
