@@ -537,16 +537,11 @@ def p_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.38  # demo-corpus threshold; production runs ~0.95+
 
 
-def _ivf_assign(n: DataFrame) -> DataFrame:
-    """Nearest-coarse-centroid assignment (same deterministic
-    centroid set as ``p_ann_ivf_topk``: vec_id < N_CENTROIDS, nprobe
-    = 1). Broadcast centroid cross join + per-vector argmax — the
-    corpus never shuffles for the assignment itself."""
-    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"),
-        F.col("e").alias("ce"),
-        F.col("nrm").alias("cn"),
-    )
+def assign_cells(n: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-coarse-centroid assignment against an arbitrary
+    centroid frame ``cent`` (cid, ce, cn). Broadcast centroid cross
+    join + per-vector argmax — the corpus never shuffles for the
+    assignment itself; ties break on the smaller cid."""
     acos = F.round(
         dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6
     )
@@ -558,6 +553,56 @@ def _ivf_assign(n: DataFrame) -> DataFrame:
         .filter(F.col("arnk") == 1)
         .select("vec_id", "label", "e", "nrm", "cid")
     )
+
+
+def semantic_dedup(
+    n: DataFrame, cent: DataFrame, tau: float
+) -> DataFrame:
+    """Library core of ``p_semantic_dedup``: assign to cells, then a
+    cid-partitioned pair join marks every vector with an earlier
+    same-cell vector at cosine >= tau. Returns one verdict row per
+    vector: (vec_id, cid, keep, dup_of)."""
+    assign = assign_cells(n, cent)
+    a = assign.select(
+        F.col("cid").alias("acid"),
+        F.col("vec_id").alias("i"),
+        F.col("e").alias("ae"),
+        F.col("nrm").alias("an"),
+    )
+    b = assign.select("cid", F.col("vec_id").alias("j"), "e", "nrm")
+    cos = F.round(
+        dot(F.col("ae"), F.col("e")) / (F.col("an") * F.col("nrm")), 6
+    )
+    dups = (
+        a.join(b, (F.col("acid") == F.col("cid")) & (F.col("i") < F.col("j")))
+        .filter(cos >= tau)
+        .groupBy("j")
+        .agg(F.min("i").alias("dup_of"))
+    )
+    return (
+        assign.join(dups, assign.vec_id == dups.j, "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("dup_of").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+            "dup_of",
+        )
+    )
+
+
+def _ivf_assign(n: DataFrame) -> DataFrame:
+    """Nearest-coarse-centroid assignment (same deterministic
+    centroid set as ``p_ann_ivf_topk``: vec_id < N_CENTROIDS, nprobe
+    = 1)."""
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    return assign_cells(n, cent)
 
 
 @query(
@@ -615,35 +660,12 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairing; the greedy min-id rule needs no iteration, so the whole
     operator is two joins deep."""
     n = _vectors(spark, sf_dir)
-    assign = _ivf_assign(n)
-    a = assign.select(
-        F.col("cid").alias("acid"),
-        F.col("vec_id").alias("i"),
-        F.col("e").alias("ae"),
-        F.col("nrm").alias("an"),
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
     )
-    b = assign.select("cid", F.col("vec_id").alias("j"), "e", "nrm")
-    cos = F.round(
-        dot(F.col("ae"), F.col("e")) / (F.col("an") * F.col("nrm")), 6
-    )
-    dups = (
-        a.join(b, (F.col("acid") == F.col("cid")) & (F.col("i") < F.col("j")))
-        .filter(cos >= SEMDEDUP_TAU)
-        .groupBy("j")
-        .agg(F.min("i").alias("dup_of"))
-    )
-    return (
-        assign.join(dups, assign.vec_id == dups.j, "left")
-        .select(
-            "vec_id",
-            "cid",
-            F.when(F.col("dup_of").isNull(), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("keep"),
-            "dup_of",
-        )
-    )
+    return semantic_dedup(n, cent, SEMDEDUP_TAU)
 
 
 PQ_M = 8       # subspaces
