@@ -573,3 +573,174 @@ def p_set_similarity_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= PPJOIN_TAU)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup via content-defined chunking
+# ---------------------------------------------------------------------------
+
+CDC_MOD = 16       # anchor density: ~1 boundary per CDC_MOD positions
+CDC_MIN_SPAN = 40  # report merged duplicated spans of at least this many chars
+
+
+@query(
+    "p_dedup_spans_cdc",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, string_split(text, '') AS cs, length(text) AS n
+        FROM documents
+    ),
+    bounds AS (
+        SELECT doc_id, cs,
+               list_prepend(1, list_append(
+                   list_filter(range(2, n + 1),
+                       i -> (ascii(cs[i - 1]) * 131 + ascii(cs[i]))
+                            % {CDC_MOD} = 0),
+                   n + 1)) AS b
+        FROM ch
+    ),
+    chunks AS (
+        SELECT doc_id,
+               u.j AS chunk_no,
+               b[u.j] AS start,
+               b[u.j + 1] - b[u.j] AS clen,
+               md5(array_to_string(cs[b[u.j]: b[u.j + 1] - 1], '')) AS h
+        FROM bounds, unnest(range(1, len(b))) AS u(j)
+        WHERE b[u.j + 1] > b[u.j]
+    ),
+    marked AS (
+        SELECT doc_id, chunk_no, start, clen,
+               min(doc_id) OVER (PARTITION BY h) AS mind,
+               max(doc_id) OVER (PARTITION BY h) AS maxd
+        FROM chunks
+    ),
+    dup AS (
+        SELECT doc_id, chunk_no, start, clen,
+               chunk_no - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY chunk_no) AS grp
+        FROM marked WHERE mind <> maxd
+    )
+    SELECT doc_id,
+           CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start + clen) - min(start) AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_chunks
+    FROM dup GROUP BY doc_id, grp
+    HAVING max(start + clen) - min(start) >= {CDC_MIN_SPAN}
+    """,
+)
+def p_dedup_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level cross-document dedup via content-defined
+    chunking (LBFS/rsync anchoring; the scalable stand-in for the
+    suffix-array substring dedup of Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better").
+
+    Doc-level dedup misses documents that embed long verbatim copies
+    of OTHER documents' content at arbitrary offsets, and the
+    fixed-chunk line dedup (``p_dedup_lines``) only catches
+    chunk-aligned repeats. Content-defined anchors fix the alignment
+    problem: a boundary is placed wherever a 2-char rolling predicate
+    ``(ascii(c[i-1])*131 + ascii(c[i])) % CDC_MOD == 0`` fires, so a
+    duplicated region produces the SAME chunk boundaries in every
+    document containing it, regardless of offset. Chunks whose hash
+    appears in >= 2 distinct documents are marked, and maximal runs
+    of adjacent marked chunks merge into spans (islands-and-gaps);
+    spans >= CDC_MIN_SPAN chars are reported as
+    (doc_id, span_start, span_len, n_chunks).
+
+    Semantics note: a reported span is a maximal contiguous region
+    whose every CDC chunk occurs verbatim in at least one OTHER
+    document (RefinedWeb's "duplicated-content mass", not a pairwise
+    alignment); same-doc-only repeats are not marked. Span edges
+    under-extend by up to one partial chunk on each side — inherent
+    to CDC, bounded by the mean chunk length.
+
+    Scale: anchor scan and chunking are per-row array ops over a
+    materialized char array (linear, JVM-side, zero shuffles). The
+    only data-sized shuffle is the window on the chunk hash — a
+    uniform md5 key, no skew; the island merge reuses the natural
+    (doc_id) partition. At 100 TB, swap md5 for xxhash64 and raise
+    CDC_MOD to ~64 (mean chunk ~ one sentence); md5 is kept here so
+    the DuckDB oracle shares the hash verbatim.
+    """
+    from pyspark.sql.window import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    cs = d.select(
+        "doc_id",
+        F.split("text", "").alias("cs"),
+        F.length("text").alias("n"),
+    )
+    anchor = lambda cs_col: lambda i: (  # noqa: E731
+        F.pmod(
+            F.ascii(F.element_at(cs_col, i - 1)) * 131
+            + F.ascii(F.element_at(cs_col, i)),
+            F.lit(CDC_MOD),
+        )
+        == 0
+    )
+    bounds = cs.select(
+        "doc_id",
+        "cs",
+        F.concat(
+            F.array(F.lit(1)),
+            F.filter(
+                F.sequence(F.lit(2), F.col("n")), anchor(F.col("cs"))
+            ),
+            F.array(F.col("n") + 1),
+        ).alias("b"),
+    )
+    chunks = (
+        bounds.select(
+            "doc_id",
+            "cs",
+            "b",
+            F.explode(
+                F.sequence(F.lit(1), F.size("b") - 1)
+            ).alias("chunk_no"),
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.element_at("b", F.col("chunk_no")).alias("start"),
+            (
+                F.element_at("b", F.col("chunk_no") + 1)
+                - F.element_at("b", F.col("chunk_no"))
+            ).alias("clen"),
+            "cs",
+        )
+        .filter(F.col("clen") > 0)
+        .select(
+            "doc_id",
+            "chunk_no",
+            "start",
+            "clen",
+            F.md5(
+                F.array_join(
+                    F.slice("cs", F.col("start"), F.col("clen")), ""
+                )
+            ).alias("h"),
+        )
+    )
+    wh = Window.partitionBy("h")
+    dup = (
+        chunks.withColumn("mind", F.min("doc_id").over(wh))
+        .withColumn("maxd", F.max("doc_id").over(wh))
+        .filter(F.col("mind") != F.col("maxd"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("chunk_no")
+    spans = (
+        dup.withColumn(
+            "grp", F.col("chunk_no") - F.row_number().over(wd)
+        )
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("start").cast("bigint").alias("span_start"),
+            (F.max(F.col("start") + F.col("clen")) - F.min("start"))
+            .cast("bigint")
+            .alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        )
+        .filter(F.col("span_len") >= CDC_MIN_SPAN)
+        .select("doc_id", "span_start", "span_len", "n_chunks")
+    )
+    return spans

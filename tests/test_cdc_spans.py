@@ -1,0 +1,87 @@
+"""Content-defined-chunking substring dedup (p_dedup_spans_cdc):
+planted-truth tests for arbitrary-offset detection — the property
+fixed-chunk line dedup cannot provide."""
+
+from __future__ import annotations
+
+import random
+import string
+import tempfile
+
+from matrixinversion_spark.pipeline.dedup import (
+    CDC_MIN_SPAN,
+    CDC_MOD,
+    p_dedup_spans_cdc,
+)
+
+
+def _rand_text(rng: random.Random, n: int) -> str:
+    return "".join(
+        rng.choice(string.ascii_lowercase + " ") for _ in range(n)
+    )
+
+
+def _mean_chunk(text: str) -> float:
+    anchors = sum(
+        1
+        for i in range(1, len(text))
+        if (ord(text[i - 1]) * 131 + ord(text[i])) % CDC_MOD == 0
+    )
+    return len(text) / (anchors + 1)
+
+
+def test_cdc_detects_offset_shifted_copy(spark):
+    """A 400-char region copied into another doc at a DIFFERENT
+    offset must be reported as a duplicated span in both docs,
+    covering the region up to one partial chunk per edge."""
+    rng = random.Random(7)
+    shared = _rand_text(rng, 400)
+    doc_a = _rand_text(rng, 120) + shared + _rand_text(rng, 90)
+    doc_b = _rand_text(rng, 37) + shared + _rand_text(rng, 250)
+    # distinct random docs: no cross-doc content
+    noise = [(100 + i, _rand_text(rng, 300)) for i in range(6)]
+    rows = [(0, doc_a), (1, doc_b)] + noise
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+            f"{td}/documents.parquet"
+        )
+        spans = p_dedup_spans_cdc(spark, td).collect()
+
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # slack: CDC span edges under-extend by up to one chunk per side
+    slack = 4 * _mean_chunk(shared)
+    for doc_id, off in ((0, 120), (1, 37)):
+        assert doc_id in by_doc, f"doc {doc_id}: shared region missed"
+        best = max(by_doc[doc_id], key=lambda r: r["span_len"])
+        assert best["span_len"] >= 400 - slack
+        assert best["span_start"] >= off + 1 - slack
+        assert best["span_start"] + best["span_len"] <= off + 400 + slack
+
+    # random noise docs must not produce >= CDC_MIN_SPAN spans
+    for r in spans:
+        assert r["doc_id"] in (0, 1), f"false positive in doc {r['doc_id']}"
+
+
+def test_cdc_ignores_within_doc_repeats_and_short_overlap(spark):
+    """Same-doc-only repeats are not cross-doc duplicates; overlaps
+    shorter than CDC_MIN_SPAN are suppressed."""
+    rng = random.Random(11)
+    phrase = _rand_text(rng, 150)
+    self_repeater = phrase + _rand_text(rng, 40) + phrase
+    short = _rand_text(rng, 12)  # < CDC_MIN_SPAN even fully chunked
+    doc_c = _rand_text(rng, 200) + short + _rand_text(rng, 200)
+    doc_d = _rand_text(rng, 150) + short + _rand_text(rng, 260)
+    rows = [(0, self_repeater), (1, doc_c), (2, doc_d)]
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+            f"{td}/documents.parquet"
+        )
+        spans = p_dedup_spans_cdc(spark, td).collect()
+
+    assert spans == [], [tuple(r) for r in spans]
+    assert CDC_MIN_SPAN > 12
