@@ -580,6 +580,12 @@ def p_set_similarity_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CDC_MOD = 16       # anchor density: ~1 boundary per CDC_MOD positions
+CDC_MIN_CHUNK = 8  # FastCDC min-size: anchors closer than this to the
+                   # previous accepted boundary are skipped, so no chunk
+                   # (except the final tail) is shorter than 8 chars —
+                   # without it, runs of 1-5 char chunks are duplicated
+                   # corpus-wide by chance at large N and accrete into
+                   # false spans (~3e-5/char measured on random text)
 CDC_MIN_SPAN = 40  # report merged duplicated spans of at least this many chars
 
 
@@ -592,11 +598,17 @@ CDC_MIN_SPAN = 40  # report merged duplicated spans of at least this many chars
     ),
     bounds AS (
         SELECT doc_id, cs,
-               list_prepend(1, list_append(
-                   list_filter(range(2, n + 1),
-                       i -> (ascii(cs[i - 1]) * 131 + ascii(cs[i]))
-                            % {CDC_MOD} = 0),
-                   n + 1)) AS b
+               list_append(
+                   list_reduce(
+                       list_prepend([CAST(1 AS BIGINT)], list_transform(
+                           list_filter(range(2, n + 1),
+                               i -> (ascii(cs[i - 1]) * 131
+                                     + ascii(cs[i])) % {CDC_MOD} = 0),
+                           i -> [i])),
+                       (acc, x) -> CASE
+                           WHEN x[1] - acc[len(acc)] >= {CDC_MIN_CHUNK}
+                           THEN list_append(acc, x[1]) ELSE acc END),
+                   n + 1) AS b
         FROM ch
     ),
     chunks AS (
@@ -639,9 +651,15 @@ def p_dedup_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-chunk line dedup (``p_dedup_lines``) only catches
     chunk-aligned repeats. Content-defined anchors fix the alignment
     problem: a boundary is placed wherever a 2-char rolling predicate
-    ``(ascii(c[i-1])*131 + ascii(c[i])) % CDC_MOD == 0`` fires, so a
-    duplicated region produces the SAME chunk boundaries in every
-    document containing it, regardless of offset. Chunks whose hash
+    ``(ascii(c[i-1])*131 + ascii(c[i])) % CDC_MOD == 0`` fires — with
+    the FastCDC (Xia 2016) min-size rule: anchors closer than
+    CDC_MIN_CHUNK to the previous accepted boundary are skipped (a
+    left fold over the anchor list), killing the tiny chunks that
+    would otherwise be duplicated corpus-wide by chance. A duplicated
+    region therefore produces the SAME chunk boundaries in every
+    document containing it regardless of offset (boundary acceptance
+    resynchronizes within ~one chunk of the region start). Chunks
+    whose hash
     appears in >= 2 distinct documents are marked, and maximal runs
     of adjacent marked chunks merge into spans (islands-and-gaps);
     spans >= CDC_MIN_SPAN chars are reported as
@@ -678,16 +696,18 @@ def p_dedup_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     )
+    accepted = F.aggregate(
+        F.filter(F.sequence(F.lit(2), F.col("n")), anchor(F.col("cs"))),
+        F.array(F.lit(1)),
+        lambda acc, i: F.when(
+            i - F.element_at(acc, F.size(acc)) >= CDC_MIN_CHUNK,
+            F.concat(acc, F.array(i)),
+        ).otherwise(acc),
+    )
     bounds = cs.select(
         "doc_id",
         "cs",
-        F.concat(
-            F.array(F.lit(1)),
-            F.filter(
-                F.sequence(F.lit(2), F.col("n")), anchor(F.col("cs"))
-            ),
-            F.array(F.col("n") + 1),
-        ).alias("b"),
+        F.concat(accepted, F.array(F.col("n") + 1)).alias("b"),
     )
     chunks = (
         bounds.select(

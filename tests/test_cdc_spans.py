@@ -9,6 +9,7 @@ import string
 import tempfile
 
 from matrixinversion_spark.pipeline.dedup import (
+    CDC_MIN_CHUNK,
     CDC_MIN_SPAN,
     CDC_MOD,
     p_dedup_spans_cdc,
@@ -22,12 +23,13 @@ def _rand_text(rng: random.Random, n: int) -> str:
 
 
 def _mean_chunk(text: str) -> float:
-    anchors = sum(
-        1
-        for i in range(1, len(text))
-        if (ord(text[i - 1]) * 131 + ord(text[i])) % CDC_MOD == 0
-    )
-    return len(text) / (anchors + 1)
+    """Replays the anchor scan + FastCDC min-size fold."""
+    last, n_bounds = 1, 1
+    for i in range(2, len(text) + 1):
+        if (ord(text[i - 2]) * 131 + ord(text[i - 1])) % CDC_MOD == 0:
+            if i - last >= CDC_MIN_CHUNK:
+                last, n_bounds = i, n_bounds + 1
+    return len(text) / n_bounds
 
 
 def test_cdc_detects_offset_shifted_copy(spark):
