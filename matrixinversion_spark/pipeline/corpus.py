@@ -557,3 +557,300 @@ def p_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(_BPE_TOP_K)
     )
+
+
+_LN2 = 0.6931471805599453
+
+
+@query(
+    "p_js_divergence",
+    oracle=f"""
+    WITH b AS (
+        SELECT CASE WHEN {_hash32_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                    THEN 'train' ELSE 'validation' END AS split,
+               text
+        FROM documents
+        WHERE {_hash32_sql("CAST(doc_id AS VARCHAR)")} % 100 < 95),
+    toks AS (
+        SELECT split, unnest(string_split(text, ' ')) AS tok FROM b),
+    g AS (
+        SELECT tok,
+               CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN split = 'validation' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cv
+        FROM toks GROUP BY tok),
+    t AS (SELECT sum(ct) AS nt, sum(cv) AS nv FROM g),
+    terms AS (
+        SELECT ct, cv, nt, nv,
+               ct * 1.0 / nt AS p, cv * 1.0 / nv AS q
+        FROM g CROSS JOIN t)
+    SELECT CAST(max(nt) AS BIGINT) AS n_train_toks,
+           CAST(max(nv) AS BIGINT) AS n_val_toks,
+           CAST(count(*) AS BIGINT) AS vocab_union,
+           round(sum(
+               0.5 * (CASE WHEN ct > 0
+                           THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+             + 0.5 * (CASE WHEN cv > 0
+                           THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)
+           ), 6) AS jsd_nats,
+           round(sum(
+               0.5 * (CASE WHEN ct > 0
+                           THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+             + 0.5 * (CASE WHEN cv > 0
+                           THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)
+           ) / {_LN2!r}, 6) AS jsd_bits
+    FROM terms
+    """,
+)
+def p_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the TRAIN and VALIDATION
+    token distributions of ``p_hash_split``'s boundaries — the
+    distribution-shift release gate ("is my held-out split actually
+    drawn from the same corpus?") that complements the leakage
+    audits: leakage checks for too-similar DOCUMENTS, JSD checks for
+    too-different DISTRIBUTIONS. Symmetric, bounded by ln 2, no
+    smoothing needed (terms where one side is 0 contribute only the
+    other side's mass against M = (P+Q)/2 > 0).
+
+    One token explode → one vocab-bounded groupBy (map-side
+    combine); grand token totals ride a broadcast crossJoin of the
+    1-row totals aggregate, never a driver collect. Every per-token
+    term is one scalar expression over exact integer counts —
+    identical fp both engines; only the vocab-sized final sum
+    reorders, ~1e-14 against the 6-dp round.
+
+    Scale: the widest exchange carries one row per distinct token
+    (Heaps-law sublinear in corpus size) — same story as
+    ``p_token_entropy``/``p_bpe_pair_counts``."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    b = d.where(bucket < 95).select(
+        F.when(bucket < 90, F.lit("train"))
+        .otherwise(F.lit("validation"))
+        .alias("split"),
+        "text",
+    )
+    g = (
+        b.select("split", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ct"),
+            F.sum(F.when(F.col("split") == "validation", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cv"),
+        )
+    )
+    tot = g.agg(F.sum("ct").alias("nt"), F.sum("cv").alias("nv"))
+    terms = g.crossJoin(F.broadcast(tot))
+    p = F.col("ct") * 1.0 / F.col("nt")
+    q = F.col("cv") * 1.0 / F.col("nv")
+    m = (p + q) / 2
+    term = 0.5 * F.when(F.col("ct") > 0, p * F.log(p / m)).otherwise(
+        0.0
+    ) + 0.5 * F.when(F.col("cv") > 0, q * F.log(q / m)).otherwise(0.0)
+    return terms.agg(
+        F.max("nt").cast("bigint").alias("n_train_toks"),
+        F.max("nv").cast("bigint").alias("n_val_toks"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_union"),
+        F.round(F.sum(term), 6).alias("jsd_nats"),
+        F.round(F.sum(term) / F.lit(_LN2), 6).alias("jsd_bits"),
+    )
+
+
+_KMV_K = 256
+
+
+@query(
+    "p_kmv_distinct",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    h AS (
+        SELECT source, tok,
+               {_hash32_sql("tok")} AS u
+        FROM toks),
+    r AS (
+        SELECT source, u,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY u, tok) AS rn
+        FROM h),
+    sk AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_sketch,
+               max(CASE WHEN rn = {_KMV_K} THEN u END) AS kth
+        FROM r WHERE rn <= {_KMV_K} GROUP BY source)
+    SELECT source, n_sketch,
+           round(CASE WHEN n_sketch < {_KMV_K}
+                      THEN n_sketch * 1.0
+                      ELSE ({_KMV_K} - 1) * 4294967297.0 / (kth + 1.0)
+                 END, 4) AS est_distinct
+    FROM sk
+    """,
+)
+def p_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate via the KMV (k-minimum-
+    values / bottom-k) sketch (Bar-Yossef et al. 2002; Beyer et al.
+    SIGMOD 2007): keep the k smallest hash values of the distinct
+    set; D̂ = (k−1)/u₍k₎ with hashes scaled to (0,1). Unlike HLL
+    (already covered by ``q_hll_mergeable``), bottom-k sketches also
+    support set INTERSECTION/Jaccard estimates by comparing sketch
+    membership — the building block behind sketch-based
+    decontamination-at-scale — and, being actual hash samples, are
+    auditable row-by-row, which is why the DuckDB oracle can verify
+    the sketch content bit-for-bit rather than just a bound.
+
+    The md5-prefix hash makes sketch membership deterministic
+    cross-engine; everything up to the one final division is exact
+    integer arithmetic. Scale: one (source, token) distinct shuffle
+    (vocab-bounded per source, Heaps-law sublinear), then a bottom-k
+    rank per source over the DISTINCT vocab — the same vocab-side
+    justification as ``p_bpe_pair_counts``; the sketch itself (k
+    rows per source) is trivially mergeable across shards by
+    re-ranking unioned sketches."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .withColumn("u", hash32(F.col("tok")))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("u").asc(), F.col("tok").asc()
+    )
+    sk = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+            F.max(
+                F.when(F.col("rn") == _KMV_K, F.col("u"))
+            ).alias("kth"),
+        )
+    )
+    est = F.when(
+        F.col("n_sketch") < _KMV_K, F.col("n_sketch") * 1.0
+    ).otherwise(
+        (_KMV_K - 1) * 4294967297.0 / (F.col("kth") + 1.0)
+    )
+    return sk.select(
+        "source", "n_sketch", F.round(est, 4).alias("est_distinct")
+    )
+
+
+@query(
+    "p_kmv_source_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    h AS (
+        SELECT source, tok, {_hash32_sql("tok")} AS u FROM toks),
+    sk AS (
+        SELECT source, u FROM (
+            SELECT source, u,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY u, tok) AS rn
+            FROM h) WHERE rn <= {_KMV_K}),
+    pairs AS (
+        SELECT a.source AS s1, b.source AS s2
+        FROM (SELECT DISTINCT source FROM sk) a
+        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+    e AS (
+        SELECT p.s1, p.s2, sk.u,
+               CAST(sk.source = p.s1 AS INT) AS i1,
+               CAST(sk.source = p.s2 AS INT) AS i2
+        FROM pairs p JOIN sk ON sk.source = p.s1
+        UNION ALL
+        SELECT p.s1, p.s2, sk.u,
+               CAST(sk.source = p.s1 AS INT) AS i1,
+               CAST(sk.source = p.s2 AS INT) AS i2
+        FROM pairs p JOIN sk ON sk.source = p.s2),
+    g AS (
+        SELECT s1, s2, u, max(i1) AS in1, max(i2) AS in2
+        FROM e GROUP BY s1, s2, u),
+    r AS (
+        SELECT s1, s2, in1, in2,
+               row_number() OVER (PARTITION BY s1, s2 ORDER BY u) AS rn
+        FROM g)
+    SELECT s1, s2,
+           CAST(count(*) AS BIGINT) AS n_union_sketch,
+           CAST(sum(in1 * in2) AS BIGINT) AS n_both,
+           round(sum(in1 * in2) * 1.0 / count(*), 6) AS jaccard_est
+    FROM r WHERE rn <= {_KMV_K}
+    GROUP BY s1, s2
+    """,
+)
+def p_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary-Jaccard matrix between sources, estimated
+    ENTIRELY from the per-source KMV sketches of ``p_kmv_distinct``
+    — the "which sources duplicate each other" governance view, and
+    the operation bottom-k sketches exist for that HLL cannot do:
+    the bottom-k of a UNION of sketches is the sketch of the union,
+    so J(A,B) ≈ |{h ∈ sketch(A∪B) : h ∈ A's sketch ∧ h ∈ B's
+    sketch}| / k (Beyer et al., SIGMOD 2007). At 100 TB the corpus
+    is touched ONCE to build |sources| k-row sketches; every
+    pairwise estimate after that is arithmetic on k·|sources| rows —
+    adding a source to the matrix never rescans the others.
+
+    The md5 hash makes every sketch membership deterministic, so the
+    oracle verifies the full estimate bit-for-bit. Pair volume is
+    |sources|² (dimension-bounded); the per-pair union re-rank runs
+    on ≤ 2k rows per pair."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .withColumn("u", hash32(F.col("tok")))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("u").asc(), F.col("tok").asc()
+    )
+    sk = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select("source", "u")
+    )
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("s1"))
+        .join(
+            srcs.select(F.col("source").alias("s2")),
+            F.col("s1") < F.col("s2"),
+        )
+    )
+    def _leg(side: str) -> DataFrame:
+        skl = sk.select(
+            F.col("source").alias("sk_src"), F.col("u")
+        )
+        return pairs.join(
+            skl, F.col("sk_src") == F.col(side), "inner"
+        ).select(
+            "s1",
+            "s2",
+            "u",
+            (F.col("sk_src") == F.col("s1")).cast("int").alias("i1"),
+            (F.col("sk_src") == F.col("s2")).cast("int").alias("i2"),
+        )
+
+    e = _leg("s1").unionAll(_leg("s2"))
+    g = e.groupBy("s1", "s2", "u").agg(
+        F.max("i1").alias("in1"), F.max("i2").alias("in2")
+    )
+    wp = W.partitionBy("s1", "s2").orderBy(F.col("u").asc())
+    r = g.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") <= _KMV_K
+    )
+    return r.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_sketch"),
+        F.sum(F.col("in1") * F.col("in2"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.round(
+            F.sum(F.col("in1") * F.col("in2")) * 1.0 / F.count(F.lit(1)),
+            6,
+        ).alias("jaccard_est"),
+    )

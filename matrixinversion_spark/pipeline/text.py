@@ -1123,3 +1123,85 @@ def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "p_langid_kappa",
+    oracle=f"""
+    WITH conf AS (
+        SELECT lang, {_lang_case_sql()} AS pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+    tot AS (
+        SELECT sum(n) AS nn,
+               sum(CASE WHEN lang = pred THEN n ELSE 0 END) AS diag
+        FROM conf),
+    rm AS (SELECT lang AS cls, sum(n) AS r FROM conf GROUP BY 1),
+    cm AS (SELECT pred AS cls, sum(n) AS c FROM conf GROUP BY 1),
+    pe AS (
+        SELECT sum(coalesce(r, 0) * coalesce(c, 0)) AS pe_num
+        FROM rm FULL OUTER JOIN cm USING (cls))
+    SELECT CAST(nn AS BIGINT) AS n_docs,
+           round(diag * 1.0 / nn, 6) AS p_observed,
+           round(pe_num * 1.0 / (nn * nn), 6) AS p_expected,
+           round((diag * 1.0 / nn - pe_num * 1.0 / (nn * nn))
+                 / (1 - pe_num * 1.0 / (nn * nn)), 6) AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def p_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the heuristic language-ID prediction and
+    the gold ``lang`` label — chance-corrected agreement, the
+    standard acceptance metric for any auto-labeler (lang-id,
+    quality classifier, toxicity tagger) before its labels gate a
+    corpus: raw accuracy (``p_text_lang_id``'s confusion diagonal)
+    over-credits skewed label distributions; κ = (p₀−p_e)/(1−p_e)
+    does not.
+
+    Everything happens on the |langs|² confusion frame: one
+    label-bounded groupBy off the doc scan, then marginal row/column
+    sums full-outer-joined on class (a predicted class may never
+    appear as gold) and a broadcast crossJoin of two 1-row frames —
+    no driver collect, exact integer arithmetic up to three
+    divisions. Scale: identical to ``p_text_lang_id`` — the widest
+    exchange is |langs|² rows regardless of corpus size."""
+    d = read_table(spark, sf_dir, "documents")
+    conf = (
+        d.select("lang", lang_predict(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = conf.agg(
+        F.sum("n").alias("nn"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred"), F.col("n")).otherwise(
+                0
+            )
+        ).alias("diag"),
+    )
+    rm = conf.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("r")
+    )
+    cm = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").alias("c")
+    )
+    pe = (
+        rm.join(cm, "cls", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("r"), F.lit(0))
+                * F.coalesce(F.col("c"), F.lit(0))
+            ).alias("pe_num")
+        )
+    )
+    po = F.col("diag") * 1.0 / F.col("nn")
+    pexp = F.col("pe_num") * 1.0 / (F.col("nn") * F.col("nn"))
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("nn").cast("bigint").alias("n_docs"),
+            F.round(po, 6).alias("p_observed"),
+            F.round(pexp, 6).alias("p_expected"),
+            F.round((po - pexp) / (1 - pexp), 6).alias("kappa"),
+        )
+    )

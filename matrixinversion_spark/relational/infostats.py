@@ -474,3 +474,326 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("u1"),
     )
+
+
+@query(
+    "q_auc_roc",
+    oracle="""
+    WITH g AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(sum(CASE WHEN event_type <> 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        FROM events GROUP BY value),
+    c AS (
+        SELECT cp, cn,
+               sum(cp + cn) OVER (ORDER BY value) - (cp + cn) AS before
+        FROM g),
+    r AS (
+        SELECT sum(cp * (before + (cp + cn + 1) / 2.0)) AS rpos,
+               sum(cp) AS n1, sum(cn) AS n0
+        FROM c)
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           round((rpos - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS auc
+    FROM r
+    """,
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC AUC of a scored binary classifier — here
+    "does ``value`` separate purchase events from the rest", the
+    evaluation every quality-classifier training loop runs over its
+    held-out scores. Computed exactly via the rank statistic
+    AUC = (R⁺ − n₁(n₁+1)/2) / (n₁·n₀) — the Mann-Whitney identity —
+    with textbook midranks so ties contribute ½, matching
+    sklearn's ``roc_auc_score``.
+
+    Same scale shape as ``q_mannwhitney_u``: one groupBy over
+    DISTINCT scores (bounded by score cardinality, not rows, with
+    map-side combine), midranks off ONE ``prefix_sum`` range
+    shuffle, then a single aggregate. Midranks are half-integers
+    and the counts exact bigints, so everything up to the final
+    division is exact arithmetic — bit-identical cross-engine; no
+    per-row window over the raw events ever happens.
+
+    Engine extension per SURVEY.md §2.3 (reference has no
+    relational/statistical surface, SURVEY.md §2.2)."""
+    e = read_table(spark, sf_dir, "events")
+    g = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cp"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cn"),
+    )
+    g = g.withColumn("ct", F.col("cp") + F.col("cn"))
+    cum = prefix_sum(g, [F.col("value")], "ct", out_col="run")
+    mid = (F.col("run") - F.col("ct")) + (F.col("ct") + 1) / 2.0
+    return cum.agg(
+        F.sum("cp").cast("bigint").alias("n_pos"),
+        F.sum("cn").cast("bigint").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("cp") * mid)
+                - F.sum("cp") * (F.sum("cp") + 1) / 2.0
+            )
+            / (F.sum("cp") * F.sum("cn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# Cumulative CDF of Poisson(1) at k = 0..8 (e⁻¹·Σ_{j≤k} 1/j!),
+# embedded as identical repr literals in BOTH engines' expressions so
+# the inverse-CDF lookup is bit-deterministic cross-engine. P(X > 8)
+# ≈ 1.1e-9; the ladder's ELSE clamps that tail to 9.
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+]
+
+_BOOT_R = 64
+
+_POIS1_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    + " ELSE 9 END"
+)
+
+
+@query(
+    "q_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH rep AS (SELECT unnest(range({_BOOT_R})) AS r),
+    e AS (
+        SELECT r,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               (CAST(('0x' || substr(md5(
+                    CAST(o_orderkey AS VARCHAR) || ':' ||
+                    CAST(r AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0)
+                   / 4294967297.0 AS u
+        FROM orders CROSS JOIN rep),
+    w AS (
+        SELECT r, cents, {_POIS1_CASE_SQL} AS w FROM e),
+    b AS (
+        SELECT r, round(sum(w * cents) / (sum(w) * 100.0), 6) AS bm
+        FROM w GROUP BY r)
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           round(avg(bm), 4) AS boot_mean,
+           round(quantile_cont(bm, 0.025), 4) AS ci_lo,
+           round(quantile_cont(bm, 0.975), 4) AS ci_hi
+    FROM b
+    """,
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order price via
+    the POISSON bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012) — the resampling scheme
+    that actually distributes: instead of drawing n rows with
+    replacement (which needs global coordination), each row
+    independently receives a Poisson(1) resample weight per
+    replicate, so the whole bootstrap is one stateless map over the
+    data followed by an R-row aggregate.
+
+    Determinism: the Poisson draw is inverse-CDF over the md5-prefix
+    uniform of (o_orderkey, replicate) — the same cross-engine hash
+    the A-ES sampler uses — against repr-literal CDF thresholds, so
+    every weight is bit-identical in DuckDB. Inner replicate sums run
+    on exact integer cents (per-row round is exact); each replicate
+    mean is therefore bit-identical too, and only the final 64-value
+    avg/percentile layer is floating (4-dp round absorbs it).
+
+    Scale plan: the explode is a narrow R× CPU map (no shuffle of
+    the fact table — ``sequence`` + ``explode`` never exchanges);
+    the groupBy(r) shuffle carries R rows per partition after map-
+    side combine, i.e. R×P rows total regardless of data size. At
+    100 TB this is the textbook way to put error bars on any
+    pipeline aggregate in one extra pass."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    e = o.select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+        "o_orderkey",
+    )
+    from matrixinversion_spark.pipeline.dedup import hash32
+
+    u = (
+        hash32(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("r").cast("string"),
+            )
+        )
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    w = F.when(u < F.lit(_POIS1_CDF[0]), 0)
+    for k in range(1, len(_POIS1_CDF)):
+        w = w.when(u < F.lit(_POIS1_CDF[k]), k)
+    w = w.otherwise(9)
+    b = (
+        e.select("r", "cents", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("cents"))
+                / (F.sum("w") * 100.0),
+                6,
+            ).alias("bm")
+        )
+    )
+    return b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(F.avg("bm"), 4).alias("boot_mean"),
+        F.round(F.percentile("bm", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("bm", F.lit(0.975)), 4).alias("ci_hi"),
+    )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderdate AS dt,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS c
+        FROM orders GROUP BY 1),
+    t AS (
+        SELECT dt,
+               sum(c) OVER (ORDER BY dt) AS cum,
+               row_number() OVER (ORDER BY dt) AS t,
+               (SELECT sum(c) FROM d) AS tot,
+               (SELECT count(*) FROM d) AS nd
+        FROM d),
+    s AS (
+        SELECT dt, cum - t * (tot * 1.0 / nd) AS s, nd FROM t)
+    SELECT strftime(dt, '%Y-%m-%d') AS cp_date,
+           CAST(nd AS BIGINT) AS n_days,
+           round(s / 100.0, 6) AS cusum_dollars
+    FROM s ORDER BY abs(s) DESC, dt LIMIT 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily-revenue series: the
+    date t* maximizing |Σ_{i≤t}(x_i − x̄)| — the classic single
+    change-point location statistic (Page 1954; the mean-shift scan
+    every pipeline-health monitor runs on its daily metric).
+
+    Exactness: daily revenue is rounded to integer CENTS per day
+    (per-day fp sum error ≪ half a cent, so the round is identical
+    cross-engine), making the cumulative sums exact bigints; the
+    only floating arithmetic is t·x̄ and the final scaling —
+    identical one-expression scalars both engines.
+
+    Scale plan: the raw scan collapses to one row per DAY (uniform
+    groupBy with map-side combine); the cumulative sum then runs on
+    the date-bounded daily frame through ``prefix_sum`` (range
+    shuffle, no single-task window), and argmax is a TakeOrdered
+    top-1, not a global sort. x̄ arrives free via prefix_sum's
+    ``grand_total_col`` — no second scan, no driver round-trip."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    d = d.withColumn("one", F.lit(1).cast("bigint"))
+    cum = prefix_sum(
+        d,
+        [F.col("dt")],
+        ["c", "one"],
+        out_col=["cum", "t"],
+        grand_total_col=["tot", "nd"],
+    )
+    s = F.col("cum") - F.col("t") * (F.col("tot") * 1.0 / F.col("nd"))
+    return (
+        cum.select(
+            F.col("dt").alias("cp_date"),
+            F.col("nd").cast("bigint").alias("n_days"),
+            s.alias("s"),
+        )
+        .orderBy(F.abs(F.col("s")).desc(), "cp_date")
+        .limit(1)
+        .select(
+            F.date_format("cp_date", "yyyy-MM-dd").alias("cp_date"),
+            "n_days",
+            F.round(F.col("s") / 100.0, 6).alias("cusum_dollars"),
+        )
+    )
+
+
+@query(
+    "q_seasonal_dow_index",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderdate AS dt,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS c
+        FROM orders GROUP BY 1),
+    g AS (
+        SELECT CAST(strftime(dt, '%w') AS INT) AS dow,
+               CAST(sum(c) AS BIGINT) AS sc,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM d GROUP BY 1),
+    t AS (
+        SELECT dow, sc, n_days,
+               sum(sc) OVER () AS tot_c, sum(n_days) OVER () AS tot_d
+        FROM g)
+    SELECT dow, n_days,
+           round(sc * 1.0 / n_days / 100.0, 4) AS avg_daily_rev,
+           round((sc * 1.0 / n_days) / (tot_c * 1.0 / tot_d), 6)
+               AS seasonal_index
+    FROM t
+    """,
+)
+def q_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of daily revenue — mean daily
+    revenue per weekday over the grand mean daily revenue (the
+    ratio-to-overall-average decomposition every ops dashboard and
+    forecast baseline starts from; an index of 1.0 = no weekday
+    effect).
+
+    Daily revenue is exact integer cents (the q_cusum_changepoint
+    trick), so every index is a ratio of exact-integer means —
+    identical fp both engines. Scale: the raw scan collapses to one
+    row per day, then one row per WEEKDAY; the window supplying the
+    grand totals runs over the 7-row frame (dimension-bounded, and
+    it reuses the day-agg exchange rather than re-scanning the
+    fact table)."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    g = d.groupBy(
+        (F.dayofweek("dt") - 1).alias("dow")  # 0 = Sunday, as %w
+    ).agg(
+        F.sum("c").cast("bigint").alias("sc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    wall = W.partitionBy()
+    return g.select(
+        "dow",
+        "n_days",
+        F.round(F.col("sc") * 1.0 / F.col("n_days") / 100.0, 4).alias(
+            "avg_daily_rev"
+        ),
+        F.round(
+            (F.col("sc") * 1.0 / F.col("n_days"))
+            / (
+                F.sum("sc").over(wall)
+                * 1.0
+                / F.sum("n_days").over(wall)
+            ),
+            6,
+        ).alias("seasonal_index"),
+    )

@@ -1172,3 +1172,77 @@ def q_exact_global_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("n"),
         F.round(F.avg("l_extendedprice"), 6).alias("median"),
     )
+
+
+_FD_CANDIDATES = [
+    # (table, lhs, rhs) — candidate functional dependencies to audit:
+    # a PK that must hold, plus three plausible-but-false ones a
+    # schema-inference tool would probe.
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+]
+
+
+@query(
+    "q_fd_audit",
+    oracle="""
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}.{lhs} -> {rhs}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS violation_rate,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd
+          FROM {t} GROUP BY {lhs})
+    """
+        for t, lhs, rhs in _FD_CANDIDATES
+    ),
+)
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — for each candidate X → Y, the
+    number of X keys mapping to more than one Y value and the
+    violation rate. This is the profiling primitive behind schema
+    inference, key discovery, and "is this column still a reliable
+    join key" data-contract checks (Papenbrock et al., VLDB 2015
+    frame FD discovery exactly as this per-candidate violation
+    count).
+
+    One uniform groupBy per candidate (map-side partial distinct,
+    shuffle bounded by |X| keys), then a 5-scalar fold — exact
+    integer arithmetic up to one division. At 100 TB the same shape
+    runs with approx_count_distinct as a cheap pre-screen and this
+    exact pass only on candidates the sketch says are near-keys;
+    candidates on DIFFERENT tables scan independently (no join
+    anywhere).
+
+    Engine extension per SURVEY.md §2.3 (reference has no relational
+    surface, SURVEY.md §2.2)."""
+    parts = []
+    for t, lhs, rhs in _FD_CANDIDATES:
+        per = (
+            read_table(spark, sf_dir, t)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+        )
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        parts.append(
+            per.agg(
+                F.lit(f"{t}.{lhs} -> {rhs}").alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                viol.cast("bigint").alias("n_violating"),
+                F.round(viol * 1.0 / F.count(F.lit(1)), 6).alias(
+                    "violation_rate"
+                ),
+                (viol == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

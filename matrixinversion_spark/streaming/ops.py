@@ -227,6 +227,49 @@ def purchase_view_join(events_a: DataFrame, events_b: DataFrame,
     ).select("p_user", "purchase_id", "view_id", "p_ts", "v_ts")
 
 
+def purchase_view_left_join(events_a: DataFrame, events_b: DataFrame,
+                            max_gap: str = "1 hour") -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase emits — matched
+    rows immediately, match-less purchases as a null-padded row once
+    the watermark passes their join window and Spark can PROVE no
+    view can still arrive. That proof-then-emit is the capability
+    the inner join doesn't exercise: outer results are held in the
+    state store and flushed by watermark eviction, so correctness
+    depends on the same bounds (watermarks on both sides + two-sided
+    event-time condition) that bound state size. The last
+    ``watermark`` of event time before stream end never flushes —
+    by design: those purchases' windows aren't provably closed yet
+    (a restart could still deliver a matching view).
+
+    Same scale shape as ``purchase_view_join``: state holds only
+    ``max_gap + watermark`` of each side per user-key partition."""
+    p = (
+        events_a.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    v = (
+        events_b.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+        "left_outer",
+    ).select("p_user", "purchase_id", "view_id", "p_ts", "v_ts")
+
+
 def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark keeps
     state only inside the watermark horizon (bounded memory), vs.

@@ -1,0 +1,236 @@
+"""Round-8 third-wave operators: distributed ROC AUC, Poisson
+bootstrap CI, CUSUM change-point, FD audit, JS divergence, KMV
+sketch, and Cohen's kappa for the lang-id heuristic."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.pipeline.corpus import (
+    _KMV_K,
+    p_js_divergence,
+    p_kmv_distinct,
+)
+from matrixinversion_spark.pipeline.text import p_langid_kappa, p_text_lang_id
+from matrixinversion_spark.relational.infostats import (
+    q_auc_roc,
+    q_cusum_changepoint,
+    q_poisson_bootstrap_ci,
+)
+from matrixinversion_spark.relational.profiling import q_fd_audit
+from matrixinversion_spark.session import read_table
+
+from .conftest import SF_DIR
+
+
+def test_auc_matches_bruteforce_pair_count(spark):
+    row = q_auc_roc(spark, SF_DIR).collect()[0]
+    rows = (
+        read_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    pos = sorted(r["value"] for r in rows if r["event_type"] == "purchase")
+    neg = sorted(r["value"] for r in rows if r["event_type"] != "purchase")
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    import bisect
+
+    # AUC = (#(pos>neg) + 0.5·#(pos==neg)) / (n_pos·n_neg) via binary
+    # search over the sorted negatives — O((n₁+n₀)·log n₀).
+    wins = ties = 0
+    for v in pos:
+        lo = bisect.bisect_left(neg, v)
+        hi = bisect.bisect_right(neg, v)
+        wins += lo
+        ties += hi - lo
+    exp = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row["auc"] - exp) < 1e-6
+    assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_poisson_bootstrap_ci_brackets_sample_mean(spark):
+    row = q_poisson_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert row["n_replicates"] == 64
+    assert row["ci_lo"] <= row["boot_mean"] <= row["ci_hi"]
+    mean = (
+        read_table(spark, SF_DIR, "orders")
+        .agg(F.avg("o_totalprice"))
+        .collect()[0][0]
+    )
+    # Poisson-bootstrap replicate means center on the sample mean;
+    # the 95% interval must bracket it and be meaningfully tight.
+    assert row["ci_lo"] < mean < row["ci_hi"]
+    assert (row["ci_hi"] - row["ci_lo"]) < 0.5 * mean
+
+
+def test_cusum_matches_sequential_replay(spark):
+    row = q_cusum_changepoint(spark, SF_DIR).collect()[0]
+    daily = sorted(
+        read_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect(),
+        key=lambda r: r["o_orderdate"],
+    )
+    cents = [r["c"] for r in daily]
+    xbar = sum(cents) * 1.0 / len(cents)
+    best = None
+    cum = 0
+    for t, (r, c) in enumerate(zip(daily, cents), start=1):
+        cum += c
+        s = cum - t * xbar
+        key = (abs(s), -t)  # max |s|, earliest date on ties
+        if best is None or key > best[0]:
+            best = (key, r["o_orderdate"], s)
+    assert row["n_days"] == len(daily)
+    assert row["cp_date"] == best[1].strftime("%Y-%m-%d")
+    assert abs(row["cusum_dollars"] - best[2] / 100.0) < 1e-4
+
+
+def test_fd_audit_pk_holds_and_rates_consistent(spark):
+    rows = {r["fd"]: r for r in q_fd_audit(spark, SF_DIR).collect()}
+    pk = rows["orders.o_orderkey -> o_custkey"]
+    assert pk["holds"] and pk["n_violating"] == 0
+    for r in rows.values():
+        assert 0 <= r["n_violating"] <= r["n_keys"]
+        assert abs(
+            r["violation_rate"] - round(r["n_violating"] / r["n_keys"], 6)
+        ) < 1e-9
+        assert r["holds"] == (r["n_violating"] == 0)
+
+
+def test_js_divergence_bounds_and_self_zero(spark):
+    row = p_js_divergence(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["jsd_nats"] <= math.log(2.0) + 1e-9
+    assert abs(row["jsd_bits"] - row["jsd_nats"] / math.log(2.0)) < 1e-5
+    # identical distributions → JSD exactly 0: replay the aggregation
+    # with the two count columns equal.
+    d = read_table(spark, SF_DIR, "documents")
+    g = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        .withColumn("cv", F.col("ct"))
+    )
+    tot = g.agg(F.sum("ct").alias("nt"), F.sum("cv").alias("nv"))
+    t = g.crossJoin(F.broadcast(tot))
+    p = F.col("ct") * 1.0 / F.col("nt")
+    q = F.col("cv") * 1.0 / F.col("nv")
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    self_jsd = t.agg(F.sum(term)).collect()[0][0]
+    assert abs(self_jsd) < 1e-12
+
+
+def test_kmv_estimate_within_bound_of_exact(spark):
+    rows = p_kmv_distinct(spark, SF_DIR).collect()
+    exact = {
+        r["source"]: r["d"]
+        for r in read_table(spark, SF_DIR, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("d"))
+        .collect()
+    }
+    assert {r["source"] for r in rows} == set(exact)
+    for r in rows:
+        d = exact[r["source"]]
+        if r["n_sketch"] < _KMV_K:
+            assert r["est_distinct"] == d  # sub-k sketch is exact
+        else:
+            # KMV relative error ~ 1/sqrt(k) ≈ 6.3% at k=256; allow 4σ
+            assert abs(r["est_distinct"] - d) / d < 4 / math.sqrt(_KMV_K)
+
+
+def test_langid_kappa_consistent_with_confusion(spark):
+    row = p_langid_kappa(spark, SF_DIR).collect()[0]
+    conf = p_text_lang_id(spark, SF_DIR).collect()
+    n = sum(r["n_docs"] for r in conf)
+    diag = sum(r["n_docs"] for r in conf if r["lang"] == r["lang_pred"])
+    rm: dict[str, int] = {}
+    cm: dict[str, int] = {}
+    for r in conf:
+        rm[r["lang"]] = rm.get(r["lang"], 0) + r["n_docs"]
+        cm[r["lang_pred"]] = cm.get(r["lang_pred"], 0) + r["n_docs"]
+    pe = sum(
+        rm.get(c, 0) * cm.get(c, 0) for c in set(rm) | set(cm)
+    ) / (n * n)
+    po = diag / n
+    assert row["n_docs"] == n
+    assert abs(row["p_observed"] - po) < 1e-6
+    assert abs(row["p_expected"] - pe) < 1e-6
+    assert abs(row["kappa"] - (po - pe) / (1 - pe)) < 1e-5
+    assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_bicgstab_matches_numpy_solve(spark):
+    import numpy as np
+
+    from matrixinversion_spark.matrix import ops
+    from matrixinversion_spark.matrix.cg import bicgstab_solve
+    from matrixinversion_spark.matrix.core import BlockMatrixFrame
+
+    rng = np.random.default_rng(7)
+    n = 96
+    a_np = rng.uniform(size=(n, n)) + n * np.eye(n)  # nonsymmetric
+    b_np = rng.uniform(size=(n, 1))
+    a = BlockMatrixFrame.from_numpy(spark, a_np, block_size=32)
+    b = BlockMatrixFrame.from_numpy(spark, b_np, block_size=32)
+    x, iters, resid = bicgstab_solve(a, b, tol=1e-12)
+    x_np = x.to_numpy()
+    exact = np.linalg.solve(a_np, b_np)
+    assert np.abs(x_np - exact).max() < 1e-8
+    assert resid <= 1e-12 * np.linalg.norm(b_np) * 1.01
+    assert 0 < iters < 60
+    # residual consistency with a recomputed A·x − b
+    ax = ops.multiply(a, x).to_numpy()
+    assert np.abs(ax - b_np).max() < 1e-8
+
+
+def test_seasonal_dow_index_averages_to_one(spark):
+    from matrixinversion_spark.relational.infostats import (
+        q_seasonal_dow_index,
+    )
+
+    rows = q_seasonal_dow_index(spark, SF_DIR).collect()
+    assert {r["dow"] for r in rows} <= set(range(7))
+    # day-weighted mean of the indices is exactly 1 by construction
+    num = sum(r["seasonal_index"] * r["n_days"] for r in rows)
+    den = sum(r["n_days"] for r in rows)
+    assert abs(num / den - 1.0) < 1e-4
+    for r in rows:
+        assert r["seasonal_index"] > 0 and r["avg_daily_rev"] > 0
+
+
+def test_kmv_source_jaccard_matches_exact_within_bound(spark):
+    from matrixinversion_spark.pipeline.corpus import p_kmv_source_jaccard
+
+    rows = p_kmv_source_jaccard(spark, SF_DIR).collect()
+    toks = (
+        read_table(spark, SF_DIR, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .collect()
+    )
+    vocab: dict[str, set] = {}
+    for r in toks:
+        vocab.setdefault(r["source"], set()).add(r["tok"])
+    srcs = sorted(vocab)
+    assert {(r["s1"], r["s2"]) for r in rows} == {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+    }
+    for r in rows:
+        a, b = vocab[r["s1"]], vocab[r["s2"]]
+        exact = len(a & b) / len(a | b)
+        # bottom-k Jaccard: ±4σ with σ ≈ sqrt(J(1−J)/k), floor 4/k
+        sigma = max(
+            (exact * (1 - exact) / _KMV_K) ** 0.5, 1.0 / _KMV_K
+        )
+        assert abs(r["jaccard_est"] - exact) < 4 * sigma + 1e-9
+        assert r["n_both"] <= r["n_union_sketch"] <= _KMV_K

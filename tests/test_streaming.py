@@ -315,3 +315,70 @@ def test_stream_static_enrichment_matches_batch(spark):
     want = {(r["tier"], r["n"]) for r in batch.collect()}
     assert got == want
     assert None in {t for t, _ in want}  # unmatched users kept as NULL
+
+
+def test_stream_stream_left_join_matches_batch(spark):
+    a = sops.read_events_stream(spark, SF_DIR)
+    b = sops.read_events_stream(spark, SF_DIR)
+    q = (
+        sops.purchase_view_left_join(a, b)
+        .writeStream.format("memory")
+        .queryName("pv_left_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT p_user, purchase_id, view_id, p_ts FROM pv_left_join"
+    ).toPandas()
+
+    e = read_table(spark, SF_DIR, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    batch = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        "left_outer",
+    ).select("purchase_id", "view_id", "p_ts").toPandas()
+
+    # matched rows must agree exactly with the batch twin
+    got_m = set(
+        map(tuple, got.dropna(subset=["view_id"])[
+            ["purchase_id", "view_id"]].astype("int64").values)
+    )
+    batch_m = set(
+        map(tuple, batch.dropna(subset=["view_id"])[
+            ["purchase_id", "view_id"]].astype("int64").values)
+    )
+    assert got_m == batch_m
+
+    # null-padded rows: only genuinely match-less purchases, and every
+    # match-less purchase whose join window is provably closed (2h
+    # watermark behind the stream's max event time) must have emitted
+    matchless = set(
+        batch[batch["view_id"].isna()]["purchase_id"].astype("int64")
+    )
+    got_null = got[got["view_id"].isna()]
+    assert set(got_null["purchase_id"].astype("int64")) <= matchless
+    assert len(got_null) > 0
+    import pandas as pd
+
+    wm = e.agg(F.max("ts")).collect()[0][0] - pd.Timedelta(hours=2)
+    flushed_due = set(
+        batch[
+            batch["view_id"].isna()
+            & (batch["p_ts"] < wm - pd.Timedelta(hours=1))
+        ]["purchase_id"].astype("int64")
+    )
+    assert flushed_due <= set(got_null["purchase_id"].astype("int64"))
