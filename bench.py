@@ -54,6 +54,11 @@ HEADLINE = [
     # here deliberately: its 19 s at sf0.1 measures the pure-Python
     # interchange codec, not a Spark plan (BENCH_NOTES r8).
     "p_split_leakage_neardup",
+    # round-8 stats representative: the Poisson bootstrap (stateless
+    # R=64x expansion map + R-row aggregate — the "error bars in one
+    # extra pass" pattern; repartition-before-explode keeps the CPU
+    # spread when the scan has fewer splits than cores)
+    "q_poisson_bootstrap_ci",
 ]
 
 INVERSE_N = 2048

@@ -346,6 +346,31 @@ NOTES: dict[str, str] = {
         "Python interchange path — at 100 TB the JVM spark-avro "
         "package reads the same files with this same plan shape."
     ),
+    "q_poisson_bootstrap_ci": (
+        "One round-robin exchange of the 2-column pre-explosion "
+        "projection (spreads the R=64x CPU work when the scan has "
+        "fewer splits than cores — the exchange is R x smaller than "
+        "the work it parallelizes), then explode + md5 + the CASE "
+        "ladder run fused inside one codegen span; the groupBy(r) "
+        "map-side combines to R rows per task, so the only "
+        "data-sized cost is the stateless expansion map. Error bars "
+        "on a 100 TB aggregate in one extra pass."
+    ),
+    "q_auc_roc": (
+        "Identical scale skeleton to q_mannwhitney_u: the raw scan "
+        "collapses to one row per DISTINCT score (map-side partial "
+        "agg), midranks ride prefix_sum's single range shuffle, and "
+        "the AUC is one exact-arithmetic fold — no per-row window "
+        "over the events ever exists in the plan."
+    ),
+    "p_kmv_source_jaccard": (
+        "The corpus is scanned once into per-source bottom-k "
+        "sketches (vocab-bounded distinct + per-source rank); "
+        "everything after — the pair frame, the union re-rank, the "
+        "estimate — is arithmetic on k x |sources| rows. Adding a "
+        "source to a 100 TB corpus updates the matrix without "
+        "rescanning the other sources' text."
+    ),
 }
 
 
