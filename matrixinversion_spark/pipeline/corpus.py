@@ -854,3 +854,197 @@ def p_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard_est"),
     )
+
+
+_BPE_MERGE_ROUNDS = 5
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One BPE training round as DuckDB CTEs: pair counts from the
+    current segmentation (e{i}), the argmax merge (m{i}), and the
+    re-segmented vocabulary (v{i+1}) applying that merge with
+    textbook leftmost-nonoverlapping semantics (parity rule within
+    runs of consecutive matches — only reachable when sym_a =
+    sym_b, since (a,b) matches at adjacent positions require a=b)."""
+    return f"""
+    e{i} AS (
+        SELECT w, wf,
+               unnest(syms) AS s,
+               unnest(range(1, len(syms) + 1)) AS pos
+        FROM v{i}),
+    l{i} AS (
+        SELECT w, wf, pos, s,
+               lead(s) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM e{i}),
+    m{i} AS (
+        SELECT s AS sym_a, nxt AS sym_b, CAST(sum(wf) AS BIGINT) AS cnt
+        FROM l{i} WHERE nxt IS NOT NULL
+        GROUP BY s, nxt
+        ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
+    k{i} AS (
+        SELECT w, wf, pos, s, nxt,
+               (s = (SELECT sym_a FROM m{i})
+                AND nxt IS NOT DISTINCT FROM (SELECT sym_b FROM m{i}))
+                   AS m
+        FROM l{i}),
+    g{i} AS (
+        SELECT *, CASE WHEN m THEN pos -
+                   sum(CASE WHEN m THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY w ORDER BY pos) END AS grp
+        FROM k{i}),
+    f{i} AS (
+        SELECT *, m AND (row_number()
+                   OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1)
+                   AS keep
+        FROM g{i}),
+    v{i + 1} AS (
+        SELECT w, wf, list(emit ORDER BY pos) AS syms FROM (
+            SELECT w, wf, pos,
+                   CASE WHEN keep THEN s || nxt
+                        WHEN coalesce(lag(keep) OVER
+                                 (PARTITION BY w ORDER BY pos), false)
+                        THEN NULL ELSE s END AS emit
+            FROM f{i})
+        WHERE emit IS NOT NULL
+        GROUP BY w, wf)"""
+
+
+def _bpe_train_sql(rounds: int) -> str:
+    head = """
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents),
+    v0 AS (
+        SELECT w, wf,
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)) AS syms
+        FROM (SELECT w, count(*) AS wf FROM tok
+              WHERE length(w) >= 2 GROUP BY w)),"""
+    body = ",".join(_bpe_round_sql(i) for i in range(rounds))
+    tail = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step, sym_a, sym_b, cnt FROM m{i}"
+        for i in range(rounds)
+    )
+    return head + body + "\n" + tail
+
+
+def _bpe_apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one merge rule (a, b) to a (w, wf, syms) vocabulary with
+    textbook leftmost-nonoverlapping BPE semantics."""
+    win = W.partitionBy("w").orderBy("pos")
+    e = vocab.select(
+        "w", "wf", F.posexplode("syms").alias("pos", "s")
+    ).withColumn("nxt", F.lead("s").over(win))
+    m = F.coalesce(
+        (F.col("s") == a) & (F.col("nxt") == b), F.lit(False)
+    )
+    e = e.withColumn("m", m)
+    rn_m = F.sum(F.when(F.col("m"), 1).otherwise(0)).over(win)
+    e = e.withColumn("grp", F.when(F.col("m"), F.col("pos") - rn_m))
+    keep = F.col("m") & (
+        F.row_number().over(
+            W.partitionBy("w", "grp").orderBy("pos")
+        )
+        % 2
+        == 1
+    )
+    e = e.withColumn("keep", keep)
+    emit = (
+        F.when(F.col("keep"), F.concat(F.col("s"), F.col("nxt")))
+        .when(
+            F.coalesce(F.lag("keep").over(win), F.lit(False)),
+            F.lit(None),
+        )
+        .otherwise(F.col("s"))
+    )
+    return (
+        e.select("w", "wf", "pos", emit.alias("emit"))
+        .filter(F.col("emit").isNotNull())
+        .groupBy("w", "wf")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "emit"))
+            ).alias("pe")
+        )
+        .select(
+            "w",
+            "wf",
+            F.expr("transform(pe, x -> x.emit)").alias("syms"),
+        )
+    )
+
+
+def _bpe_top_pair(vocab: DataFrame):
+    """Most frequent adjacent symbol pair (ties: lexicographic)."""
+    win = W.partitionBy("w").orderBy("pos")
+    return (
+        vocab.select(
+            "w", "wf", F.posexplode("syms").alias("pos", "s")
+        )
+        .withColumn("nxt", F.lead("s").over(win))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("s", "nxt")
+        .agg(F.sum("wf").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("s"), F.asc("nxt"))
+        .limit(1)
+        .collect()
+    )
+
+
+@query("p_bpe_train_merges", oracle=_bpe_train_sql(_BPE_MERGE_ROUNDS))
+def p_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative BPE tokenizer training (Sennrich et al., ACL
+    2016), five merge rounds: each round counts adjacent symbol
+    pairs over the current vocabulary segmentation, adopts the most
+    frequent pair as a merge rule (ties lexicographic), and
+    re-segments the vocabulary by applying the rule with textbook
+    leftmost-nonoverlapping semantics — the complete training loop
+    that ``p_bpe_pair_counts`` runs one round of.
+
+    Merge application is exact reference BPE: all (a,b) adjacencies
+    merge left-to-right without overlap; the only overlap hazard is
+    a = b inside a same-symbol run, resolved by the parity rule
+    (keep every other match within a run of consecutive match
+    positions), which is what a sequential scan would do. Both
+    engines implement the identical window/parity formulation, so
+    the learned merge table is bit-exact cross-engine.
+
+    Scale: the corpus is scanned ONCE into the word-frequency
+    vocabulary; all five rounds run vocab-side (Heaps-law sublinear
+    in corpus size) as per-word windows over the posexploded symbol
+    table — bounded by total vocab characters, never corpus tokens.
+    Each round's argmax is a bounded 1-row driver collect (the
+    leaf-LU / connected-components coordination pattern), and the
+    evolving vocabulary is lineage-pinned per round."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.lower(F.col("text")).alias("t")
+    )
+    vocab = (
+        docs.select(F.explode(F.split("t", "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            "w",
+            "wf",
+            F.expr(
+                "transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for step in range(1, _BPE_MERGE_ROUNDS + 1):
+        top = _bpe_top_pair(vocab)
+        if not top:
+            break
+        a, b, cnt = top[0]["s"], top[0]["nxt"], top[0]["cnt"]
+        merges.append((step, a, b, int(cnt)))
+        if step < _BPE_MERGE_ROUNDS:
+            vocab = _bpe_apply_merge(vocab, a, b).localCheckpoint(
+                eager=True
+            )
+    return spark.createDataFrame(
+        merges, "step int, sym_a string, sym_b string, cnt bigint"
+    )

@@ -584,3 +584,65 @@ def enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(d, events["user_id"] == d["dim_user_id"], "left").drop(
         "dim_user_id"
     )
+
+
+def drift_psi_stream(
+    events: DataFrame,
+    baseline: list[float],
+    lo: float,
+    hi: float,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Streaming drift monitor: Population Stability Index of each
+    event-time window's ``value`` distribution against a FIXED
+    baseline — the online twin of ``relational.profiling
+    q_drift_psi`` ("did the live feature distribution move away from
+    what the model was trained on?").
+
+    ``baseline`` is the reference fraction per bin (10 equal-width
+    bins over [lo, hi], clamped at the edges — computed ONCE offline
+    from the training corpus and shipped as plain literals, the way
+    a model's preprocessing constants ship). The whole operator is a
+    single windowed aggregation: each bin is a conditional count
+    column, so one row per window crosses the state store — PSI then
+    folds as a stateless scalar over that row. No second
+    aggregation, no stream-stream join, no per-bin state; at 100
+    TB/day the state is one 12-column row per open window.
+
+    Laplace-style ``eps`` smoothing on both sides keeps empty bins
+    finite (same convention as the batch operator)."""
+    n_bins = len(baseline)
+    if n_bins < 2:
+        raise ValueError("baseline needs at least 2 bins")
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    counts = [
+        F.sum(F.when(F.col("bin") == i, 1).otherwise(0)).alias(f"n{i}")
+        for i in range(n_bins)
+    ]
+    agg = (
+        events.withWatermark("ts", watermark)
+        .select(F.col("ts"), b.alias("bin"))
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), *counts)
+    )
+    tot = F.col("n_events") + F.lit(float(n_bins) * eps)
+    psi = None
+    for i, p in enumerate(baseline):
+        q = (F.col(f"n{i}") + F.lit(eps)) / tot
+        pc = F.lit(max(p, 0.0) + eps) / F.lit(1.0 + n_bins * eps)
+        term = (q - pc) * F.log(q / pc)
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("n_events"),
+        F.round(psi, 6).alias("psi"),
+    )

@@ -234,3 +234,63 @@ def test_kmv_source_jaccard_matches_exact_within_bound(spark):
         )
         assert abs(r["jaccard_est"] - exact) < 4 * sigma + 1e-9
         assert r["n_both"] <= r["n_union_sketch"] <= _KMV_K
+
+
+def test_bpe_train_merges_matches_sequential_replay(spark):
+    import re
+    from collections import Counter
+
+    from matrixinversion_spark.pipeline.corpus import (
+        _BPE_MERGE_ROUNDS,
+        p_bpe_train_merges,
+    )
+
+    got = [
+        (r["step"], r["sym_a"], r["sym_b"], r["cnt"])
+        for r in sorted(
+            p_bpe_train_merges(spark, SF_DIR).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+
+    # sequential reference: textbook BPE on the same vocab
+    texts = [
+        r["text"]
+        for r in read_table(spark, SF_DIR, "documents")
+        .select("text")
+        .collect()
+    ]
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                vocab[w] += 1
+    segs = {w: list(w) for w in vocab}
+    exp = []
+    for step in range(1, _BPE_MERGE_ROUNDS + 1):
+        pc: Counter = Counter()
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        exp.append((step, a, b, cnt))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    assert got == exp
+    assert len(got) == _BPE_MERGE_ROUNDS

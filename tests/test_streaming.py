@@ -382,3 +382,81 @@ def test_stream_stream_left_join_matches_batch(spark):
         ]["purchase_id"].astype("int64")
     )
     assert flushed_due <= set(got_null["purchase_id"].astype("int64"))
+
+
+def test_drift_psi_stream_matches_batch(spark):
+    e = read_table(spark, SF_DIR, "events")
+    lo, hi, n_bins, eps = 0.0, 100.0, 10, 1e-4
+    # offline baseline: the value distribution of the first half of
+    # the data by time (what "training data" would have been)
+    mid = e.agg(
+        F.expr("percentile(cast(ts as double), 0.5)")
+    ).collect()[0][0]
+    base = (
+        e.filter(F.col("ts").cast("double") <= mid)
+        .select(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - lo) / ((hi - lo) / n_bins)),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .count()
+        .collect()
+    )
+    tot = sum(r["count"] for r in base)
+    fr = {r["bin"]: r["count"] / tot for r in base}
+    baseline = [fr.get(i, 0.0) for i in range(n_bins)]
+
+    stream = sops.read_events_stream(spark, SF_DIR)
+    q = (
+        sops.drift_psi_stream(stream, baseline, lo, hi)
+        .writeStream.format("memory")
+        .queryName("drift_psi")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start"]: (r["n_events"], r["psi"])
+        for r in spark.sql("SELECT * FROM drift_psi").collect()
+    }
+
+    # batch twin over the same tumbling windows
+    import math
+
+    rows = (
+        e.select(
+            F.window("ts", "1 hour").alias("w"),
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - lo) / ((hi - lo) / n_bins)),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ).alias("bin"),
+        )
+        .groupBy(F.col("w.start").alias("ws"), "bin")
+        .count()
+        .collect()
+    )
+    byw: dict = {}
+    for r in rows:
+        byw.setdefault(r["ws"], {})[r["bin"]] = r["count"]
+    assert set(got) == set(byw)
+    for ws, bins in byw.items():
+        n = sum(bins.values())
+        psi = 0.0
+        for i in range(n_bins):
+            q_i = (bins.get(i, 0) + eps) / (n + n_bins * eps)
+            p_i = (max(baseline[i], 0.0) + eps) / (1.0 + n_bins * eps)
+            psi += (q_i - p_i) * math.log(q_i / p_i)
+        gn, gp = got[ws]
+        assert gn == n
+        assert abs(gp - round(psi, 6)) < 1e-5
+    # sanity: PSI is non-negative and small for in-distribution hours
+    assert all(p >= 0 for _, p in got.values())
