@@ -867,37 +867,37 @@ def _bpe_round_sql(i: int) -> str:
     runs of consecutive matches — only reachable when sym_a =
     sym_b, since (a,b) matches at adjacent positions require a=b)."""
     return f"""
-    e{i} AS (
+    e{i} AS MATERIALIZED (
         SELECT w, wf,
                unnest(syms) AS s,
                unnest(range(1, len(syms) + 1)) AS pos
         FROM v{i}),
-    l{i} AS (
+    l{i} AS MATERIALIZED (
         SELECT w, wf, pos, s,
                lead(s) OVER (PARTITION BY w ORDER BY pos) AS nxt
         FROM e{i}),
-    m{i} AS (
+    m{i} AS MATERIALIZED (
         SELECT s AS sym_a, nxt AS sym_b, CAST(sum(wf) AS BIGINT) AS cnt
         FROM l{i} WHERE nxt IS NOT NULL
         GROUP BY s, nxt
         ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
-    k{i} AS (
+    k{i} AS MATERIALIZED (
         SELECT w, wf, pos, s, nxt,
                (s = (SELECT sym_a FROM m{i})
                 AND nxt IS NOT DISTINCT FROM (SELECT sym_b FROM m{i}))
                    AS m
         FROM l{i}),
-    g{i} AS (
+    g{i} AS MATERIALIZED (
         SELECT *, CASE WHEN m THEN pos -
                    sum(CASE WHEN m THEN 1 ELSE 0 END)
                        OVER (PARTITION BY w ORDER BY pos) END AS grp
         FROM k{i}),
-    f{i} AS (
+    f{i} AS MATERIALIZED (
         SELECT *, m AND (row_number()
                    OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1)
                    AS keep
         FROM g{i}),
-    v{i + 1} AS (
+    v{i + 1} AS MATERIALIZED (
         SELECT w, wf, list(emit ORDER BY pos) AS syms FROM (
             SELECT w, wf, pos,
                    CASE WHEN keep THEN s || nxt
@@ -911,10 +911,10 @@ def _bpe_round_sql(i: int) -> str:
 
 def _bpe_train_sql(rounds: int) -> str:
     head = """
-    WITH tok AS (
+    WITH tok AS MATERIALIZED (
         SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
         FROM documents),
-    v0 AS (
+    v0 AS MATERIALIZED (
         SELECT w, wf,
                list_transform(range(1, length(w) + 1),
                               i -> substr(w, i, 1)) AS syms
@@ -1047,4 +1047,94 @@ def p_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     return spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, cnt bigint"
+    )
+
+
+def _bpe_encode_sql(rounds: int) -> str:
+    head = _bpe_train_sql(rounds)
+    # reuse the training chain's CTEs up to the final vocabulary
+    # v{rounds}, dropping the merge-table SELECT tail
+    ctes = head[: head.rindex("SELECT 1 AS step")].rstrip()
+    return (
+        ctes
+        + f""",
+    wl AS MATERIALIZED (
+        SELECT w, len(syms) AS n_sub FROM v{rounds}),
+    dtok AS (
+        SELECT lang,
+               unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+                   AS w
+        FROM documents),
+    j AS (
+        SELECT lang, length(w) AS n_char, wl.n_sub
+        FROM dtok JOIN wl USING (w)
+        WHERE length(w) >= 2)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_char) AS BIGINT) AS n_chars,
+           CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+           round(sum(n_sub) * 1.0 / sum(n_char), 6)
+               AS subwords_per_char
+    FROM j GROUP BY lang
+    """
+    )
+
+
+@query("p_bpe_encode_stats", oracle=_bpe_encode_sql(_BPE_MERGE_ROUNDS))
+def p_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of the BPE story: apply the 5 learned merges
+    (``p_bpe_train_merges``) to the corpus and report per-language
+    subword counts and the compression ratio (subwords per
+    character; 1.0 = no merges applied, lower = more compression) —
+    the acceptance metric a tokenizer build signs off on ("how many
+    tokens does this vocab spend per language?"), and the fertility
+    imbalance audit multilingual tokenizers run per language.
+
+    Encoding never touches documents word-by-word: the corpus
+    explodes once into (lang, word) tokens, and the segmentation
+    arrives by JOINING the already-re-segmented VOCABULARY (each
+    distinct word carries its subword count) — the join is
+    vocab-vs-tokens on the word hash, map-side combinable after.
+    Same scale story as training: all merge applications run
+    vocab-side; the corpus pays one explode + one uniform hash
+    join."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang", F.lower(F.col("text")).alias("t")
+    )
+    vocab = (
+        docs.select(F.explode(F.split("t", "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            "w",
+            "wf",
+            F.expr(
+                "transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_BPE_MERGE_ROUNDS):
+        top = _bpe_top_pair(vocab)
+        if not top:
+            break
+        vocab = _bpe_apply_merge(
+            vocab, top[0]["s"], top[0]["nxt"]
+        ).localCheckpoint(eager=True)
+    wl = vocab.select("w", F.size("syms").alias("n_sub"))
+    dtok = docs.select(
+        "lang", F.explode(F.split("t", "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    j = dtok.join(wl, "w").select(
+        "lang", F.length("w").alias("n_char"), "n_sub"
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_char").cast("bigint").alias("n_chars"),
+        F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        F.round(
+            F.sum("n_sub") * 1.0 / F.sum("n_char"), 6
+        ).alias("subwords_per_char"),
     )

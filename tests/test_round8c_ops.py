@@ -294,3 +294,19 @@ def test_bpe_train_merges_matches_sequential_replay(spark):
             segs[w] = out
     assert got == exp
     assert len(got) == _BPE_MERGE_ROUNDS
+
+
+def test_bpe_encode_stats_consistency(spark):
+    from matrixinversion_spark.pipeline.corpus import p_bpe_encode_stats
+
+    rows = p_bpe_encode_stats(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # merges only ever shrink the segmentation, and a word has at
+        # least one subword
+        assert r["n_words"] <= r["n_subwords"] <= r["n_chars"]
+        assert 0 < r["subwords_per_char"] <= 1.0
+    # five merges must compress SOMETHING overall
+    tot_sub = sum(r["n_subwords"] for r in rows)
+    tot_char = sum(r["n_chars"] for r in rows)
+    assert tot_sub < tot_char
