@@ -205,7 +205,14 @@ def bicgstab_solve(
                 ops._axpy(ops._axpy(r, p, beta), v, -beta * omega)
             )
         v = _pin(ops.multiply(a, p))
-        alpha = rho_new / dot(rhat, v)
+        rv = dot(rhat, v)
+        if abs(rv) < 1e-300:
+            raise RuntimeError(
+                f"BiCGSTAB breakdown: <rhat, A·p> vanished "
+                f"(iteration {it}) — restart with a different shadow "
+                "residual or use a direct solve"
+            )
+        alpha = rho_new / rv
         s = _pin(ops._axpy(r, v, -alpha))
         ss = dot(s, s)
         if ss <= stop:  # converged at the half-step

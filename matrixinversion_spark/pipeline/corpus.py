@@ -991,6 +991,46 @@ def _bpe_top_pair(vocab: DataFrame):
     )
 
 
+
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """Word-frequency vocabulary with character-level start
+    segmentation — the single definition both the trainer and the
+    encoder build from (same tokenization, same filter)."""
+    return (
+        docs.select(F.explode(F.split("t", "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            "w",
+            "wf",
+            F.expr(
+                "transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bpe_learn(
+    vocab: DataFrame, rounds: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run ``rounds`` merge rounds; returns (merge table, final
+    re-segmented vocabulary). One bounded driver collect per round."""
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, rounds + 1):
+        top = _bpe_top_pair(vocab)
+        if not top:
+            break
+        a, b, cnt = top[0]["s"], top[0]["nxt"], top[0]["cnt"]
+        merges.append((step, a, b, int(cnt)))
+        vocab = _bpe_apply_merge(vocab, a, b).localCheckpoint(
+            eager=True
+        )
+    return merges, vocab
+
+
 @query("p_bpe_train_merges", oracle=_bpe_train_sql(_BPE_MERGE_ROUNDS))
 def p_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL iterative BPE tokenizer training (Sennrich et al., ACL
@@ -1019,32 +1059,7 @@ def p_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         F.lower(F.col("text")).alias("t")
     )
-    vocab = (
-        docs.select(F.explode(F.split("t", "[^a-z]+")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wf"))
-        .select(
-            "w",
-            "wf",
-            F.expr(
-                "transform(sequence(1, length(w)), "
-                "i -> substring(w, i, 1))"
-            ).alias("syms"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    merges = []
-    for step in range(1, _BPE_MERGE_ROUNDS + 1):
-        top = _bpe_top_pair(vocab)
-        if not top:
-            break
-        a, b, cnt = top[0]["s"], top[0]["nxt"], top[0]["cnt"]
-        merges.append((step, a, b, int(cnt)))
-        if step < _BPE_MERGE_ROUNDS:
-            vocab = _bpe_apply_merge(vocab, a, b).localCheckpoint(
-                eager=True
-            )
+    merges, _ = _bpe_learn(_bpe_vocab(docs), _BPE_MERGE_ROUNDS)
     return spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, cnt bigint"
     )
@@ -1101,28 +1116,7 @@ def p_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "lang", F.lower(F.col("text")).alias("t")
     )
-    vocab = (
-        docs.select(F.explode(F.split("t", "[^a-z]+")).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wf"))
-        .select(
-            "w",
-            "wf",
-            F.expr(
-                "transform(sequence(1, length(w)), "
-                "i -> substring(w, i, 1))"
-            ).alias("syms"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_BPE_MERGE_ROUNDS):
-        top = _bpe_top_pair(vocab)
-        if not top:
-            break
-        vocab = _bpe_apply_merge(
-            vocab, top[0]["s"], top[0]["nxt"]
-        ).localCheckpoint(eager=True)
+    _, vocab = _bpe_learn(_bpe_vocab(docs), _BPE_MERGE_ROUNDS)
     wl = vocab.select("w", F.size("syms").alias("n_sub"))
     dtok = docs.select(
         "lang", F.explode(F.split("t", "[^a-z]+")).alias("w")

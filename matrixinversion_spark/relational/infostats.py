@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from matrixinversion_spark.pipeline.dedup import _hash32_sql
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.relational.profiling import (
     assign_global_ids,
@@ -155,7 +156,14 @@ def _two_sample_counts(e: DataFrame) -> DataFrame:
             F.lit(0).cast("bigint").alias("c2"),
         ).limit(0)
     return (
-        e.filter(F.col("event_type").isin(t1, t2))
+        # NULL scores carry no rank: Spark's range sort places NULLS
+        # FIRST while ANSI windows place them LAST, so a single NULL
+        # row would shift every midrank differently per engine —
+        # exclude them from the statistic on both sides.
+        e.filter(
+            F.col("event_type").isin(t1, t2)
+            & F.col("value").isNotNull()
+        )
         .groupBy("value")
         .agg(
             F.sum(
@@ -185,8 +193,9 @@ def _two_sample_counts(e: DataFrame) -> DataFrame:
                CAST(sum(CASE WHEN event_type = (SELECT t2 FROM mm)
                              THEN 1 ELSE 0 END) AS BIGINT) AS c2
         FROM events
-        WHERE event_type IN (SELECT t1 FROM mm)
-           OR event_type IN (SELECT t2 FROM mm)
+        WHERE (event_type IN (SELECT t1 FROM mm)
+               OR event_type IN (SELECT t2 FROM mm))
+          AND value IS NOT NULL
         GROUP BY value),
     c AS (
         SELECT sum(c1) OVER (ORDER BY value) AS a,
@@ -429,8 +438,9 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN event_type = (SELECT t2 FROM mm)
                              THEN 1 ELSE 0 END) AS BIGINT) AS c2
         FROM events
-        WHERE event_type IN (SELECT t1 FROM mm)
-           OR event_type IN (SELECT t2 FROM mm)
+        WHERE (event_type IN (SELECT t1 FROM mm)
+               OR event_type IN (SELECT t2 FROM mm))
+          AND value IS NOT NULL
         GROUP BY value),
     c AS (
         SELECT c1, c2,
@@ -485,7 +495,7 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN 1 ELSE 0 END) AS BIGINT) AS cp,
                CAST(sum(CASE WHEN event_type <> 'purchase'
                              THEN 1 ELSE 0 END) AS BIGINT) AS cn
-        FROM events GROUP BY value),
+        FROM events WHERE value IS NOT NULL GROUP BY value),
     c AS (
         SELECT cp, cn,
                sum(cp + cn) OVER (ORDER BY value) - (cp + cn) AS before
@@ -519,7 +529,10 @@ def q_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine extension per SURVEY.md §2.3 (reference has no
     relational/statistical surface, SURVEY.md §2.2)."""
     e = read_table(spark, sf_dir, "events")
-    g = e.groupBy("value").agg(
+    # NULL scores carry no rank (and would sort differently per
+    # engine — NULLS FIRST in Spark's range sort, LAST in ANSI
+    # windows): exclude them, as _two_sample_counts does.
+    g = e.filter(F.col("value").isNotNull()).groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("bigint")
         .alias("cp"),
@@ -578,10 +591,10 @@ _POIS1_CASE_SQL = (
     e AS (
         SELECT r,
                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-               (CAST(('0x' || substr(md5(
-                    CAST(o_orderkey AS VARCHAR) || ':' ||
-                    CAST(r AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0)
-                   / 4294967297.0 AS u
+               ({_hash32_sql(
+                   "CAST(o_orderkey AS VARCHAR) || ':' "
+                   "|| CAST(r AS VARCHAR)"
+               )} + 1.0) / 4294967297.0 AS u
         FROM orders CROSS JOIN rep),
     w AS (
         SELECT r, cents, {_POIS1_CASE_SQL} AS w FROM e),

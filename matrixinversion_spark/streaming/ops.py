@@ -191,16 +191,11 @@ def run_to_memory(stream: DataFrame, name: str) -> None:
     q.awaitTermination()
 
 
-def purchase_view_join(events_a: DataFrame, events_b: DataFrame,
-                       max_gap: str = "1 hour") -> DataFrame:
-    """Stream-stream interval join: each purchase joined to the same
-    user's views within the preceding ``max_gap``.
-
-    Both sides carry watermarks and the join condition bounds event
-    time in both directions — the two requirements that let Spark
-    evict join state instead of buffering the streams forever (the
-    only viable shape for an unbounded 100 TB/day stream).
-    """
+def _purchase_view_join(events_a: DataFrame, events_b: DataFrame,
+                        max_gap: str, how: str) -> DataFrame:
+    """Shared body of the inner/left stream-stream interval joins —
+    ONE definition of the projections, watermarks, and two-sided
+    event-time condition, so the twins cannot drift apart."""
     p = (
         events_a.filter(F.col("event_type") == "purchase")
         .select(
@@ -224,7 +219,21 @@ def purchase_view_join(events_a: DataFrame, events_b: DataFrame,
         (F.col("p_user") == F.col("v_user"))
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+        how,
     ).select("p_user", "purchase_id", "view_id", "p_ts", "v_ts")
+
+
+def purchase_view_join(events_a: DataFrame, events_b: DataFrame,
+                       max_gap: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's views within the preceding ``max_gap``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions — the two requirements that let Spark
+    evict join state instead of buffering the streams forever (the
+    only viable shape for an unbounded 100 TB/day stream).
+    """
+    return _purchase_view_join(events_a, events_b, max_gap, "inner")
 
 
 def purchase_view_left_join(events_a: DataFrame, events_b: DataFrame,
@@ -243,31 +252,7 @@ def purchase_view_left_join(events_a: DataFrame, events_b: DataFrame,
 
     Same scale shape as ``purchase_view_join``: state holds only
     ``max_gap + watermark`` of each side per user-key partition."""
-    p = (
-        events_a.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-            F.col("event_id").alias("purchase_id"),
-        )
-        .withWatermark("p_ts", "2 hours")
-    )
-    v = (
-        events_b.filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("ts").alias("v_ts"),
-            F.col("event_id").alias("view_id"),
-        )
-        .withWatermark("v_ts", "2 hours")
-    )
-    return p.join(
-        v,
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
-        "left_outer",
-    ).select("p_user", "purchase_id", "view_id", "p_ts", "v_ts")
+    return _purchase_view_join(events_a, events_b, max_gap, "left_outer")
 
 
 def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -629,7 +614,13 @@ def drift_psi_stream(
         for i in range(n_bins)
     ]
     agg = (
+        # NULL/NaN values would land in no bin but still count in the
+        # denominator, deflating every q_i and inflating PSI — a
+        # sensor dropout would page as "drift". Exclude them so
+        # n_events is exactly the sum of the bin counts (matching the
+        # batch twin's bin-count normalization).
         events.withWatermark("ts", watermark)
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(F.col("ts"), b.alias("bin"))
         .groupBy(F.window("ts", window).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), *counts)

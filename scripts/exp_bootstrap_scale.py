@@ -34,9 +34,11 @@ spark = get_spark("bootstrap-scale")
 rows = spark.range(0, N).select(
     F.col("id").alias("k"), (F.col("id") % 10_000).alias("cents")
 )
-true_mean = (
-    sum(range(10_000)) / 10_000 / 100.0
-)  # exact population mean of the ramp in dollars
+# exact population mean of the ramp in dollars for the ACTUAL N
+# (the trailing partial cycle matters when N % 10000 != 0)
+_full, _rem = divmod(N, 10_000)
+_total_cents = _full * sum(range(10_000)) + sum(range(_rem))
+true_mean = _total_cents / N / 100.0
 
 t0 = time.time()
 e = rows.select(
