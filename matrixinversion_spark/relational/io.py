@@ -275,3 +275,88 @@ def write_balanced(
     )
     # file count from listing metadata — no job over the rows
     return len(df.sparkSession.read.parquet(path).inputFiles())
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    audits: dict,
+    target_rows_per_file: int = 1_000_000,
+    order_cols: list | None = None,
+) -> dict:
+    """Write-Audit-Publish (the Netflix/Iceberg WAP pattern): write
+    to a hidden staging directory beside the target, run every audit
+    against the STAGED FILES AS READERS WILL SEE THEM (read back
+    from disk — not the in-memory frame, so codec/schema/write bugs
+    are also caught), and only then atomically swap the staging
+    directory into place. On any audit failure the staging data is
+    removed and whatever was previously published stays untouched
+    and continuously readable — downstream consumers can never
+    observe a half-written or failed dataset.
+
+    ``audits`` maps name -> callable(DataFrame) -> bool over the
+    staged read-back. Returns the audit results dict on success;
+    raises ValueError naming the failing audits otherwise.
+
+    This local-FS implementation publishes via directory rename
+    (old data is parked at ``<path>.replaced`` for the duration of
+    the swap, then deleted); on HDFS the same two renames are
+    metadata-only, and on object stores / table formats the
+    publish step becomes the catalog pointer swap (Iceberg
+    snapshot commit) — the write/audit stages are identical.
+    """
+    import shutil
+    import uuid
+
+    staging = f"{path}.staging-{uuid.uuid4().hex[:12]}"
+    write_balanced(
+        df, staging, target_rows_per_file, order_cols=order_cols
+    )
+    spark = df.sparkSession
+    staged = spark.read.parquet(staging)
+    results = {name: bool(fn(staged)) for name, fn in audits.items()}
+    failed = sorted(n for n, ok in results.items() if not ok)
+    if failed:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            f"write_audit_publish to {path!r} rejected by audits "
+            f"{failed}; previously published data is untouched"
+        )
+    replaced = f"{path}.replaced-{uuid.uuid4().hex[:12]}"
+    had_prior = os.path.isdir(path)
+    if had_prior:
+        os.rename(path, replaced)
+    os.rename(staging, path)
+    if had_prior:
+        shutil.rmtree(replaced, ignore_errors=True)
+    return results
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    order_cols: list | None = None,
+) -> tuple[int, int]:
+    """Small-files maintenance: rewrite a parquet directory into
+    uniformly-sized files (optionally range-clustered) — the
+    compaction job every long-running ingest pipeline schedules,
+    because streaming/micro-batch sinks accrete KB-sized files that
+    destroy scan planning and catalog metadata at 100 TB.
+
+    Runs THROUGH ``write_audit_publish`` with a row-count-preserved
+    audit, so concurrent readers never observe a half-compacted
+    directory and a failed rewrite can never lose rows. Returns
+    (files_before, files_after)."""
+    before_df = spark.read.parquet(path)
+    files_before = len(before_df.inputFiles())
+    n_before = before_df.count()
+    write_audit_publish(
+        before_df,
+        path,
+        {"row_count_preserved": lambda d: d.count() == n_before},
+        target_rows_per_file=target_rows_per_file,
+        order_cols=order_cols,
+    )
+    files_after = len(spark.read.parquet(path).inputFiles())
+    return files_before, files_after
