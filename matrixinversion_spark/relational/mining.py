@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
@@ -493,8 +494,6 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-scale scoring variant the cuts would come from
     approx_percentile and a broadcast join instead."""
     o = read_table(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window as W
-
     mx = o.agg(F.max("o_orderdate").alias("mxd"))
     base = (
         o.crossJoin(F.broadcast(mx))
@@ -665,4 +664,129 @@ def q_sorted_neighborhood_er(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("brid") - F.col("arid")).cast("bigint").alias("gap"),
             dist.cast("bigint").alias("dist"),
         )
+    )
+
+
+_LPA_SQL = _BFS_EDGE_SQL + """,
+    e0w AS (
+        SELECT src, dst, w FROM e0
+        ORDER BY w DESC, src, dst LIMIT 150
+    ),
+    ue AS (
+        SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+            SELECT src AS a, dst AS b, w FROM e0w
+            UNION ALL
+            SELECT dst AS a, src AS b, w FROM e0w)
+        GROUP BY a, b
+    ),
+    l0 AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS node,
+               CAST(n_nationkey AS BIGINT) AS label
+        FROM nation
+    )""" + "".join(
+    f""",
+    c{i} AS (
+        SELECT ue.a AS node, l{i}.label, sum(ue.w) AS lw
+        FROM ue JOIN l{i} ON ue.b = l{i}.node
+        GROUP BY ue.a, l{i}.label
+    ),
+    p{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY lw DESC, label) AS rn
+            FROM c{i}) WHERE rn = 1
+    ),
+    l{i + 1} AS (
+        SELECT l{i}.node, coalesce(p{i}.label, l{i}.label) AS label
+        FROM l{i} LEFT JOIN p{i} ON l{i}.node = p{i}.node
+    )"""
+    for i in range(3)
+) + """
+    SELECT node, CAST(label AS BIGINT) AS community
+    FROM l3
+"""
+
+
+@query("q_label_propagation", oracle=_LPA_SQL)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (Raghavan et al., Phys. Rev. E 2007), 3 fixed rounds over the
+    UNDIRECTED sparsified nation trade graph (same top-150 edge set
+    as q_bfs_shortest_path, symmetrized): every node starts as its
+    own label and each round adopts the label carrying the largest
+    total edge weight among its neighbours (ties: smallest label;
+    isolated nodes keep theirs). Fixed synchronous rounds + the
+    total-order tie-break make the result deterministic and
+    cross-engine exact — the usual LPA caveats (oscillation under
+    synchronous updates) are bounded by the fixed round count.
+
+    Completes the iterative-graph family (pagerank, BFS, triangles,
+    two connected-components variants): CC answers "reachable?",
+    LPA answers "densely knit with whom?". Scale plan: each round is
+    ONE edge⋈label hash join keyed on node id plus two
+    node-cardinality groupBys (map-side combined) — identical
+    exchange shape to q_pagerank's power iteration, degrading
+    gracefully from broadcast to shuffle join as the label table
+    outgrows the threshold."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.desc("w"), "src", "dst")
+        .limit(150)
+    )
+    ue = (
+        e0.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
+        .unionAll(
+            e0.select(
+                F.col("dst").alias("a"), F.col("src").alias("b"), "w"
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .persist()
+    )
+    labels = n.select(
+        F.col("n_nationkey").cast("bigint").alias("node"),
+        F.col("n_nationkey").cast("bigint").alias("label"),
+    )
+    for _ in range(3):
+        cand = (
+            ue.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.sum("w").alias("lw"))
+        )
+        pick = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(
+                        F.desc("lw"), F.asc("label")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node",
+            F.coalesce("new_label", "label").alias("label"),
+        )
+    return labels.select(
+        "node", F.col("label").cast("bigint").alias("community")
     )

@@ -310,3 +310,63 @@ def test_bpe_encode_stats_consistency(spark):
     tot_sub = sum(r["n_subwords"] for r in rows)
     tot_char = sum(r["n_chars"] for r in rows)
     assert tot_sub < tot_char
+
+
+def test_label_propagation_matches_sequential_replay(spark):
+    from matrixinversion_spark.relational.mining import (
+        q_label_propagation,
+    )
+
+    got = {
+        r["node"]: r["community"]
+        for r in q_label_propagation(spark, SF_DIR).collect()
+    }
+
+    # rebuild the same sparsified undirected graph and replay 3
+    # synchronous rounds sequentially
+    li = read_table(spark, SF_DIR, "lineitem")
+    o = read_table(spark, SF_DIR, "orders")
+    c = read_table(spark, SF_DIR, "customer")
+    s = read_table(spark, SF_DIR, "supplier")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.desc("w"), "src", "dst")
+        .limit(150)
+        .collect()
+    )
+    und: dict = {}
+    nodes = set()
+    for r in e0:
+        und[(r["src"], r["dst"])] = und.get((r["src"], r["dst"]), 0) + r["w"]
+        und[(r["dst"], r["src"])] = und.get((r["dst"], r["src"]), 0) + r["w"]
+        nodes |= {r["src"], r["dst"]}
+    all_nodes = {
+        r["n_nationkey"]
+        for r in read_table(spark, SF_DIR, "nation")
+        .select("n_nationkey")
+        .collect()
+    }
+    lab = {v: v for v in all_nodes}
+    for _ in range(3):
+        nxt = dict(lab)
+        per_node: dict = {}
+        for (a, b), w in und.items():
+            per_node.setdefault(a, {}).setdefault(lab[b], 0)
+            per_node[a][lab[b]] += w
+        for v, cnts in per_node.items():
+            nxt[v] = min(
+                (l for l, c in cnts.items()
+                 if c == max(cnts.values()))
+            )
+        lab = nxt
+    assert got == lab
+    # communities actually formed: fewer distinct labels than nodes
+    assert len(set(got.values())) < len(got)
