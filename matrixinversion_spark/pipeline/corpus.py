@@ -663,6 +663,23 @@ def p_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 256
 
 
+def _kmv_ranked(d: DataFrame) -> DataFrame:
+    """Per-source bottom-k rank frame (source, tok, u, rn), rn <= k —
+    the single sketch construction both KMV operators build from
+    (same tokenization, hash, and tie-break)."""
+    toks = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .withColumn("u", hash32(F.col("tok")))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("u").asc(), F.col("tok").asc()
+    )
+    return toks.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KMV_K
+    )
+
+
 @query(
     "p_kmv_distinct",
     oracle=f"""
@@ -712,17 +729,8 @@ def p_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per source) is trivially mergeable across shards by
     re-ranking unioned sketches."""
     d = read_table(spark, sf_dir, "documents")
-    toks = (
-        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-        .withColumn("u", hash32(F.col("tok")))
-    )
-    w = W.partitionBy("source").orderBy(
-        F.col("u").asc(), F.col("tok").asc()
-    )
     sk = (
-        toks.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _KMV_K)
+        _kmv_ranked(d)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
@@ -801,19 +809,7 @@ def p_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|² (dimension-bounded); the per-pair union re-rank runs
     on ≤ 2k rows per pair."""
     d = read_table(spark, sf_dir, "documents")
-    toks = (
-        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-        .withColumn("u", hash32(F.col("tok")))
-    )
-    w = W.partitionBy("source").orderBy(
-        F.col("u").asc(), F.col("tok").asc()
-    )
-    sk = (
-        toks.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _KMV_K)
-        .select("source", "u")
-    )
+    sk = _kmv_ranked(d).select("source", "u")
     srcs = sk.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("s1"))

@@ -363,6 +363,16 @@ NOTES: dict[str, str] = {
         "the AUC is one exact-arithmetic fold — no per-row window "
         "over the events ever exists in the plan."
     ),
+    "q_label_propagation": (
+        "Each of the 3 label-propagation rounds is one edge-vs-label "
+        "hash join keyed on node id plus two node-cardinality "
+        "groupBys with map-side combine — the identical exchange "
+        "shape as q_pagerank's power iteration, so the same "
+        "broadcast-to-shuffle degradation applies as the label "
+        "table outgrows the threshold. Edge sparsification lowers "
+        "to TakeOrdered; the per-node argmax window partitions on "
+        "node id (never a global window)."
+    ),
     "p_kmv_source_jaccard": (
         "The corpus is scanned once into per-source bottom-k "
         "sketches (vocab-bounded distinct + per-source rank); "
