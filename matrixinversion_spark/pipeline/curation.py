@@ -598,3 +598,98 @@ def p_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_in"),
         F.sum("kept").cast("bigint").alias("n_kept"),
     )
+
+
+_SEMDECON_TAU = 0.45
+_SEMDECON_MOD = 101
+
+
+@query(
+    "p_semantic_decontaminate",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings),
+    n AS (
+        SELECT vec_id, label, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v),
+    ev AS (SELECT * FROM n WHERE vec_id % {_SEMDECON_MOD} = 0),
+    co AS (SELECT * FROM n WHERE vec_id % {_SEMDECON_MOD} <> 0),
+    fl AS (
+        SELECT co.vec_id, co.label,
+               max(CASE WHEN list_dot_product(co.e, ev.e)
+                             / (co.nrm * ev.nrm) >= {_SEMDECON_TAU}
+                        THEN 1 ELSE 0 END) AS flagged
+        FROM co CROSS JOIN ev
+        GROUP BY co.vec_id, co.label)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           round(sum(flagged) * 1.0 / count(*), 6) AS flag_rate
+    FROM fl GROUP BY label
+    """,
+)
+def p_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag corpus embeddings
+    whose cosine similarity to ANY held-out evaluation vector
+    reaches τ — the embedding-space member of the decontamination
+    family (``p_decontaminate`` catches verbatim n-gram overlap,
+    ``p_split_leakage_neardup`` catches byte-level paraphrase via
+    MinHash; this catches MEANING-level contamination neither can,
+    the gap SemDeDup/semantic-dedup literature targets for eval
+    integrity). Eval set = deterministic vec_id % 101 == 0 slice,
+    standing in for an external benchmark's embeddings.
+
+    Scale shape: the eval benchmark is SMALL by nature (thousands of
+    vectors) and broadcasts; the corpus is scanned once, each row
+    scored against the broadcast eval matrix and max-flagged — zero
+    corpus shuffles before the label-bounded summary aggregate. For
+    eval sets too large to broadcast, the IVF machinery
+    (``similarity.py``) buckets both sides by coarse cell — same
+    scoring expression, candidate-bounded join. Cosine folds run
+    left-to-right identically in both engines (F.aggregate vs
+    list_dot_product), so the τ gate is cross-engine exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    n = v.select(
+        "vec_id",
+        "label",
+        "e",
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"),
+    )
+    ev = n.filter(F.col("vec_id") % _SEMDECON_MOD == 0).select(
+        F.col("e").alias("ev_e"), F.col("nrm").alias("ev_nrm")
+    )
+    co = n.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+    cos = dot(F.col("e"), F.col("ev_e")) / (
+        F.col("nrm") * F.col("ev_nrm")
+    )
+    fl = (
+        co.join(F.broadcast(ev))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.when(cos >= _SEMDECON_TAU, 1).otherwise(0)
+            ).alias("flagged")
+        )
+    )
+    return fl.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus"),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+        F.round(
+            F.sum("flagged") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("flag_rate"),
+    )

@@ -370,3 +370,90 @@ def test_label_propagation_matches_sequential_replay(spark):
     assert got == lab
     # communities actually formed: fewer distinct labels than nodes
     assert len(set(got.values())) < len(got)
+
+
+def test_semantic_decontaminate_matches_bruteforce(spark):
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.curation import (
+        _SEMDECON_MOD,
+        _SEMDECON_TAU,
+        p_semantic_decontaminate,
+    )
+
+    got = {
+        r["label"]: (r["n_corpus"], r["n_flagged"])
+        for r in p_semantic_decontaminate(spark, SF_DIR).collect()
+    }
+    rows = (
+        read_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    ev = [
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in rows
+        if r["vec_id"] % _SEMDECON_MOD == 0
+    ]
+    evm = np.stack(ev)
+    evn = np.linalg.norm(evm, axis=1)
+    exp: dict = {}
+    for r in rows:
+        if r["vec_id"] % _SEMDECON_MOD == 0:
+            continue
+        e = np.asarray(r["embedding"], dtype=np.float64)
+        cos = (evm @ e) / (evn * np.linalg.norm(e))
+        n_c, n_f = exp.get(r["label"], (0, 0))
+        exp[r["label"]] = (
+            n_c + 1,
+            n_f + (1 if (cos >= _SEMDECON_TAU - 1e-12).any() else 0),
+        )
+    assert got == exp
+    # corpus fully partitioned into the per-label rows (the τ gate's
+    # liveness is covered by the sf0.01 oracle run, where flags > 0)
+    n_eval = len(ev)
+    assert sum(c for c, _ in got.values()) == len(rows) - n_eval
+
+
+def test_bpe_apply_merge_hypothesis_parity(spark):
+    """Random small vocabularies (including same-symbol runs, the
+    parity-rule case) — the distributed merge application must equal
+    the sequential leftmost-nonoverlapping scan."""
+    import random
+
+    from matrixinversion_spark.pipeline.corpus import _bpe_apply_merge
+
+    rng = random.Random(11)
+    words = set()
+    # bias toward 'aa'/'ab' adjacency runs
+    for _ in range(60):
+        words.add(
+            "".join(rng.choice("aab") for _ in range(rng.randint(2, 9)))
+        )
+    vocab = spark.createDataFrame(
+        [(w, 1) for w in sorted(words)], "w string, wf long"
+    ).selectExpr(
+        "w",
+        "wf",
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        " AS syms",
+    )
+    for a, b in [("a", "a"), ("a", "b"), ("b", "a")]:
+        got = {
+            r["w"]: list(r["syms"])
+            for r in _bpe_apply_merge(vocab, a, b).collect()
+        }
+        for w in words:
+            syms, out, i = list(w), [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            assert got[w] == out, (w, a, b, got[w], out)
