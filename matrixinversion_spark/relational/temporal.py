@@ -729,3 +729,137 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").cast("bigint").alias("n_purchases"),
         F.round("credit", 2).alias("credit"),
     )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    mx AS (SELECT max(ts) AS m FROM events),
+    cv AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+        GROUP BY e.user_id),
+    u AS (
+        SELECT s.user_id,
+               CAST(floor((epoch_us(coalesce(cv.p_ts, mx.m))
+                           - epoch_us(s.s_ts)) / 3600000000.0)
+                    AS BIGINT) AS dur,
+               CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS ev
+        FROM s LEFT JOIN cv USING (user_id) CROSS JOIN mx),
+    g AS (
+        SELECT dur,
+               CAST(sum(ev) AS BIGINT) AS d,
+               CAST(sum(1 - ev) AS BIGINT) AS c
+        FROM u GROUP BY dur),
+    t AS (
+        SELECT *, sum(d + c) OVER (ORDER BY dur) AS run,
+               (SELECT sum(d + c) FROM g) AS n
+        FROM g),
+    k AS (SELECT *, n - (run - (d + c)) AS n_risk FROM t),
+    sv AS (
+        -- d = n_risk (everyone remaining converts — only possible at
+        -- the last step) sends S to exactly 0; fold it as a 0-term
+        -- and override, since ln(0) errors here and NULLs in Spark
+        SELECT *, exp(sum(CASE WHEN d < n_risk
+                               THEN ln(1 - d * 1.0 / n_risk)
+                               ELSE 0 END)
+                      OVER (ORDER BY dur)) AS surv
+        FROM k)
+    SELECT dur AS dur_hours, CAST(n_risk AS BIGINT) AS n_risk,
+           d AS d_conv, c AS n_censored,
+           CASE WHEN d = n_risk THEN 0.0
+                ELSE round(surv, 6) END AS survival
+    FROM sv WHERE d > 0
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for signup → purchase conversion
+    WITH right-censoring: users who never purchase leave the risk
+    set at the end of observation instead of being dropped — the
+    statistically correct upgrade of ``q_funnel_time_to_convert``,
+    whose converter-only percentiles are biased low whenever
+    censoring is heavy (the standard mistake KM exists to fix;
+    Kaplan & Meier, JASA 1958). Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over
+    integer-hour durations; emitted at conversion times only (the
+    curve's step points).
+
+    Scale shape: two user-keyed filtered aggregations + one left
+    join build the (duration, event) table; everything after runs
+    on the duration-bounded frame — at-risk counts ride one
+    ``prefix_sum`` range shuffle (grand total free via
+    ``grand_total_col``), the log-survival accumulates on a second,
+    and the observation horizon is an in-plan broadcast crossJoin
+    of a 1-row max aggregate, never a driver collect. dᵢ/nᵢ ratios
+    are exact-integer divisions (identical fp both engines); only
+    the duration-bounded log sums reorder, ~1e-15 against the 6-dp
+    round."""
+    from matrixinversion_spark.relational.profiling import prefix_sum
+
+    e = read_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    mx = e.agg(F.max("ts").alias("m"))
+    cv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    dur = F.floor(
+        (
+            F.unix_micros(F.coalesce(F.col("p_ts"), F.col("m")))
+            - F.unix_micros(F.col("s_ts"))
+        )
+        / 3600000000.0
+    ).cast("bigint")
+    u = (
+        s.join(cv, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            dur.alias("dur"),
+            F.when(F.col("p_ts").isNotNull(), 1)
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    g = u.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+    )
+    g = g.withColumn("ct", F.col("d") + F.col("c"))
+    cum = prefix_sum(
+        g, [F.col("dur")], "ct", out_col="run", grand_total_col="n"
+    )
+    k = cum.withColumn(
+        "n_risk", F.col("n") - (F.col("run") - F.col("ct"))
+    ).withColumn(
+        # d = n_risk (terminal full-conversion step) would be ln(0) —
+        # fold a 0-term and override survival to exactly 0 below
+        "term",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(1 - F.col("d") * 1.0 / F.col("n_risk")),
+        ).otherwise(F.lit(0.0)),
+    )
+    sv = prefix_sum(k, [F.col("dur")], "term", out_col="cum_term")
+    return (
+        sv.filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("dur_hours"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").alias("d_conv"),
+            F.col("c").alias("n_censored"),
+            F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+            .otherwise(F.round(F.exp("cum_term"), 6))
+            .alias("survival"),
+        )
+    )

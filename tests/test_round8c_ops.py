@@ -457,3 +457,61 @@ def test_bpe_apply_merge_hypothesis_parity(spark):
                     out.append(syms[i])
                     i += 1
             assert got[w] == out, (w, a, b, got[w], out)
+
+
+def test_kaplan_meier_matches_sequential_replay(spark):
+    from matrixinversion_spark.relational.temporal import q_kaplan_meier
+
+    got = {
+        r["dur_hours"]: (
+            r["n_risk"],
+            r["d_conv"],
+            r["n_censored"],
+            r["survival"],
+        )
+        for r in q_kaplan_meier(spark, SF_DIR).collect()
+    }
+    e = read_table(spark, SF_DIR, "events")
+    rows = e.select("user_id", "event_type", "ts").collect()
+    mx = max(r["ts"] for r in rows)
+    s: dict = {}
+    for r in rows:
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            if u not in s or r["ts"] < s[u]:
+                s[u] = r["ts"]
+    conv: dict = {}
+    for r in rows:
+        if r["event_type"] == "purchase" and r["user_id"] in s:
+            if r["ts"] >= s[r["user_id"]]:
+                u = r["user_id"]
+                if u not in conv or r["ts"] < conv[u]:
+                    conv[u] = r["ts"]
+    import math
+    from collections import Counter
+
+    d_at: Counter = Counter()
+    c_at: Counter = Counter()
+    for u, s_ts in s.items():
+        end = conv.get(u, mx)
+        dur = int(
+            (end - s_ts).total_seconds() * 1e6 // 3_600_000_000
+        )
+        (d_at if u in conv else c_at)[dur] += 1
+    n = len(s)
+    surv, at_risk = 1.0, n
+    exp = {}
+    for dur in sorted(set(d_at) | set(c_at)):
+        d, c = d_at[dur], c_at[dur]
+        if d > 0:
+            surv = 0.0 if d == at_risk else surv * (1 - d / at_risk)
+            exp[dur] = (at_risk, d, c, round(surv, 6))
+        at_risk -= d + c
+    assert set(got) == set(exp)
+    for dur, (nr, d, c, sv) in exp.items():
+        gnr, gd, gc, gsv = got[dur]
+        assert (gnr, gd, gc) == (nr, d, c)
+        assert abs(gsv - sv) < 2e-6
+    # survival is non-increasing along the curve
+    vals = [got[k][3] for k in sorted(got)]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
