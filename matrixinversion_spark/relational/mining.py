@@ -708,6 +708,45 @@ _LPA_SQL = _BFS_EDGE_SQL + """,
 """
 
 
+def label_propagation(
+    ue: DataFrame, nodes: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Synchronous weighted label propagation over an UNDIRECTED
+    edge frame ``ue(a, b, w)`` (both directions present) and a
+    ``nodes(node)`` frame; returns (node, label) after ``rounds``
+    rounds. Each round: one edge⋈label hash join keyed on node id +
+    two node-cardinality map-side-combined groupBys; the argmax
+    window partitions per node (never global). Library core behind
+    ``q_label_propagation`` — also drives the 1M-node planted-truth
+    scale smoke."""
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        cand = (
+            ue.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.sum("w").alias("lw"))
+        )
+        pick = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(
+                        F.desc("lw"), F.asc("label")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node",
+            F.coalesce("new_label", "label").alias("label"),
+        )
+    return labels
+
+
 @query("q_label_propagation", oracle=_LPA_SQL)
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous weighted label propagation
@@ -759,34 +798,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("bigint").alias("w"))
         .persist()
     )
-    labels = n.select(
-        F.col("n_nationkey").cast("bigint").alias("node"),
-        F.col("n_nationkey").cast("bigint").alias("label"),
-    )
-    for _ in range(3):
-        cand = (
-            ue.join(
-                labels.select(F.col("node").alias("b"), "label"), "b"
-            )
-            .groupBy(F.col("a").alias("node"), "label")
-            .agg(F.sum("w").alias("lw"))
-        )
-        pick = (
-            cand.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("node").orderBy(
-                        F.desc("lw"), F.asc("label")
-                    )
-                ),
-            )
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
-        )
-        labels = labels.join(pick, "node", "left").select(
-            "node",
-            F.coalesce("new_label", "label").alias("label"),
-        )
+    nodes = n.select(F.col("n_nationkey").cast("bigint").alias("node"))
+    labels = label_propagation(ue, nodes, rounds=3)
     return labels.select(
         "node", F.col("label").cast("bigint").alias("community")
     )

@@ -1,0 +1,86 @@
+"""Label-propagation scale smoke, planted truth.
+
+1M nodes arranged as 100k disjoint 10-cliques (node ids shuffled by
+a bit-mix so clique members are scattered across partitions — no
+accidental locality). Closed form: in a clique all round-1 neighbor
+labels are distinct singletons, so the smallest-label tie-break
+adopts the clique minimum (the min node itself adopts the second
+minimum); round 2 the clique minimum dominates every neighborhood;
+round 3 is stable. After 3 synchronous rounds EVERY node's
+community must equal its clique's minimum node id — any deviation
+means the argmax/tie-break/isolated-node logic broke at scale.
+
+Also exercises the per-node argmax row_number window at 1M node
+cardinality and the edge⋈label join at 9M directed edges.
+
+Usage: python scripts/exp_lpa_scale.py [n_cliques]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from matrixinversion_spark.relational.mining import label_propagation
+from matrixinversion_spark.session import get_spark
+
+N_CLIQUES = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+CLIQUE = 10
+
+spark = get_spark("lpa-scale")
+
+# scatter node ids: node = bit-mixed permutation of (clique, member)
+# via a multiplicative hash over a prime modulus > n_nodes, kept
+# collision-free by construction (x -> (a*x + c) % p is a bijection
+# on [0, p) for prime p; ids beyond n_nodes simply never appear)
+P = 15_485_863  # prime > 1M
+A, C = 2_654_435, 761
+
+
+def mix(col):
+    return (col * A + C) % P
+
+
+base = spark.range(0, N_CLIQUES * CLIQUE).select(
+    (F.col("id") / CLIQUE).cast("bigint").alias("cl"),
+    (F.col("id") % CLIQUE).alias("m"),
+    mix(F.col("id")).alias("node"),
+)
+# directed clique edges (a != b within the same clique), both
+# directions -> undirected frame with w = 1
+a = base.select("cl", F.col("m").alias("ma"), F.col("node").alias("a"))
+b = base.select("cl", F.col("m").alias("mb"), F.col("node").alias("b"))
+ue = (
+    a.join(b, "cl")
+    .filter(F.col("ma") != F.col("mb"))
+    .select("a", "b", F.lit(1).alias("w"))
+)
+nodes = base.select("node")
+
+t0 = time.time()
+labels = label_propagation(ue, nodes, rounds=3)
+# planted truth: community == min mixed id within the clique
+truth = base.groupBy("cl").agg(F.min("node").alias("want"))
+joined = (
+    labels.join(base.select("node", "cl"), "node")
+    .join(truth, "cl")
+    .agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("label") == F.col("want"), 0).otherwise(1)
+        ).alias("wrong"),
+    )
+    .collect()[0]
+)
+wall = time.time() - t0
+ok = joined["n"] == N_CLIQUES * CLIQUE and joined["wrong"] == 0
+print(
+    f"lpa_scale nodes={joined['n']} cliques={N_CLIQUES} "
+    f"wrong={joined['wrong']} wall={wall:.1f}s ok={ok}"
+)
+spark.stop()
+sys.exit(0 if ok else 1)
