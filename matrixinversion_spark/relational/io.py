@@ -228,6 +228,7 @@ def write_balanced(
     path: str,
     target_rows_per_file: int,
     order_cols: list | None = None,
+    n_rows: int | None = None,
 ) -> int:
     """Write parquet with uniformly-sized output files; returns the
     file count.
@@ -253,7 +254,7 @@ def write_balanced(
     """
     import math
 
-    n = df.count()
+    n = df.count() if n_rows is None else n_rows
     k = max(1, math.ceil(n / target_rows_per_file))
     if order_cols:
         # sortWithinPartitions is load-bearing for the clustering
@@ -283,51 +284,79 @@ def write_audit_publish(
     audits: dict,
     target_rows_per_file: int = 1_000_000,
     order_cols: list | None = None,
+    n_rows: int | None = None,
 ) -> dict:
     """Write-Audit-Publish (the Netflix/Iceberg WAP pattern): write
-    to a hidden staging directory beside the target, run every audit
-    against the STAGED FILES AS READERS WILL SEE THEM (read back
-    from disk — not the in-memory frame, so codec/schema/write bugs
-    are also caught), and only then atomically swap the staging
-    directory into place. On any audit failure the staging data is
-    removed and whatever was previously published stays untouched
-    and continuously readable — downstream consumers can never
-    observe a half-written or failed dataset.
+    to a HIDDEN staging directory beside the target (dot-prefixed,
+    so Hadoop-style listings and parent-level globs skip it), run
+    every audit against the STAGED FILES AS READERS WILL SEE THEM
+    (read back from disk — not the in-memory frame, so codec/schema/
+    write bugs are also caught), then publish. On audit failure —
+    including an audit that RAISES — the staging data is removed and
+    whatever was previously published stays untouched and readable.
 
     ``audits`` maps name -> callable(DataFrame) -> bool over the
     staged read-back. Returns the audit results dict on success;
-    raises ValueError naming the failing audits otherwise.
+    raises ValueError naming the failing audits otherwise. Pass
+    ``n_rows`` when the row count is already known (pipeline
+    metrics) to skip write_balanced's sizing scan.
 
-    This local-FS implementation publishes via directory rename
-    (old data is parked at ``<path>.replaced`` for the duration of
-    the swap, then deleted); on HDFS the same two renames are
-    metadata-only, and on object stores / table formats the
-    publish step becomes the catalog pointer swap (Iceberg
-    snapshot commit) — the write/audit stages are identical.
+    Publish semantics on this local FS: once ``path`` is managed by
+    this function it is a SYMLINK to a hidden versioned directory,
+    and publishing is one atomic rename of a prepared symlink —
+    readers can never observe a missing or half-written ``path``.
+    The one exception is the FIRST publish over a pre-existing REAL
+    directory (not created by this function): that transition uses
+    a two-rename swap with a sub-millisecond window where ``path``
+    is absent — unavoidable with POSIX renames; at cluster scale
+    the publish step is a catalog pointer swap (Iceberg snapshot
+    commit) and the write/audit stages are identical.
     """
     import shutil
     import uuid
 
-    staging = f"{path}.staging-{uuid.uuid4().hex[:12]}"
-    write_balanced(
-        df, staging, target_rows_per_file, order_cols=order_cols
-    )
-    spark = df.sparkSession
-    staged = spark.read.parquet(staging)
-    results = {name: bool(fn(staged)) for name, fn in audits.items()}
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path)
+    tag = uuid.uuid4().hex[:12]
+    version = os.path.join(parent, f".{base}.v-{tag}")
+    try:
+        write_balanced(
+            df,
+            version,
+            target_rows_per_file,
+            order_cols=order_cols,
+            n_rows=n_rows,
+        )
+        spark = df.sparkSession
+        staged = spark.read.parquet(version)
+        results = {
+            name: bool(fn(staged)) for name, fn in audits.items()
+        }
+    except BaseException:
+        shutil.rmtree(version, ignore_errors=True)
+        raise
     failed = sorted(n for n, ok in results.items() if not ok)
     if failed:
-        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(version, ignore_errors=True)
         raise ValueError(
             f"write_audit_publish to {path!r} rejected by audits "
             f"{failed}; previously published data is untouched"
         )
-    replaced = f"{path}.replaced-{uuid.uuid4().hex[:12]}"
-    had_prior = os.path.isdir(path)
-    if had_prior:
+    old_target = (
+        os.path.realpath(path) if os.path.islink(path) else None
+    )
+    if os.path.islink(path) or not os.path.exists(path):
+        # atomic publish: rename a prepared symlink over the old one
+        tmplink = os.path.join(parent, f".{base}.lnk-{tag}")
+        os.symlink(version, tmplink)
+        os.replace(tmplink, path)
+        if old_target is not None:
+            shutil.rmtree(old_target, ignore_errors=True)
+    else:
+        # pre-existing real directory: one-time two-rename takeover
+        replaced = os.path.join(parent, f".{base}.replaced-{tag}")
         os.rename(path, replaced)
-    os.rename(staging, path)
-    if had_prior:
+        os.symlink(version, path)
         shutil.rmtree(replaced, ignore_errors=True)
     return results
 
@@ -357,6 +386,7 @@ def compact_parquet_dir(
         {"row_count_preserved": lambda d: d.count() == n_before},
         target_rows_per_file=target_rows_per_file,
         order_cols=order_cols,
+        n_rows=n_before,  # reuse the count — no second sizing scan
     )
     files_after = len(spark.read.parquet(path).inputFiles())
     return files_before, files_after

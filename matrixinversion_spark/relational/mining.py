@@ -273,6 +273,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("pagerank_r6"))
 
 
+def _sparsified_trade_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-150 heaviest directed customer-nation -> supplier-nation
+    edges with deterministic (w, src, dst) tie-break — the ONE
+    definition of the sparsified trade graph behind the iterative
+    graph operators (BFS, label propagation) and their oracles'
+    shared `e` CTE."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.desc("w"), "src", "dst")
+        .limit(150)
+    )
+
+
 _BFS_EDGE_SQL = """
     WITH e0 AS (
         SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
@@ -285,7 +312,9 @@ _BFS_EDGE_SQL = """
         GROUP BY 1, 2
     ),
     e AS (
-        SELECT src, dst FROM e0
+        -- ranked sparsification, ONE definition of cutoff/tie-break;
+        -- carries w so weighted consumers (LPA) reuse it directly
+        SELECT src, dst, w FROM e0
         ORDER BY w DESC, src, dst LIMIT 150
     )
 """
@@ -325,25 +354,8 @@ def q_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same loop runs with the frontier staying distributed;
     rounds are bounded by the diameter as in the reference-free
     pointer-jumping CC operator (curation.py)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
-    s = read_table(spark, sf_dir, "supplier")
-
-    e0 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").cast("bigint").alias("src"),
-            F.col("s_nationkey").cast("bigint").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
     edges = (
-        e0.orderBy(F.desc("w"), "src", "dst")
-        .limit(150)
+        _sparsified_trade_edges(spark, sf_dir)
         .select("src", "dst")
         .persist()
     )
@@ -668,15 +680,11 @@ def q_sorted_neighborhood_er(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LPA_SQL = _BFS_EDGE_SQL + """,
-    e0w AS (
-        SELECT src, dst, w FROM e0
-        ORDER BY w DESC, src, dst LIMIT 150
-    ),
     ue AS (
         SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
-            SELECT src AS a, dst AS b, w FROM e0w
+            SELECT src AS a, dst AS b, w FROM e
             UNION ALL
-            SELECT dst AS a, src AS b, w FROM e0w)
+            SELECT dst AS a, src AS b, w FROM e)
         GROUP BY a, b
     ),
     l0 AS (
@@ -768,25 +776,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange shape to q_pagerank's power iteration, degrading
     gracefully from broadcast to shuffle join as the label table
     outgrows the threshold."""
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    c = read_table(spark, sf_dir, "customer")
-    s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
-
-    e0 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .groupBy(
-            F.col("c_nationkey").cast("bigint").alias("src"),
-            F.col("s_nationkey").cast("bigint").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .orderBy(F.desc("w"), "src", "dst")
-        .limit(150)
-    )
+    e0 = _sparsified_trade_edges(spark, sf_dir)
     ue = (
         e0.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
         .unionAll(

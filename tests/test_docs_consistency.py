@@ -46,9 +46,14 @@ def test_coverage_names_exist_in_registry():
 def test_every_registered_query_is_documented():
     reg = _registry()
     text = (ROOT / "COVERAGE.md").read_text()
-    # documented = mentioned anywhere (tables cite some names in
-    # prose lists without backticks, e.g. the TPC-H inventory row)
-    missing = sorted(n for n in reg if n not in text)
+    # documented = mentioned anywhere as a WHOLE name (tables cite
+    # some names in prose without backticks, e.g. the TPC-H row) —
+    # word boundaries so q_funnel is not satisfied by
+    # q_funnel_time_to_convert
+    missing = sorted(
+        n for n in reg
+        if not re.search(rf"\b{re.escape(n)}\b", text)
+    )
     assert not missing, f"registered but undocumented in COVERAGE.md: {missing}"
 
 

@@ -17,12 +17,21 @@ from matrixinversion_spark.session import read_table
 from .conftest import SF_DIR
 
 
+def _visible(parent: str) -> list[str]:
+    return sorted(p for p in os.listdir(parent) if not p.startswith("."))
+
+
+def _hidden(parent: str) -> list[str]:
+    return sorted(p for p in os.listdir(parent) if p.startswith("."))
+
+
 def test_wap_publishes_when_audits_pass(spark):
     d = read_table(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_totalprice"
     )
     n = d.count()
-    path = os.path.join(tempfile.mkdtemp(), "orders_out")
+    parent = tempfile.mkdtemp()
+    path = os.path.join(parent, "orders_out")
     results = write_audit_publish(
         d,
         path,
@@ -37,20 +46,35 @@ def test_wap_publishes_when_audits_pass(spark):
     )
     assert results == {"row_count": True, "no_null_keys": True}
     assert spark.read.parquet(path).count() == n
-    # no staging/replaced leftovers beside the published dir
-    parent = os.path.dirname(path)
-    assert os.listdir(parent) == [os.path.basename(path)]
+    # published path is an atomic symlink to ONE hidden version dir;
+    # nothing else (staging, tmp links) is left behind
+    assert os.path.islink(path)
+    assert _visible(parent) == ["orders_out"]
+    hidden = _hidden(parent)
+    assert len(hidden) == 1 and ".v-" in hidden[0]
+
+    # republish: still readable, old version garbage-collected
+    write_audit_publish(
+        d.limit(100),
+        path,
+        {"ok": lambda s: s.count() == 100},
+        target_rows_per_file=5000,
+    )
+    assert spark.read.parquet(path).count() == 100
+    assert len(_hidden(parent)) == 1
 
 
 def test_wap_failure_keeps_prior_publish_intact(spark):
     d = read_table(spark, SF_DIR, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    path = os.path.join(tempfile.mkdtemp(), "orders_out")
+    parent = tempfile.mkdtemp()
+    path = os.path.join(parent, "orders_out")
     write_audit_publish(
         d, path, {"ok": lambda s: True}, target_rows_per_file=100000
     )
     prior_files = sorted(spark.read.parquet(path).inputFiles())
+    prior_listing = (_visible(parent), _hidden(parent))
     n = d.count()
     with pytest.raises(ValueError, match="bad_audit"):
         write_audit_publish(
@@ -59,17 +83,45 @@ def test_wap_failure_keeps_prior_publish_intact(spark):
             {"bad_audit": lambda s: s.count() == n},  # fails on limit
             target_rows_per_file=100000,
         )
-    # previously published data untouched, staging cleaned up
+    # an audit that RAISES must also clean up and keep the publish
+    with pytest.raises(Exception, match="nope"):
+        write_audit_publish(
+            d.limit(10),
+            path,
+            {"boom": lambda s: (_ for _ in ()).throw(RuntimeError("nope"))},
+            target_rows_per_file=100000,
+        )
     assert sorted(spark.read.parquet(path).inputFiles()) == prior_files
-    parent = os.path.dirname(path)
-    assert os.listdir(parent) == [os.path.basename(path)]
+    assert (_visible(parent), _hidden(parent)) == prior_listing
+
+
+def test_wap_takes_over_pre_existing_real_directory(spark):
+    d = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    parent = tempfile.mkdtemp()
+    path = os.path.join(parent, "orders_out")
+    d.limit(50).write.parquet(path)  # plain pre-WAP directory
+    assert not os.path.islink(path)
+    n = d.count()
+    write_audit_publish(
+        d,
+        path,
+        {"row_count": lambda s: s.count() == n},
+        target_rows_per_file=100000,
+    )
+    assert os.path.islink(path)  # managed from now on
+    assert spark.read.parquet(path).count() == n
+    assert _visible(parent) == ["orders_out"]
+    assert len(_hidden(parent)) == 1
 
 
 def test_compaction_reduces_files_and_preserves_rows(spark):
     d = read_table(spark, SF_DIR, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
-    path = os.path.join(tempfile.mkdtemp(), "li")
+    parent = tempfile.mkdtemp()
+    path = os.path.join(parent, "li")
     # simulate a micro-batch-accreted directory: 40 tiny files
     d.repartition(40).write.parquet(path)
     n = spark.read.parquet(path).count()
