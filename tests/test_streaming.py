@@ -460,3 +460,77 @@ def test_drift_psi_stream_matches_batch(spark):
         assert abs(gp - round(psi, 6)) < 1e-5
     # sanity: PSI is non-negative and small for in-distribution hours
     assert all(p >= 0 for _, p in got.values())
+
+
+def test_watermark_semantics_state_bound_not_completeness(spark, tmp_path):
+    """Pins the engine's late-data contract: a second micro-batch
+    whose rows sit 3 hours BEHIND the watermark is still admitted
+    (watermark bounds state, not completeness — the documented
+    best-effort semantics), and the WatermarkDropAudit listener
+    wiring reports the per-batch drop counter (0 here; nonzero only
+    under real eviction pressure on long-running streams)."""
+    import time as _time
+
+    import pandas as pd
+
+    src_dir = str(tmp_path / "late_src")
+    base = pd.Timestamp("2024-06-01 12:00:00")
+    on_time = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": [base + pd.Timedelta(minutes=i % 10) for i in range(100)],
+            "user_id": [i % 7 for i in range(100)],
+        }
+    )
+    late = pd.DataFrame(
+        {
+            "event_id": range(100, 150),
+            "ts": [base - pd.Timedelta(hours=3)] * 50,
+            "user_id": [i % 7 for i in range(50)],
+        }
+    )
+    spark.createDataFrame(on_time).coalesce(1).write.parquet(
+        src_dir + "/f1"
+    )
+    _time.sleep(1.1)
+    spark.createDataFrame(late).coalesce(1).write.parquet(
+        src_dir + "/f2"
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    audit = sops.WatermarkDropAudit.attach(spark)
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_audit")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deadline = _time.time() + 30
+        while audit.batches < 2 and _time.time() < deadline:
+            _time.sleep(0.5)
+    finally:
+        audit.detach(spark)
+    assert audit.batches >= 2  # the two files became two batches
+    # watermark advanced past the late window, yet the rows were
+    # ADMITTED — state-bound, not completeness-bound
+    got = {
+        r["ws"]: r["n"]
+        for r in spark.sql("SELECT * FROM late_audit").collect()
+    }
+    assert sum(got.values()) == 150
+    late_ws = (base - pd.Timedelta(hours=3)).to_pydatetime()
+    assert got[late_ws] == 50
+    assert audit.dropped == 0  # no eviction pressure in 2 batches
