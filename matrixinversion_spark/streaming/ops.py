@@ -697,3 +697,49 @@ class WatermarkDropAudit:
         if self._listener is not None:
             spark.streams.removeListener(self._listener)
             self._listener = None
+
+
+def wap_stream_sink(
+    stream: DataFrame,
+    path: str,
+    audits: dict,
+    checkpoint_dir: str,
+    target_rows_per_file: int = 1_000_000,
+):
+    """Audited exactly-once streaming parquet sink: every micro-batch
+    lands as its own ``batch=<id>`` subdirectory through
+    ``io.write_audit_publish`` — staged, audited on the read-back,
+    atomically published — and a batch id that re-fires after a
+    restart (foreachBatch's documented at-least-once edge) is
+    SKIPPED if its partition was already published, upgrading the
+    pipeline to exactly-once without a transactional table format.
+    A batch that fails its audits aborts the query with the failing
+    audit names; previously published batches stay readable
+    throughout (WAP's publish is an atomic symlink flip).
+
+    Readers see ``spark.read.parquet(f"{path}/batch=*")`` — only
+    fully-audited batches ever match the glob (staging dirs are
+    dot-hidden). Returns the started StreamingQuery."""
+    import os as _os
+
+    from matrixinversion_spark.relational.io import write_audit_publish
+
+    _os.makedirs(path, exist_ok=True)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        part = _os.path.join(path, f"batch={batch_id}")
+        if _os.path.lexists(part):
+            return  # replayed batch after restart — already published
+        write_audit_publish(
+            batch_df,
+            part,
+            audits,
+            target_rows_per_file=target_rows_per_file,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
