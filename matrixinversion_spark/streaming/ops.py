@@ -666,6 +666,7 @@ class WatermarkDropAudit:
     def __init__(self) -> None:
         self.dropped = 0
         self.batches = 0
+        self.query_id = None  # latched from the first progress event
         self._listener = None
 
     @classmethod
@@ -679,6 +680,13 @@ class WatermarkDropAudit:
                 pass
 
             def onQueryProgress(self, event) -> None:
+                # listeners are SESSION-scoped: latch the first query
+                # seen and ignore the rest, so concurrent queries on
+                # the same session can't pollute this audit's counts
+                if audit.query_id is None:
+                    audit.query_id = event.progress.id
+                if event.progress.id != audit.query_id:
+                    return
                 audit.batches += 1
                 for op in event.progress.stateOperators:
                     audit.dropped += op.numRowsDroppedByWatermark
@@ -705,6 +713,7 @@ def wap_stream_sink(
     audits: dict,
     checkpoint_dir: str,
     target_rows_per_file: int = 1_000_000,
+    trigger: dict | None = None,
 ):
     """Audited exactly-once streaming parquet sink: every micro-batch
     lands as its own ``batch=<id>`` subdirectory through
@@ -717,19 +726,48 @@ def wap_stream_sink(
     audit names; previously published batches stay readable
     throughout (WAP's publish is an atomic symlink flip).
 
-    Readers see ``spark.read.parquet(f"{path}/batch=*")`` — only
-    fully-audited batches ever match the glob (staging dirs are
-    dot-hidden). Returns the started StreamingQuery."""
+    The replay-skip is only sound when an existing ``batch=<id>``
+    really IS a replay of the same stream — i.e. the same
+    checkpoint lineage. A ``_sink_metadata.json`` marker in the
+    output records the checkpoint at first use, and pointing a
+    DIFFERENT checkpoint at the same output raises instead of
+    silently treating restarted batch ids as already-done (the
+    batch-id-reuse data-loss trap).
+
+    ``trigger`` is passed to ``writeStream.trigger`` (default
+    ``{"availableNow": True}`` — drain currently-available input
+    and stop; pass ``{"processingTime": "..."}`` for a resident
+    query). Readers see ``spark.read.parquet(f"{path}/batch=*")`` —
+    only fully-audited batches ever match the glob (staging dirs
+    are dot-hidden). Returns the started StreamingQuery."""
+    import json as _json
     import os as _os
 
     from matrixinversion_spark.relational.io import write_audit_publish
 
     _os.makedirs(path, exist_ok=True)
+    ckpt_key = _os.path.abspath(checkpoint_dir)
+    marker = _os.path.join(path, "_sink_metadata.json")
+    if _os.path.exists(marker):
+        with open(marker) as f:
+            recorded = _json.load(f).get("checkpoint")
+        if recorded != ckpt_key:
+            raise ValueError(
+                f"output {path!r} was published from checkpoint "
+                f"{recorded!r}; refusing to continue it from "
+                f"{ckpt_key!r} — restarted batch ids would collide "
+                "with published partitions and be silently skipped. "
+                "Use a fresh output path (or the original "
+                "checkpoint)."
+            )
+    else:
+        with open(marker, "w") as f:
+            _json.dump({"checkpoint": ckpt_key}, f)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         part = _os.path.join(path, f"batch={batch_id}")
         if _os.path.lexists(part):
-            return  # replayed batch after restart — already published
+            return  # same-checkpoint replay — already published
         write_audit_publish(
             batch_df,
             part,
@@ -737,9 +775,7 @@ def wap_stream_sink(
             target_rows_per_file=target_rows_per_file,
         )
 
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
     )
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

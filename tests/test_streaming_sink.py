@@ -135,14 +135,17 @@ def test_wap_stream_sink_audits_and_is_idempotent(spark, tmp_path):
     e = read_table(spark, SF_DIR, "events").select(
         "event_id", "user_id", "value"
     )
-    # two source files -> two micro-batches (maxFilesPerTrigger=1)
-    e.limit(200).coalesce(1).write.parquet(src + "/f1")
+    # deterministic disjoint slices by event_id range (limit() order
+    # is not stable across evaluations)
+    e.filter(F.col("event_id") < 200).coalesce(1).write.parquet(
+        src + "/f1"
+    )
     import time
 
     time.sleep(1.1)
-    e.limit(500).exceptAll(e.limit(200)).coalesce(1).write.parquet(
-        src + "/f2"
-    )
+    e.filter(
+        (F.col("event_id") >= 200) & (F.col("event_id") < 500)
+    ).coalesce(1).write.parquet(src + "/f2")
     stream = (
         spark.readStream.schema("event_id long, user_id long, value double")
         .option("maxFilesPerTrigger", "1")
@@ -164,23 +167,30 @@ def test_wap_stream_sink_audits_and_is_idempotent(spark, tmp_path):
     total = spark.read.parquet(out + "/batch=*").count()
     assert total == 500
 
-    # restart with the SAME checkpoint and a THIRD file: only the new
-    # batch lands; replaying can never duplicate published batches
+    # restart with the SAME checkpoint and a THIRD file; pre-create
+    # the upcoming batch's partition so foreachBatch genuinely FIRES
+    # for an already-published id — the replay-skip path itself
     time.sleep(1.1)
-    e.limit(600).exceptAll(e.limit(500)).coalesce(1).write.parquet(
-        src + "/f3"
+    e.filter(
+        (F.col("event_id") >= 500) & (F.col("event_id") < 600)
+    ).coalesce(1).write.parquet(src + "/f3")
+    sentinel_dir = out + "/batch=2"
+    e.filter(F.col("event_id") < 7).coalesce(1).write.parquet(
+        sentinel_dir
     )
+    sentinel_files = sorted(os.listdir(sentinel_dir))
     q2 = sops.wap_stream_sink(stream, out, audits, ckpt)
     q2.awaitTermination()
-    assert spark.read.parquet(out + "/batch=*").count() == 600
-    # idempotence guard directly: re-invoking the sink fn for an
-    # already-published batch id is a no-op
-    files_before = sorted(
-        spark.read.parquet(out + "/batch=*").inputFiles()
-    )
-    q3 = sops.wap_stream_sink(stream, out, audits, ckpt)
-    q3.awaitTermination()
-    assert (
-        sorted(spark.read.parquet(out + "/batch=*").inputFiles())
-        == files_before
-    )
+    # the guard skipped the publish: the sentinel partition is
+    # byte-untouched (crash-between-publish-and-commit semantics)
+    assert sorted(os.listdir(sentinel_dir)) == sentinel_files
+    assert spark.read.parquet(sentinel_dir).count() == 7
+
+    # batch-id-reuse protection: a DIFFERENT checkpoint against the
+    # same output must refuse loudly instead of silently skipping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refusing"):
+        sops.wap_stream_sink(
+            stream, out, audits, str(tmp_path / "other_ckpt")
+        )
