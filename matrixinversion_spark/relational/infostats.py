@@ -819,3 +819,71 @@ def q_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "q_anova_oneway",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(value) AS s,
+               sum(value * value) AS ss
+        FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               sum(s) AS st,
+               sum(s * s / n) AS sb,
+               sum(ss) AS sst
+        FROM g)
+    SELECT k, nn,
+           round((sb - st * st / nn) / (k - 1), 6) AS ms_between,
+           round((sst - sb) / (nn - k), 6) AS ms_within,
+           round(((sb - st * st / nn) / (k - 1))
+                 / ((sst - sb) / (nn - k)), 6) AS f_stat
+    FROM t
+    """,
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic across ALL event types' values —
+    the k-group generalization of ``q_welch_ttest``'s two-sample
+    comparison ("does ANY event type's value distribution differ?"),
+    computed from the classic sufficient statistics:
+    SSB = Σ sᵢ²/nᵢ − s²/N, SSW = Σ ssᵢ − Σ sᵢ²/nᵢ,
+    F = (SSB/(k−1)) / (SSW/(N−k)).
+
+    Exactly two shuffles, both tiny: one map-side-combined groupBy
+    collapsing the fact scan to one (n, Σx, Σx²) row per group, then
+    a k-row fold — the same mergeable-aggregate shape as the Welch
+    test, scaling to any N at constant shuffle volume. NULL values
+    are excluded on both sides (they carry no observation). The
+    per-group fp sums reorder across engines by ~1e-9 relative;
+    the derived ratios move well below the 6-dp round (same rounding
+    budget the Welch row has held since round 7)."""
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").alias("st"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+        F.sum("ss").alias("sst"),
+    )
+    ssb = F.col("sb") - F.col("st") * F.col("st") / F.col("nn")
+    ssw = F.col("sst") - F.col("sb")
+    msb = ssb / (F.col("k") - 1)
+    msw = ssw / (F.col("nn") - F.col("k"))
+    return t.select(
+        "k",
+        "nn",
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )

@@ -515,3 +515,32 @@ def test_kaplan_meier_matches_sequential_replay(spark):
     # survival is non-increasing along the curve
     vals = [got[k][3] for k in sorted(got)]
     assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_anova_matches_sequential_replay(spark):
+    from collections import defaultdict
+
+    from matrixinversion_spark.relational.infostats import q_anova_oneway
+
+    row = q_anova_oneway(spark, SF_DIR).collect()[0]
+    rows = (
+        read_table(spark, SF_DIR, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        if r["value"] is not None:
+            groups[r["event_type"]].append(r["value"])
+    k = len(groups)
+    nn = sum(len(v) for v in groups.values())
+    st = sum(sum(v) for v in groups.values())
+    sb = sum(sum(v) ** 2 / len(v) for v in groups.values())
+    sst = sum(x * x for v in groups.values() for x in v)
+    msb = (sb - st * st / nn) / (k - 1)
+    msw = (sst - sb) / (nn - k)
+    assert row["k"] == k and row["nn"] == nn
+    assert abs(row["ms_between"] - msb) < 1e-3 * max(abs(msb), 1)
+    assert abs(row["ms_within"] - msw) < 1e-3 * max(abs(msw), 1)
+    assert abs(row["f_stat"] - msb / msw) < 1e-4 * max(abs(msb / msw), 1)
+    assert row["ms_within"] > 0
