@@ -224,6 +224,8 @@ def near_dup_leakage(
     text_col: str = "text",
     split_col: str = "split",
     tau: float = _NEARDUP_TAU,
+    sig: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Per held-out split: how many docs are a NEAR-duplicate of any
     train doc — LSH band buckets (MinHash 16, 4×4 — the exact
@@ -235,12 +237,21 @@ def near_dup_leakage(
     never all-pairs), and the verification being exact means every
     reported leak is real.
 
+    ``sig`` optionally supplies a precomputed
+    ``dedup.minhash_signatures`` frame with (id_col, split_col,
+    mh0..mh15) — e.g. the shared per-corpus persisted cache — so the
+    md5-over-shingles payload is paid once per corpus instead of once
+    per operator. ``max_bucket`` opts into the
+    ``dedup.lsh_bucket_guard`` skew cap (dropped buckets are the
+    pathological identical-doc clusters exact dedup should have
+    collapsed first; off by default for oracle exactness).
+
     Returns (split, n_docs, n_leaked) for each non-train split.
     """
     from matrixinversion_spark.pipeline.dedup import (
-        base_hashes,
         lsh_bands,
-        minhash_signature,
+        lsh_bucket_guard,
+        minhash_signatures,
         shingles_from_tokens,
     )
 
@@ -257,12 +268,13 @@ def near_dup_leakage(
     # corpus scale caching them is a memory cliff; the two consumers
     # (signatures over all docs, verification over candidate docs
     # only) each rescan instead — CPU duplication, no storage leak.
-    sig = (
-        sh.filter(F.size("_sh") > 0)
-        .select(id_col, split_col, base_hashes(F.col("_sh")).alias("_hb"))
-        .select(id_col, split_col, *minhash_signature(F.col("_hb")))
-    )
+    if sig is None:
+        sig = minhash_signatures(
+            docs, id_col=id_col, text_col=text_col, extra_cols=(split_col,)
+        )
     bands = lsh_bands(sig, id_col)
+    if max_bucket is not None:
+        bands, _oversized = lsh_bucket_guard(bands, max_bucket, id_col)
     splits = sig.select(id_col, split_col)
     tr_b = (
         bands.join(splits, id_col)
@@ -372,17 +384,23 @@ def p_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     side restricted to the bucketed candidates, verification joins
     shingle sets only for candidate pairs. The corpus never takes an
     all-pairs join."""
+    from matrixinversion_spark.pipeline.dedup import shared_doc_signatures
+
     d = read_table(spark, sf_dir, "documents")
     bucket = hash32(F.col("doc_id").cast("string")) % 100
-    docs = d.select(
-        "doc_id",
-        "text",
+    split_expr = (
         F.when(bucket < 90, "train")
         .when(bucket < 95, "validation")
         .otherwise("test")
-        .alias("split"),
     )
-    return near_dup_leakage(docs)
+    docs = d.select("doc_id", "text", split_expr.alias("split"))
+    # signatures ride the shared per-(session, sf_dir) cache — the
+    # split column is a pure function of doc_id, so it re-derives on
+    # top of the cached frame instead of forcing a second hashing pass
+    sig = shared_doc_signatures(spark, sf_dir).withColumn(
+        "split", split_expr
+    )
+    return near_dup_leakage(docs, sig=sig)
 
 
 # -- dataset release report -------------------------------------------------
