@@ -39,7 +39,6 @@ from matrixinversion_spark.matrix.ops import (
     inv_leaf_distributed as _inv_leaf_distributed,
     leaf_inv_mode as _leaf_inv_mode,
     multiply,
-    permute_cols,
 )
 
 
@@ -89,24 +88,182 @@ def inverse_upper(up: BlockMatrixFrame,
     return BlockMatrixFrame(df, up.n_rows, up.n_cols, up.block_size)
 
 
+def _leaf_inv_frames(a: BlockMatrixFrame
+                     ) -> tuple[BlockMatrixFrame, BlockMatrixFrame]:
+    """Factor AND invert a leaf inside one executor task, returning
+    (J, U⁻¹) with J ≡ L⁻¹·P — the pivot already folded into L⁻¹'s
+    columns (a free numpy gather while the matrix sits in task
+    memory).
+
+    This is the trick that makes the fused inverse recursion
+    (``_lu_inv_rec``) fully static: every pivot application the
+    two-sweep pipeline did at the dataflow level (permute_rows of A2,
+    of L2, and the final permute_cols) becomes an in-task column
+    shuffle here, so NO pivot vector ever crosses to the driver and
+    the recursion has no blocking collect — the entire inverse
+    executes as one Spark job whose stages overlap by data
+    dependency alone. P = diag(P_leaf…) is block-diagonal at leaf
+    granularity, so J keeps L⁻¹'s block-lower-triangular zero
+    structure (columns only shuffle WITHIN a leaf's column range) —
+    J blocks above the diagonal of a multi-block leaf can be nonzero,
+    hence tag 0 emits the full square while tag 1 (U⁻¹) keeps the
+    upper-triangle filter. Reference analogue: LUInverse.java's
+    mappers likewise invert triangular strips executor-side and
+    apply pivots by index indirection, never materializing P
+    (`LUInverse.java:88-167`, `Read_LU.java:66-92`)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    bs, n, m = a.block_size, a.n_rows, a.n_cols
+    schema = StructType(
+        [
+            StructField("tag", IntegerType()),
+            StructField("bi", IntegerType()),
+            StructField("bj", IntegerType()),
+            StructField("rows", IntegerType()),
+            StructField("cols", IntegerType()),
+            StructField("data", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fac(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.zeros((n, m))
+        for bi, bj, r, c, d in zip(
+            pdf["bi"], pdf["bj"], pdf["rows"], pdf["cols"], pdf["data"]
+        ):
+            blk = np.asarray(d, dtype=np.float64).reshape(int(r), int(c))
+            mat[int(bi) * bs:int(bi) * bs + int(r),
+                int(bj) * bs:int(bj) * bs + int(c)] = blk
+        lu_packed, perm = kernels.ludcmp(mat)
+        lower, upper = kernels.split_lu(lu_packed)
+        jl = kernels.inv_lower_unit(lower)[:, np.argsort(perm)]
+        iu = kernels.inv_upper(upper)
+        out = []
+        for tag, tri in ((0, jl), (1, iu)):
+            for bi in range((n + bs - 1) // bs):
+                for bj in range((m + bs - 1) // bs):
+                    if tag == 1 and bi > bj:
+                        continue  # strict lower of U⁻¹ is zero
+                    blk = tri[bi * bs:(bi + 1) * bs,
+                              bj * bs:(bj + 1) * bs]
+                    out.append(
+                        (tag, bi, bj, blk.shape[0], blk.shape[1],
+                         np.ascontiguousarray(blk).ravel())
+                    )
+        return pd.DataFrame(
+            out, columns=["tag", "bi", "bj", "rows", "cols", "data"]
+        )
+
+    tagged = (
+        a.df.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(fac, schema)
+        .persist()
+    )
+    block_cols = ["bi", "bj", "rows", "cols", "data"]
+    jl = BlockMatrixFrame(
+        tagged.filter(F.col("tag") == 0).select(*block_cols), n, m, bs
+    )
+    iu = BlockMatrixFrame(
+        tagged.filter(F.col("tag") == 1).select(*block_cols), n, m, bs
+    )
+    return jl, iu
+
+
+def _lu_inv_rec(a: BlockMatrixFrame, leaf_size: int
+                ) -> tuple[BlockMatrixFrame, BlockMatrixFrame]:
+    """Fused LU + triangular inversion + pivot fold: one bottom-up
+    sweep returning (J, U⁻¹) with J ≡ L⁻¹·P and P·A = L·U, so
+    A⁻¹ = U⁻¹·J.
+
+    The two-sweep pipeline (factor everything, THEN invert the
+    assembled triangles, THEN un-pivot) walks the recursion twice,
+    pays separate single-task ``inv_leaf_distributed`` stages per
+    leaf, three permute stages per level, and — critically — blocks
+    the driver on a pivot collect per leaf. Here each leaf task
+    inverts its triangles AND folds its pivot in the same task that
+    factored them (``_leaf_inv_frames``), and each level combines the
+    child results with static block algebra only:
+
+        U2 = J1·A2                L2 = A3·U1⁻¹      (solves become one
+                                                    multiply: factors
+                                                    arrive inverted
+                                                    and pre-pivoted)
+        S  = A4 − L2·U2           (Schur, fused-bias gemm, O11)
+        U⁻¹ = [[U1⁻¹, −U1⁻¹·U2·U3⁻¹], [0, U3⁻¹]]
+        J   = [[J1, 0], [−J3·L2·J1, J3]]
+
+    (from L = [[L1,0],[P3·L2,L3]], P = diag(P1,P3):
+    L⁻¹·P = [[L1⁻¹P1, 0],[−L3⁻¹P3·L2·L1⁻¹P1, L3⁻¹P3]] — each block is
+    a child's J, so the pivot fold composes recursively and no
+    permutation ever reaches the dataflow.) Identical arithmetic to
+    lu() + inverse_upper/lower + permute (the corner gemms move into
+    the factorization sweep; the pivots move into the leaf tasks), so
+    the residual goldens carry over. NOTHING here blocks the driver:
+    the recursion builds one lazy plan and the final action executes
+    it as a single Spark job whose stages overlap purely by data
+    dependency — leaf factorization, sibling solves, corner gemms all
+    schedule concurrently wherever the DAG allows.
+    """
+    spark = a.df.sparkSession
+    bs = a.block_size
+    if a.n_rows <= leaf_size or a.nbi == 1:
+        if a.local is None and _leaf_inv_mode() == "executor":
+            return _leaf_inv_frames(a)
+        lu_packed, perm = kernels.ludcmp(a.to_numpy())
+        lower, upper = kernels.split_lu(lu_packed)
+        jl = kernels.inv_lower_unit(lower)[:, np.argsort(perm)]
+        return (
+            BlockMatrixFrame.from_numpy(spark, jl, bs),
+            BlockMatrixFrame.from_numpy(spark, kernels.inv_upper(upper), bs),
+        )
+
+    nb = a.nbi
+    mb = nb // 2
+    a1 = a.slice_blocks(0, mb, 0, mb)
+    a2 = a.slice_blocks(0, mb, mb, nb)
+    a3 = a.slice_blocks(mb, nb, 0, mb)
+    a4 = a.slice_blocks(mb, nb, mb, nb)
+
+    jl1, iu1 = _lu_inv_rec(a1, leaf_size)
+    jl1 = _checkpoint(jl1).persist()
+    iu1 = _checkpoint(iu1).persist()
+
+    u2 = _checkpoint(multiply(jl1, a2)).persist()
+    l2 = _checkpoint(multiply(a3, iu1)).persist()
+
+    s = _checkpoint(gemm(l2, u2, c=a4, alpha=-1.0))
+    jl3, iu3 = _lu_inv_rec(s, leaf_size)
+    jl3 = _checkpoint(jl3).persist()
+    iu3 = _checkpoint(iu3).persist()
+
+    cu = gemm(multiply(iu1, u2), iu3, alpha=-1.0)
+    cl = gemm(multiply(jl3, l2), jl1, alpha=-1.0)
+    iu_df = iu1.df.unionAll(cu.shift(0, mb)).unionAll(iu3.shift(mb, mb))
+    jl_df = jl1.df.unionAll(cl.shift(mb, 0)).unionAll(jl3.shift(mb, mb))
+    n = a.n_rows
+    return (
+        BlockMatrixFrame(jl_df, n, n, bs),
+        BlockMatrixFrame(iu_df, n, n, bs),
+    )
+
+
 def inverse(a: BlockMatrixFrame,
             leaf_size: int | None = None) -> BlockMatrixFrame:
     """A⁻¹ via recursive block LU (the reference's full pipeline:
     partition → LU → triangular inverses → multiply → un-pivot,
-    `Inverse.java:28-40`). ``leaf_size=None`` picks ``auto_leaf``."""
+    `Inverse.java:28-40`). ``leaf_size=None`` picks ``auto_leaf``.
+
+    Runs the fused single-sweep recursion (``_lu_inv_rec``): leaves
+    emit pre-pivoted triangular inverses, levels combine them with
+    static block algebra, and A⁻¹ = U⁻¹·J is one final multiply — no
+    pivot collect, no permute stage, one Spark job end to end."""
     if leaf_size is None:
         leaf_size = auto_leaf(a.n_rows)
-    perm, lo, up = lu(a, leaf_size)
-    lo = _checkpoint(lo).persist()
-    up = _checkpoint(up).persist()
-    iu, il = _concurrently(
-        lambda: inverse_upper(up, leaf_size),
-        lambda: inverse_lower_unit(lo, leaf_size),
-    )
-    x = multiply(iu, il)
-    # A⁻¹ = X·P — a single column gather by perm⁻¹ (no transposes)
-    perm_inv = np.argsort(perm)
-    return permute_cols(x, perm_inv)
+    jl, iu = _lu_inv_rec(a, leaf_size)
+    return multiply(iu, jl)
 
 
 def solve(a: BlockMatrixFrame, b: BlockMatrixFrame,
