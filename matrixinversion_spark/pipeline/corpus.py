@@ -923,7 +923,12 @@ def _bpe_round_sql(i: int) -> str:
         GROUP BY w, wf)"""
 
 
-def _bpe_train_sql(rounds: int) -> str:
+def _bpe_sql_ctes(rounds: int) -> str:
+    """The shared CTE chain (tokenize → v0 → ``rounds`` merge rounds
+    ending at vocabulary v{rounds}) that both the trainer oracle and
+    the encoder oracle build on — returned WITHOUT a final SELECT so
+    each caller composes its own tail (`_bpe_train_sql` selects the
+    merge table, `_bpe_encode_sql` joins the final vocabulary)."""
     head = """
     WITH tok AS MATERIALIZED (
         SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
@@ -934,12 +939,15 @@ def _bpe_train_sql(rounds: int) -> str:
                               i -> substr(w, i, 1)) AS syms
         FROM (SELECT w, count(*) AS wf FROM tok
               WHERE length(w) >= 2 GROUP BY w)),"""
-    body = ",".join(_bpe_round_sql(i) for i in range(rounds))
+    return head + ",".join(_bpe_round_sql(i) for i in range(rounds))
+
+
+def _bpe_train_sql(rounds: int) -> str:
     tail = "\nUNION ALL\n".join(
         f"SELECT {i + 1} AS step, sym_a, sym_b, cnt FROM m{i}"
         for i in range(rounds)
     )
-    return head + body + "\n" + tail
+    return _bpe_sql_ctes(rounds) + "\n" + tail
 
 
 def _bpe_apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
@@ -1080,12 +1088,10 @@ def p_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_sql(rounds: int) -> str:
-    head = _bpe_train_sql(rounds)
-    # reuse the training chain's CTEs up to the final vocabulary
-    # v{rounds}, dropping the merge-table SELECT tail
-    ctes = head[: head.rindex("SELECT 1 AS step")].rstrip()
+    # the same CTE chain the trainer oracle uses, composed from the
+    # shared builder (no string surgery on the trainer's tail)
     return (
-        ctes
+        _bpe_sql_ctes(rounds)
         + f""",
     wl AS MATERIALIZED (
         SELECT w, len(syms) AS n_sub FROM v{rounds}),

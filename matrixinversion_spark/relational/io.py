@@ -311,6 +311,13 @@ def write_audit_publish(
     is absent — unavoidable with POSIX renames; at cluster scale
     the publish step is a catalog pointer swap (Iceberg snapshot
     commit) and the write/audit stages are identical.
+
+    Old versions are reclaimed with a one-publish grace period
+    (``_gc_old_versions``): a reader that resolved the previous
+    symlink target before the flip — e.g. a Spark scan mid-job
+    during ``compact_parquet_dir`` — finishes against the retained
+    prior version; only generations at least two publishes old are
+    deleted. The Iceberg analogue is expire_snapshots(retain_last=2).
     """
     import shutil
     import uuid
@@ -342,23 +349,50 @@ def write_audit_publish(
             f"write_audit_publish to {path!r} rejected by audits "
             f"{failed}; previously published data is untouched"
         )
-    old_target = (
-        os.path.realpath(path) if os.path.islink(path) else None
-    )
     if os.path.islink(path) or not os.path.exists(path):
         # atomic publish: rename a prepared symlink over the old one
         tmplink = os.path.join(parent, f".{base}.lnk-{tag}")
         os.symlink(version, tmplink)
         os.replace(tmplink, path)
-        if old_target is not None:
-            shutil.rmtree(old_target, ignore_errors=True)
     else:
         # pre-existing real directory: one-time two-rename takeover
         replaced = os.path.join(parent, f".{base}.replaced-{tag}")
         os.rename(path, replaced)
         os.symlink(version, path)
         shutil.rmtree(replaced, ignore_errors=True)
+    # GRACE-PERIOD GC, not immediate deletion: a reader that resolved
+    # the old symlink target before the flip (a Spark scan mid-job)
+    # must not hit FileNotFound. The immediately-previous version
+    # survives one publish cycle; generations older than that are
+    # reclaimed — the local-FS analogue of Iceberg's
+    # expire_snapshots(retain_last=2).
+    _gc_old_versions(parent, base, current=os.path.realpath(path))
     return results
+
+
+def _gc_old_versions(parent: str, base: str, current: str,
+                     keep_prior: int = 1) -> None:
+    """Delete stale ``.{base}.v-*`` version dirs, keeping the current
+    publish target plus the ``keep_prior`` most recently modified
+    non-current versions (in-flight readers of the previous snapshot
+    finish undisturbed; versions two publishes old are reclaimed)."""
+    import shutil
+
+    prefix = f".{base}.v-"
+    stale = []
+    for name in os.listdir(parent):
+        if not name.startswith(prefix):
+            continue
+        full = os.path.join(parent, name)
+        if os.path.realpath(full) == current:
+            continue
+        try:
+            stale.append((os.path.getmtime(full), full))
+        except OSError:
+            continue  # concurrently GC'd by another publisher
+    stale.sort(reverse=True)
+    for _, full in stale[keep_prior:]:
+        shutil.rmtree(full, ignore_errors=True)
 
 
 def compact_parquet_dir(

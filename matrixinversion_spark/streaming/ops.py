@@ -255,6 +255,24 @@ def purchase_view_left_join(events_a: DataFrame, events_b: DataFrame,
     return _purchase_view_join(events_a, events_b, max_gap, "left_outer")
 
 
+def purchase_view_full_join(events_a: DataFrame, events_b: DataFrame,
+                            max_gap: str = "1 hour") -> DataFrame:
+    """FULL OUTER stream-stream join — completes the outer-join
+    family: matched rows emit immediately; match-less PURCHASES flush
+    null-padded once the watermark proves no view can still arrive
+    (the left-join behavior); match-less VIEWS likewise flush
+    null-padded once the watermark proves no purchase within
+    ``max_gap`` AFTER them can still arrive. Both eviction proofs
+    ride the same two-sided event-time bound + dual watermarks, so
+    state stays ``max_gap + watermark`` per side per user-key
+    partition — the full join costs no more state than the left one,
+    it only flushes from both buffers instead of one. Rows inside
+    the final unprovable horizon at stream end stay unflushed on
+    BOTH sides, by the same restart-safety argument as the left
+    join's."""
+    return _purchase_view_join(events_a, events_b, max_gap, "full_outer")
+
+
 def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: dropDuplicatesWithinWatermark keeps
     state only inside the watermark horizon (bounded memory), vs.
@@ -659,15 +677,28 @@ class WatermarkDropAudit:
     watermark delay is too tight for the source's disorder.
 
     Usage: ``audit = WatermarkDropAudit.attach(spark)`` before
-    starting the query; read ``audit.dropped`` after (or between
-    batches); ``audit.detach(spark)`` when done. Listener callbacks
-    are driver-side metadata only — zero executor overhead."""
+    starting the query, then ``audit.bind(query.id)`` right after
+    ``start()`` so the audit tracks THAT query; read
+    ``audit.dropped`` after (or between batches);
+    ``audit.detach(spark)`` when done. Unbound audits fall back to
+    latching the first progress event seen — convenient when the
+    session runs a single query, but wrong when another query is
+    already running (its progress would be latched instead), which
+    is why ``bind`` exists. Listener callbacks are driver-side
+    metadata only — zero executor overhead."""
 
     def __init__(self) -> None:
         self.dropped = 0
         self.batches = 0
-        self.query_id = None  # latched from the first progress event
+        self.query_id = None  # bind()-pinned, else first-event latch
         self._listener = None
+
+    def bind(self, query_id) -> "WatermarkDropAudit":
+        """Pin the audit to a specific query id (``query.id`` from
+        ``start()``) — the only unambiguous mode when the session
+        hosts concurrent streaming queries."""
+        self.query_id = str(query_id)
+        return self
 
     @classmethod
     def attach(cls, spark: SparkSession) -> "WatermarkDropAudit":
@@ -680,12 +711,13 @@ class WatermarkDropAudit:
                 pass
 
             def onQueryProgress(self, event) -> None:
-                # listeners are SESSION-scoped: latch the first query
-                # seen and ignore the rest, so concurrent queries on
-                # the same session can't pollute this audit's counts
+                # listeners are SESSION-scoped: follow the bind()-ed
+                # query if set, else latch the first query seen, so
+                # concurrent queries on the same session can't
+                # pollute this audit's counts
                 if audit.query_id is None:
-                    audit.query_id = event.progress.id
-                if event.progress.id != audit.query_id:
+                    audit.query_id = str(event.progress.id)
+                if str(event.progress.id) != audit.query_id:
                     return
                 audit.batches += 1
                 for op in event.progress.stateOperators:
@@ -750,7 +782,15 @@ def wap_stream_sink(
     marker = _os.path.join(path, "_sink_metadata.json")
     if _os.path.exists(marker):
         with open(marker) as f:
-            recorded = _json.load(f).get("checkpoint")
+            try:
+                recorded = _json.load(f).get("checkpoint")
+            except _json.JSONDecodeError as e:
+                raise ValueError(
+                    f"sink metadata {marker!r} is corrupt ({e}); the "
+                    "marker records which checkpoint owns this "
+                    "output, so refusing to guess — restore it or "
+                    "use a fresh output path."
+                ) from e
         if recorded != ckpt_key:
             raise ValueError(
                 f"output {path!r} was published from checkpoint "
@@ -761,8 +801,13 @@ def wap_stream_sink(
                 "checkpoint)."
             )
     else:
-        with open(marker, "w") as f:
+        # write-then-rename so a crash mid-write can never leave a
+        # truncated marker (which would turn every later start into
+        # a JSONDecodeError instead of the designed identity check)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             _json.dump({"checkpoint": ckpt_key}, f)
+        _os.replace(tmp, marker)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         part = _os.path.join(path, f"batch={batch_id}")

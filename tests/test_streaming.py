@@ -384,6 +384,95 @@ def test_stream_stream_left_join_matches_batch(spark):
     assert flushed_due <= set(got_null["purchase_id"].astype("int64"))
 
 
+def test_stream_stream_full_join_matches_batch(spark):
+    """FULL OUTER interval join vs its batch twin: matched pairs
+    exact; each null side a subset of the batch's match-less rows;
+    provably-closed match-less rows on BOTH sides flushed."""
+    import pandas as pd
+
+    a = sops.read_events_stream(spark, SF_DIR)
+    b = sops.read_events_stream(spark, SF_DIR)
+    q = (
+        sops.purchase_view_full_join(a, b)
+        .writeStream.format("memory")
+        .queryName("pv_full_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT p_user, purchase_id, view_id, p_ts, v_ts FROM pv_full_join"
+    ).toPandas()
+
+    e = read_table(spark, SF_DIR, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    batch = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour")),
+        "full_outer",
+    ).select("purchase_id", "view_id", "p_ts", "v_ts").toPandas()
+
+    # matched pairs agree exactly with the batch twin
+    got_m = set(
+        map(tuple, got.dropna(subset=["purchase_id", "view_id"])[
+            ["purchase_id", "view_id"]].astype("int64").values)
+    )
+    batch_m = set(
+        map(tuple, batch.dropna(subset=["purchase_id", "view_id"])[
+            ["purchase_id", "view_id"]].astype("int64").values)
+    )
+    assert got_m == batch_m
+
+    # null-view rows (match-less purchases): subset of batch's, and
+    # the provably-closed ones must have flushed
+    matchless_p = set(
+        batch[batch["view_id"].isna()]["purchase_id"].astype("int64")
+    )
+    got_null_v = got[got["view_id"].isna()]
+    assert set(got_null_v["purchase_id"].astype("int64")) <= matchless_p
+    assert len(got_null_v) > 0
+
+    # null-purchase rows (match-less views) — the capability the left
+    # join does not exercise
+    matchless_v = set(
+        batch[batch["purchase_id"].isna()]["view_id"].astype("int64")
+    )
+    got_null_p = got[got["purchase_id"].isna()]
+    assert set(got_null_p["view_id"].astype("int64")) <= matchless_v
+    assert len(got_null_p) > 0
+
+    wm = e.agg(F.max("ts")).collect()[0][0] - pd.Timedelta(hours=2)
+    # purchases are provably closed 1h (max_gap) behind the watermark
+    flushed_due_p = set(
+        batch[
+            batch["view_id"].isna()
+            & (batch["p_ts"] < wm - pd.Timedelta(hours=1))
+        ]["purchase_id"].astype("int64")
+    )
+    assert flushed_due_p <= set(got_null_v["purchase_id"].astype("int64"))
+    # views are provably closed once no purchase up to max_gap AFTER
+    # them can arrive, i.e. v_ts + 1h < watermark
+    flushed_due_v = set(
+        batch[
+            batch["purchase_id"].isna()
+            & (batch["v_ts"] < wm - pd.Timedelta(hours=1))
+        ]["view_id"].astype("int64")
+    )
+    assert flushed_due_v <= set(got_null_p["view_id"].astype("int64"))
+
+
 def test_drift_psi_stream_matches_batch(spark):
     e = read_table(spark, SF_DIR, "events")
     lo, hi, n_bins, eps = 0.0, 100.0, 10, 1e-4
@@ -517,6 +606,9 @@ def test_watermark_semantics_state_bound_not_completeness(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
+        # bind to THIS query id — the session may have run other
+        # streaming queries whose progress would otherwise latch first
+        audit.bind(q.id)
         q.awaitTermination()
         deadline = _time.time() + 30
         while audit.batches < 2 and _time.time() < deadline:

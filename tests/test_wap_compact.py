@@ -53,7 +53,10 @@ def test_wap_publishes_when_audits_pass(spark):
     hidden = _hidden(parent)
     assert len(hidden) == 1 and ".v-" in hidden[0]
 
-    # republish: still readable, old version garbage-collected
+    # republish: still readable; the PRIOR version survives one
+    # publish cycle (grace period for in-flight readers that resolved
+    # the old symlink target before the flip) — so 2 hidden versions
+    first_version = os.path.realpath(path)
     write_audit_publish(
         d.limit(100),
         path,
@@ -61,7 +64,19 @@ def test_wap_publishes_when_audits_pass(spark):
         target_rows_per_file=5000,
     )
     assert spark.read.parquet(path).count() == 100
-    assert len(_hidden(parent)) == 1
+    assert len(_hidden(parent)) == 2
+    assert os.path.isdir(first_version)  # in-flight readers unharmed
+
+    # a third publish reclaims the oldest generation: still 2 hidden
+    write_audit_publish(
+        d.limit(10),
+        path,
+        {"ok": lambda s: s.count() == 10},
+        target_rows_per_file=5000,
+    )
+    assert spark.read.parquet(path).count() == 10
+    assert len(_hidden(parent)) == 2
+    assert not os.path.exists(first_version)  # two generations old: GC'd
 
 
 def test_wap_failure_keeps_prior_publish_intact(spark):
