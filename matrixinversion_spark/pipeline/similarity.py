@@ -705,9 +705,10 @@ _PQ_CTES = f"""
     )"""
 
 
-def _pq_parts(n: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_parts(n: DataFrame, pq_k: int = PQ_K
+              ) -> tuple[DataFrame, DataFrame]:
     """Subspace slices (vec_id, m, xs) and the deterministic
-    codebook (cm, k, cs): sub-slices of the first PQ_K vectors."""
+    codebook (cm, k, cs): sub-slices of the first ``pq_k`` vectors."""
     ms = F.explode(
         F.array(*[F.lit(m) for m in range(PQ_M)])
     ).alias("m")
@@ -716,7 +717,7 @@ def _pq_parts(n: DataFrame) -> tuple[DataFrame, DataFrame]:
         "m",
         F.expr(f"slice(e, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("xs"),
     )
-    cb = sub.filter(F.col("vec_id") < PQ_K).select(
+    cb = sub.filter(F.col("vec_id") < pq_k).select(
         F.col("m").alias("cm"),
         F.col("vec_id").alias("k"),
         F.col("xs").alias("cs"),
@@ -745,10 +746,11 @@ def _pq_encode(sub: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _pq_lut(sub: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_lut(sub: DataFrame, cb: DataFrame,
+            n_queries: int = N_QUERIES) -> DataFrame:
     """Per-query inner-product lookup table (query_id, m, k, ip)."""
     return (
-        sub.filter(F.col("vec_id") < N_QUERIES)
+        sub.filter(F.col("vec_id") < n_queries)
         .join(F.broadcast(cb), F.col("m") == F.col("cm"))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -891,9 +893,28 @@ def p_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     code table with the cid filter applied BEFORE the M-way lookup
     aggregate — candidate volume is nprobe/n_cells of the corpus,
     at 32x-compressed width. Recall vs `p_knn_bruteforce` is the
-    measured gap; raise IVFPQ_NPROBE to trade latency for recall."""
+    measured gap; raise IVFPQ_NPROBE to trade latency for recall
+    (measured at 200k vectors by scripts/exp_ivfpq_recall.py —
+    recall@10 vs brute force over the full query set per nprobe,
+    numbers in BENCH_NOTES)."""
     n = _vectors(spark, sf_dir)
-    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+    return ivfpq_topk(n)
+
+
+def ivfpq_topk(
+    n: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_queries: int = N_QUERIES,
+    nprobe: int = IVFPQ_NPROBE,
+    top_k: int = TOP_K,
+    pq_k: int = PQ_K,
+) -> DataFrame:
+    """Parameterized IVF-PQ top-k over a normalized vector frame
+    (vec_id, e, nrm) — the body of ``p_ann_ivfpq_topk`` with the
+    index geometry exposed, so the recall sweep
+    (scripts/exp_ivfpq_recall.py) can scale cells/probes/queries
+    without touching the oracle-pinned registered query."""
+    cent = n.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
@@ -910,14 +931,14 @@ def p_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = arnks.filter(F.col("arnk") == 1).select("vec_id", "cid")
     probes = (
         arnks.filter(
-            (F.col("arnk") <= IVFPQ_NPROBE)
-            & (F.col("vec_id") < N_QUERIES)
+            (F.col("arnk") <= nprobe)
+            & (F.col("vec_id") < n_queries)
         )
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
-    sub, cb = _pq_parts(n)
+    sub, cb = _pq_parts(n, pq_k)
     codes = _pq_encode(sub, cb).join(assign, "vec_id")
-    lut_p = probes.join(_pq_lut(sub, cb), "query_id").select(
+    lut_p = probes.join(_pq_lut(sub, cb, n_queries), "query_id").select(
         "query_id", F.col("cid").alias("pcid"), F.col("m").alias("pm"),
         F.col("k").alias("pk"), "ip",
     )
@@ -937,6 +958,6 @@ def p_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         score.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        .filter(F.col("rnk") <= top_k)
         .select("query_id", "neighbor_id", "adc_ip", "rnk")
     )
