@@ -830,9 +830,7 @@ def p_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "p_ann_ivfpq_topk",
-    oracle=f"""
+_IVFPQ_ORACLE_CORE = f"""
     WITH {_VEC_CTE},
     cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
              WHERE vec_id < {N_CENTROIDS}),
@@ -860,13 +858,20 @@ def p_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN lut_p l ON x.cid = l.cid AND x.m = l.m AND x.k = l.k
         WHERE l.query_id != x.vec_id
         GROUP BY 1, 2
-    )
-    SELECT query_id, neighbor_id, adc_ip, rnk FROM (
+    ),
+    adc_ranked AS (
         SELECT query_id, neighbor_id, adc_ip,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY adc_ip DESC, neighbor_id) AS rnk
         FROM score
-    ) WHERE rnk <= {TOP_K}
+    )"""
+
+
+@query(
+    "p_ann_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE_CORE + f"""
+    SELECT query_id, neighbor_id, adc_ip, rnk FROM adc_ranked
+    WHERE rnk <= {TOP_K}
     """,
 )
 def p_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,4 +965,73 @@ def ivfpq_topk(
         score.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= top_k)
         .select("query_id", "neighbor_id", "adc_ip", "rnk")
+    )
+
+
+ANN_REFINE = 3  # exact re-rank of the ADC top-(TOP_K * ANN_REFINE)
+
+
+@query(
+    "p_ann_ivfpq_refined",
+    oracle=_IVFPQ_ORACLE_CORE + f"""
+    SELECT query_id, neighbor_id, cos, rnk FROM (
+        SELECT a.query_id, a.neighbor_id,
+               round(list_dot_product(q.e, x.e) / (q.nrm * x.nrm), 6)
+                   AS cos,
+               row_number() OVER (
+                   PARTITION BY a.query_id
+                   ORDER BY round(list_dot_product(q.e, x.e)
+                                  / (q.nrm * x.nrm), 6) DESC,
+                            a.neighbor_id
+               ) AS rnk
+        FROM adc_ranked a
+        JOIN n q ON q.vec_id = a.query_id
+        JOIN n x ON x.vec_id = a.neighbor_id
+        WHERE a.rnk <= {TOP_K * ANN_REFINE}
+    ) WHERE rnk <= {TOP_K}
+    """,
+)
+def p_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + refine: the full production retrieval stack (FAISS
+    IndexRefine over IVFADC; Jegou et al. 2011 §VI report the same
+    two-stage design). The ADC stage over-estimates some candidates
+    (a mix of per-subspace codewords can align with the query better
+    than any real vector — measured in scripts/exp_ivfpq_recall.py:
+    raw ADC recall@10 ~0.49 at 200k vectors, refined 0.99), so the
+    deployment answer is: ADC produces a small over-fetched
+    candidate list (TOP_K * ANN_REFINE per query), and EXACT cosine
+    over just those candidates produces the final ranking.
+
+    100 TB shape: the refine join touches TOP_K * ANN_REFINE rows
+    per query — a constant amount of float work per query regardless
+    of corpus size — and joins the float vectors of candidates only
+    (point lookups by vec_id; in production a stored-vector side
+    table partition-pruned by id range). Everything before it is the
+    registered IVF-PQ plan unchanged.
+    """
+    n = _vectors(spark, sf_dir)
+    cand = ivfpq_topk(n, top_k=TOP_K * ANN_REFINE)
+    qv = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    xv = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("xe"),
+        F.col("nrm").alias("xn"),
+    )
+    cos = F.round(
+        dot(F.col("qe"), F.col("xe")) / (F.col("qn") * F.col("xn")), 6
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(xv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rnk")
     )
