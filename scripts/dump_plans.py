@@ -63,11 +63,14 @@ NOTES: dict[str, str] = {
         "skew handling is needed at any scale."
     ),
     "p_dedup_minhash_lsh": (
-        "Signatures are JVM array expressions evaluated in the scan "
-        "stage (zero shuffle); the only wide stage is the "
-        "(band, key) candidate self-join. Band keys are md5-derived, "
-        "so the shuffle is uniform; signature verification rides on "
-        "the already-joined rows."
+        "Signatures come from the shared per-corpus persisted frame "
+        "(round 9: InMemoryTableScan here — computed once, reused by "
+        "the split-leakage audit, one md5-over-shingles pass per "
+        "corpus); the only wide stage is the (band, key) candidate "
+        "self-join. Band keys are md5-derived, so the shuffle is "
+        "uniform; signature verification rides on the already-joined "
+        "rows. Pathological identical-doc buckets are refused by the "
+        "opt-in lsh_bucket_guard (off here for oracle exactness)."
     ),
     "p_knn_bruteforce": (
         "Query vectors broadcast; the corpus scan computes dot "
