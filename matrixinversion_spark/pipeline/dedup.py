@@ -708,6 +708,21 @@ CDC_MIN_CHUNK = 8  # FastCDC min-size: anchors closer than this to the
                    # without it, runs of 1-5 char chunks are duplicated
                    # corpus-wide by chance at large N and accrete into
                    # false spans (~3e-5/char measured on random text)
+CDC_MAX_CHUNK = 64  # FastCDC max-size: if no anchor fires within this
+                    # many chars of the previous accepted boundary, a
+                    # boundary is FORCED at +CDC_MAX_CHUNK (and again
+                    # every CDC_MAX_CHUNK until an anchor resumes).
+                    # Without it, an "anchor desert" — a stretch where
+                    # the rolling predicate never fires, P≈(15/16)^L
+                    # per position, so ~0.04% of 128-char windows —
+                    # becomes one unbounded chunk that crosses into
+                    # divergent context and silently hides any
+                    # duplicated text inside it (measured: 1% of 300-
+                    # char planted regions lost 100-160 chars of
+                    # coverage to exactly this). Forced boundaries are
+                    # placed relative to the previous ACCEPTED
+                    # boundary, so they re-synchronize across
+                    # documents the same way anchors do.
 CDC_MIN_SPAN = 40  # report merged duplicated spans of at least this many chars
 
 
@@ -718,20 +733,35 @@ CDC_MIN_SPAN = 40  # report merged duplicated spans of at least this many chars
         SELECT doc_id, string_split(text, '') AS cs, length(text) AS n
         FROM documents
     ),
+    bounds0 AS (
+        SELECT doc_id, cs, n,
+               list_reduce(
+                   list_prepend([CAST(1 AS BIGINT)], list_transform(
+                       list_filter(range(2, n + 1),
+                           i -> (ascii(cs[i - 1]) * 131
+                                 + ascii(cs[i])) % {CDC_MOD} = 0),
+                       i -> [i])),
+                   (acc, x) -> CASE
+                       WHEN x[1] - (acc[len(acc)] + {CDC_MAX_CHUNK}
+                                    * ((x[1] - 1 - acc[len(acc)])
+                                       // {CDC_MAX_CHUNK}))
+                            >= {CDC_MIN_CHUNK}
+                       THEN list_append(list_concat(acc,
+                                range(acc[len(acc)] + {CDC_MAX_CHUNK},
+                                      x[1], {CDC_MAX_CHUNK})), x[1])
+                       ELSE list_concat(acc,
+                                range(acc[len(acc)] + {CDC_MAX_CHUNK},
+                                      x[1], {CDC_MAX_CHUNK}))
+                   END) AS r
+        FROM ch
+    ),
     bounds AS (
         SELECT doc_id, cs,
                list_append(
-                   list_reduce(
-                       list_prepend([CAST(1 AS BIGINT)], list_transform(
-                           list_filter(range(2, n + 1),
-                               i -> (ascii(cs[i - 1]) * 131
-                                     + ascii(cs[i])) % {CDC_MOD} = 0),
-                           i -> [i])),
-                       (acc, x) -> CASE
-                           WHEN x[1] - acc[len(acc)] >= {CDC_MIN_CHUNK}
-                           THEN list_append(acc, x[1]) ELSE acc END),
+                   list_concat(r, range(r[len(r)] + {CDC_MAX_CHUNK},
+                                        n + 1, {CDC_MAX_CHUNK})),
                    n + 1) AS b
-        FROM ch
+        FROM bounds0
     ),
     chunks AS (
         SELECT doc_id,
@@ -774,14 +804,18 @@ def p_dedup_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-aligned repeats. Content-defined anchors fix the alignment
     problem: a boundary is placed wherever a 2-char rolling predicate
     ``(ascii(c[i-1])*131 + ascii(c[i])) % CDC_MOD == 0`` fires — with
-    the FastCDC (Xia 2016) min-size rule: anchors closer than
+    BOTH FastCDC (Xia 2016) size rules: anchors closer than
     CDC_MIN_CHUNK to the previous accepted boundary are skipped (a
     left fold over the anchor list), killing the tiny chunks that
-    would otherwise be duplicated corpus-wide by chance. A duplicated
-    region therefore produces the SAME chunk boundaries in every
-    document containing it regardless of offset (boundary acceptance
-    resynchronizes within ~one chunk of the region start). Chunks
-    whose hash
+    would otherwise be duplicated corpus-wide by chance; and a
+    boundary is FORCED every CDC_MAX_CHUNK chars when no anchor
+    fires (an "anchor desert" otherwise becomes one unbounded chunk
+    crossing into divergent context, hiding any duplicated text it
+    contains — round-9 planted-truth finding, see CDC_MAX_CHUNK).
+    A duplicated region therefore produces the SAME chunk boundaries
+    in every document containing it regardless of offset (boundary
+    acceptance — forced or anchored — resynchronizes within ~one
+    chunk of the region start). Chunks whose hash
     appears in >= 2 distinct documents are marked, and maximal runs
     of adjacent marked chunks merge into spans (islands-and-gaps);
     spans >= CDC_MIN_SPAN chars are reported as
@@ -818,18 +852,45 @@ def p_dedup_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     )
+    def _forced(last, nxt):
+        # boundaries forced every CDC_MAX_CHUNK inside an anchor
+        # desert (last .. nxt), strictly before nxt; empty when the
+        # gap fits in one max-size chunk (the when-guard also keeps
+        # sequence()'s start <= stop)
+        return F.when(
+            nxt - last > CDC_MAX_CHUNK,
+            F.sequence(
+                last + CDC_MAX_CHUNK, nxt - 1, F.lit(CDC_MAX_CHUNK)
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    def _step(acc, i):
+        last = F.element_at(acc, F.size(acc))
+        # last boundary AFTER forced insertion, in closed form:
+        # last + MAX * floor((i - 1 - last) / MAX)
+        last2 = last + CDC_MAX_CHUNK * (
+            (i - F.lit(1) - last) / F.lit(CDC_MAX_CHUNK)
+        ).cast("int")
+        base = F.concat(acc, _forced(last, i))
+        return F.when(
+            i - last2 >= CDC_MIN_CHUNK, F.concat(base, F.array(i))
+        ).otherwise(base)
+
     accepted = F.aggregate(
         F.filter(F.sequence(F.lit(2), F.col("n")), anchor(F.col("cs"))),
         F.array(F.lit(1)),
-        lambda acc, i: F.when(
-            i - F.element_at(acc, F.size(acc)) >= CDC_MIN_CHUNK,
-            F.concat(acc, F.array(i)),
-        ).otherwise(acc),
+        _step,
     )
-    bounds = cs.select(
+    acc_b = cs.select("doc_id", "cs", "n", accepted.alias("acc"))
+    tail_last = F.element_at(F.col("acc"), F.size("acc"))
+    bounds = acc_b.select(
         "doc_id",
         "cs",
-        F.concat(accepted, F.array(F.col("n") + 1)).alias("b"),
+        F.concat(
+            F.col("acc"),
+            _forced(tail_last, F.col("n") + 1),
+            F.array(F.col("n") + 1),
+        ).alias("b"),
     )
     chunks = (
         bounds.select(

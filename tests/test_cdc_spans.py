@@ -87,3 +87,46 @@ def test_cdc_ignores_within_doc_repeats_and_short_overlap(spark):
 
     assert spans == [], [tuple(r) for r in spans]
     assert CDC_MIN_SPAN > 12
+
+
+def test_cdc_max_size_rule_recovers_anchor_deserts(spark):
+    """FastCDC max-size rule (round 9): a shared region whose TAIL is
+    an anchor desert (a char run where the rolling predicate never
+    fires) must still be detected past the desert — without forced
+    boundaries the desert joins one unbounded chunk that crosses into
+    divergent context and its duplicated text silently vanishes."""
+    from matrixinversion_spark.pipeline.dedup import CDC_MAX_CHUNK
+
+    # 'q' never anchors against itself: (ord('q')*131 + ord('q')) % 16
+    # != 0 — a 'q'-run of any length contains no interior anchor
+    assert (ord("q") * 131 + ord("q")) % CDC_MOD != 0
+
+    rng = random.Random(99)
+    # region: 100 anchored chars, then a 200-char desert
+    region = _rand_text(rng, 100) + "q" * 200
+    doc_a = _rand_text(rng, 150) + region + _rand_text(rng, 150)
+    doc_b = _rand_text(rng, 310) + region + _rand_text(rng, 60)
+    rows = [(0, doc_a), (1, doc_b)] + [
+        (i, _rand_text(rng, 400)) for i in range(2, 10)
+    ]
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+            f"{td}/documents.parquet"
+        )
+        spans = p_dedup_spans_cdc(spark, td).collect()
+
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # both docs report a span reaching deep into the desert: at least
+    # region_len - CDC_MAX_CHUNK (the final fragment before the
+    # region edge can still merge with divergent context)
+    for doc_id, off in ((0, 150), (1, 310)):
+        assert doc_id in by_doc, f"doc {doc_id}: desert region missed"
+        end = max(
+            r["span_start"] - 1 + r["span_len"] for r in by_doc[doc_id]
+        )
+        assert end >= off + 300 - CDC_MAX_CHUNK, (doc_id, end)
+    # noise docs stay clean
+    assert set(by_doc) == {0, 1}
