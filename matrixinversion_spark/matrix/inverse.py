@@ -227,17 +227,28 @@ def _lu_inv_rec(a: BlockMatrixFrame, leaf_size: int
     a3 = a.slice_blocks(mb, nb, 0, mb)
     a4 = a.slice_blocks(mb, nb, mb, nb)
 
+    # Depth-aware lineage control (measured, N=2048/N=4096 A/B): at
+    # the LOWEST internal level the children are leaf task outputs —
+    # already persisted, two-step lineage — and localCheckpoint's
+    # serialized materialization jobs dominate the wall (7.8 -> 4.0 s
+    # median at N=2048 without them). One level up the opposite
+    # holds: without checkpoints the recursive plan triples Catalyst
+    # analysis time (4.7 -> 12.8 s plan-build at N=4096). So: plain
+    # persist when the children are leaves, checkpoint+persist above.
+    child_leaf = mb * a.block_size <= leaf_size or mb == 1
+    ck = (lambda m: m) if child_leaf else _checkpoint
+
     jl1, iu1 = _lu_inv_rec(a1, leaf_size)
-    jl1 = _checkpoint(jl1).persist()
-    iu1 = _checkpoint(iu1).persist()
+    jl1 = ck(jl1).persist()
+    iu1 = ck(iu1).persist()
 
-    u2 = _checkpoint(multiply(jl1, a2)).persist()
-    l2 = _checkpoint(multiply(a3, iu1)).persist()
+    u2 = ck(multiply(jl1, a2)).persist()
+    l2 = ck(multiply(a3, iu1)).persist()
 
-    s = _checkpoint(gemm(l2, u2, c=a4, alpha=-1.0))
+    s = ck(gemm(l2, u2, c=a4, alpha=-1.0))
     jl3, iu3 = _lu_inv_rec(s, leaf_size)
-    jl3 = _checkpoint(jl3).persist()
-    iu3 = _checkpoint(iu3).persist()
+    jl3 = ck(jl3).persist()
+    iu3 = ck(iu3).persist()
 
     cu = gemm(multiply(iu1, u2), iu3, alpha=-1.0)
     cl = gemm(multiply(jl3, l2), jl1, alpha=-1.0)
