@@ -60,25 +60,37 @@ def _hash32_sql(expr: str) -> str:
 
 
 def shingles_from_tokens(ts: Column, k: int = 3) -> Column:
-    """Distinct k-token shingles from a MATERIALIZED token array.
+    """Distinct k-token shingles, built so the token array is
+    referenced O(k) times per ROW — never per shingle.
 
-    ``ts`` must be a plain column reference (select the split into
-    its own projection first): the window lambda reads it k times per
-    shingle, and an inlined ``split(text)`` expression would be
-    re-evaluated at every ``element_at`` — turning shingling
-    quadratic in document length (measured 4-5 s of the MinHash
-    stage at sf0.1; ~0.5 s materialized)."""
+    The naive form (``transform(sequence(...), i -> concat_ws(' ',
+    element_at(ts, i), ...))``) reads ``ts`` k times per shingle.
+    That is harmless while ``ts`` is a materialized column — but
+    Catalyst's filter pushdown INLINES projection aliases into the
+    pushed predicate unconditionally, so a downstream
+    ``filter(size(shingles) > 0)`` arrives at the parquet scan with
+    ``ts`` replaced by ``split(text)`` and re-tokenizes the document
+    once per ``element_at`` call: quadratic in document length
+    (measured: the pushed filter alone cost ~4 s of the sf0.1
+    MinHash stage — more than the whole signature computation).
+    Here each k-gram is assembled by ``zip_with`` over shifted
+    ``slice``s of ``ts``: zip_with evaluates its array arguments
+    ONCE, so even fully inlined the document is re-split k times per
+    row, not k times per shingle."""
     n = F.size(ts)
-    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-indexed like SQL lists
-    windows = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ts, i + j) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(windows)).otherwise(
-        F.array().cast("array<string>")
-    )
+    win = ts
+    for j in range(1, k):
+        win = F.zip_with(
+            win,
+            F.slice(ts, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    # zip_with pads the shorter side with null and concat_ws skips
+    # nulls, so the trailing k-1 entries are SHORT windows — slice
+    # them off before distinct
+    return F.when(
+        n >= k, F.array_distinct(F.slice(win, 1, n - (k - 1)))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(text: Column, k: int = 3) -> Column:
