@@ -336,25 +336,47 @@ def p_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sorted value changes), and read distinct count / max run
     length off the boundary positions. No explode, no shuffle, no
     per-token map rebuild: a 100 TB corpus streams through map-side
-    only."""
+    only.
+
+    The sorted array and the boundary list are MATERIALIZED as
+    projection columns before the per-element lambdas read them:
+    passing the ``array_sort(...)`` expression object straight into
+    the ``element_at`` lambda inlines it per element — the document
+    re-sorts once per token, O(n² log n) per row (measured: 39 s at
+    sf0.1 inlined vs ~1 s materialized; same trap as
+    ``dedup.shingles_from_tokens``). An alias referenced repeatedly
+    by a non-cheap expression is exactly what CollapseProject
+    refuses to merge, so the two-step projection stays materialized
+    in the physical plan."""
     d = read_table(spark, sf_dir, "documents")
-    ts = F.array_sort(tokens(F.col("text")))
+    sorted_ts = d.select(
+        "doc_id", F.array_sort(tokens(F.col("text"))).alias("ts")
+    )
+    ts = F.col("ts")
     n = F.size(ts)
     # 1-indexed positions where a new run of equal tokens starts
-    starts = F.filter(
+    starts_expr = F.filter(
         F.sequence(F.lit(1), n),
         lambda i: (i == 1) | (F.element_at(ts, i) != F.element_at(ts, i - 1)),
     )
+    with_starts = sorted_ts.select(
+        "doc_id", "ts", starts_expr.alias("starts")
+    )
     # run length = gap to the next start (sentinel n+1 closes the last)
     run_lens = F.zip_with(
-        starts,
-        F.concat(F.slice(starts, 2, F.size(starts)), F.array(n + 1)),
+        F.col("starts"),
+        F.concat(
+            F.slice(F.col("starts"), 2, F.size("starts")),
+            F.array(n + 1),
+        ),
         lambda a, b: b - a,
     )
-    return d.select(
+    return with_starts.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
-        F.round(F.size(starts).cast("double") / n, 6).alias("distinct_ratio"),
+        F.round(F.size("starts").cast("double") / n, 6).alias(
+            "distinct_ratio"
+        ),
         F.round(F.array_max(run_lens).cast("double") / n, 6).alias(
             "top_word_frac"
         ),
