@@ -682,12 +682,48 @@ def p_set_similarity_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos")
             <= F.col("n") - F.ceil(F.lit(PPJOIN_TAU) * F.col("n")) + 1
         )
-        .select("doc_id", "t")
+        .select("doc_id", "t", "n", "pos")
+    )
+    # PPJoin's two LOSSLESS in-join prunes (Xiao et al. §3), applied
+    # per matched-token row BEFORE the distinct — the first common
+    # prefix token of any true pair always passes both, and one
+    # surviving row is all distinct() needs:
+    # - length filter: J >= tau forces tau*|A| <= |B| <= |A|/tau;
+    # - positional filter: overlap <= 1 + min(remaining tokens after
+    #   this position on each side), which must reach the equivalent
+    #   overlap threshold alpha = ceil(tau/(1+tau)*(|A|+|B|)).
+    # On a dense small-vocabulary corpus (sf testdata: 31 distinct
+    # tokens, so prefix buckets prune nothing) these cut candidate
+    # volume where the prefix filter cannot; on Zipfian text the
+    # prefix filter does the heavy lifting and these mop up.
+    pa = prefix.select(
+        F.col("doc_id").alias("id_a"), "t",
+        F.col("n").alias("na"), F.col("pos").alias("pa"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("id_b"), "t",
+        F.col("n").alias("nb"), F.col("pos").alias("pb"),
+    )
+    # 1e-9 slack keeps float rounding from ever over-pruning a
+    # boundary-exact pair (lossless-ness beats a hair of pruning)
+    alpha = F.ceil(
+        F.lit(PPJOIN_TAU / (1.0 + PPJOIN_TAU))
+        * (F.col("na") + F.col("nb"))
+        - F.lit(1e-9)
     )
     cand = (
-        prefix.select(F.col("doc_id").alias("id_a"), "t")
-        .join(prefix.select(F.col("doc_id").alias("id_b"), "t"), "t")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pa.join(pb, "t")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= F.lit(PPJOIN_TAU) * F.col("na") - F.lit(1e-9))
+            & (F.col("na") >= F.lit(PPJOIN_TAU) * F.col("nb") - F.lit(1e-9))
+            & (
+                1 + F.least(
+                    F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
+                )
+                >= alpha
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
