@@ -886,7 +886,14 @@ def p_dedup_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    d = read_table(spark, sf_dir, "documents")
+    # fan out before the CPU-heavy per-char chunking: the test corpus
+    # is one parquet file = one input partition, and without this the
+    # whole anchor scan + fold + chunk hashing runs on a single core
+    # (measured 42 s -> ~3 s at sf0.1); at real scale the file layout
+    # provides the parallelism for free
+    d = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cs = d.select(
         "doc_id",
         F.split("text", "").alias("cs"),
@@ -940,37 +947,43 @@ def p_dedup_spans_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("n") + 1),
         ).alias("b"),
     )
-    chunks = (
-        bounds.select(
-            "doc_id",
-            "cs",
-            "b",
-            F.explode(
-                F.sequence(F.lit(1), F.size("b") - 1)
-            ).alias("chunk_no"),
-        )
-        .select(
-            "doc_id",
-            "chunk_no",
-            F.element_at("b", F.col("chunk_no")).alias("start"),
+    # hash every chunk INSIDE an array expression, then explode only
+    # the scalar results: exploding (chunk_no) first and hashing
+    # after would duplicate the full per-char array onto every chunk
+    # row — ~70x payload blow-up per doc, measured as ~45 s of pure
+    # array-copy churn at sf0.1 vs ~4 s in this form
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), F.size("b") - 1),
+        lambda j: F.struct(
+            j.alias("chunk_no"),
+            F.element_at(F.col("b"), j).alias("start"),
             (
-                F.element_at("b", F.col("chunk_no") + 1)
-                - F.element_at("b", F.col("chunk_no"))
+                F.element_at(F.col("b"), j + 1)
+                - F.element_at(F.col("b"), j)
             ).alias("clen"),
-            "cs",
-        )
-        .filter(F.col("clen") > 0)
-        .select(
-            "doc_id",
-            "chunk_no",
-            "start",
-            "clen",
             F.md5(
                 F.array_join(
-                    F.slice("cs", F.col("start"), F.col("clen")), ""
+                    F.slice(
+                        F.col("cs"),
+                        F.element_at(F.col("b"), j),
+                        F.element_at(F.col("b"), j + 1)
+                        - F.element_at(F.col("b"), j),
+                    ),
+                    "",
                 )
             ).alias("h"),
+        ),
+    )
+    chunks = (
+        bounds.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.col("c.start").alias("start"),
+            F.col("c.clen").alias("clen"),
+            F.col("c.h").alias("h"),
         )
+        .filter(F.col("clen") > 0)
     )
     wh = Window.partitionBy("h")
     dup = (
