@@ -31,6 +31,7 @@ from matrixinversion_spark.matrix.lu import (
     DEFAULT_LEAF,
     _checkpoint,
     _concurrently,
+    _level_ck,
     auto_leaf,
     lu,
 )
@@ -56,9 +57,10 @@ def inverse_lower_unit(lo: BlockMatrixFrame,
     a = lo.slice_blocks(0, mb, 0, mb)
     c = lo.slice_blocks(mb, lo.nbi, 0, mb)
     d = lo.slice_blocks(mb, lo.nbi, mb, lo.nbi)
+    ck = _level_ck(mb * lo.block_size <= leaf_size or mb == 1)
     ia, id_ = _concurrently(
-        lambda: _checkpoint(inverse_lower_unit(a, leaf_size)).persist(),
-        lambda: _checkpoint(inverse_lower_unit(d, leaf_size)).persist(),
+        lambda: ck(inverse_lower_unit(a, leaf_size)).persist(),
+        lambda: ck(inverse_lower_unit(d, leaf_size)).persist(),
     )
     corner = gemm(multiply(id_, c), ia, alpha=-1.0)
     df = ia.df.unionAll(corner.shift(mb, 0)).unionAll(id_.shift(mb, mb))
@@ -79,9 +81,10 @@ def inverse_upper(up: BlockMatrixFrame,
     a = up.slice_blocks(0, mb, 0, mb)
     b = up.slice_blocks(0, mb, mb, up.nbj)
     d = up.slice_blocks(mb, up.nbi, mb, up.nbj)
+    ck = _level_ck(mb * up.block_size <= leaf_size or mb == 1)
     ia, id_ = _concurrently(
-        lambda: _checkpoint(inverse_upper(a, leaf_size)).persist(),
-        lambda: _checkpoint(inverse_upper(d, leaf_size)).persist(),
+        lambda: ck(inverse_upper(a, leaf_size)).persist(),
+        lambda: ck(inverse_upper(d, leaf_size)).persist(),
     )
     corner = gemm(multiply(ia, b), id_, alpha=-1.0)
     df = ia.df.unionAll(corner.shift(0, mb)).unionAll(id_.shift(mb, mb))
@@ -293,8 +296,12 @@ def solve(a: BlockMatrixFrame, b: BlockMatrixFrame,
     if leaf_size is None:
         leaf_size = auto_leaf(a.n_rows)
     perm, lo, up = lu(a, leaf_size)
-    lo = _checkpoint(lo).persist()
-    up = _checkpoint(up).persist()
+    # leaf-sized factorizations return filters over an already-
+    # persisted task output — checkpointing those only adds
+    # serialized materialization jobs (see lu._level_ck)
+    ck = _level_ck(a.n_rows <= leaf_size or a.nbi == 1)
+    lo = ck(lo).persist()
+    up = ck(up).persist()
     y = solve_lower(lo, permute_rows(b, perm), leaf_size)  # L·Y = P·B
     return _solve_upper_left(up, y, leaf_size)             # U·X = Y
 
@@ -318,9 +325,11 @@ def _solve_upper_left(up: BlockMatrixFrame, b: BlockMatrixFrame,
     ud = up.slice_blocks(mb, up.nbi, mb, up.nbj)
     ba = b.slice_blocks(0, mb, 0, b.nbj)
     bb = b.slice_blocks(mb, b.nbi, 0, b.nbj)
-    # checkpoint: xb is used twice (Schur update + union), see
-    # lu.solve_lower
-    xb = _checkpoint(_solve_upper_left(ud, bb, leaf_size)).persist()
+    # persist: xb is used twice (Schur update + union), see
+    # lu.solve_lower; checkpoint only above the leaf-adjacent level
+    xb = _level_ck(mb * up.block_size <= leaf_size or mb == 1)(
+        _solve_upper_left(ud, bb, leaf_size)
+    ).persist()
     xa = _solve_upper_left(ua, gemm(ub, xb, c=ba, alpha=-1.0), leaf_size)
     df = xa.df.unionAll(xb.shift(mb, 0))
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)

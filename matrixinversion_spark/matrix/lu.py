@@ -73,6 +73,17 @@ def _checkpoint(m: BlockMatrixFrame) -> BlockMatrixFrame:
     )
 
 
+def _level_ck(child_is_leaf: bool):
+    """Depth-aware lineage control (measured, see inverse._lu_inv_rec):
+    at the lowest internal recursion level the children are leaf task
+    outputs with two-step lineage, and localCheckpoint's serialized
+    materialization jobs dominate the wall — plain persist suffices.
+    One level up, checkpoints bound the recursive plan's Catalyst
+    analysis cost (3x plan-build measured without them). Returns the
+    identity at leaf-adjacent levels, ``_checkpoint`` above."""
+    return (lambda m: m) if child_is_leaf else _checkpoint
+
+
 def _concurrently(f1: Callable, f2: Callable) -> tuple:
     """Run two independent Spark-job-producing thunks on driver
     threads so their jobs overlap in the scheduler.
@@ -204,18 +215,20 @@ def lu(a: BlockMatrixFrame, leaf_size: int | None = None
     a3 = a.slice_blocks(mb, nb, 0, mb)
     a4 = a.slice_blocks(mb, nb, mb, nb)
 
+    ck = _level_ck(mb * bs <= leaf_size or mb == 1)
+
     p1, l1, u1 = lu(a1, leaf_size)
-    l1 = _checkpoint(l1).persist()
-    u1 = _checkpoint(u1).persist()
+    l1 = ck(l1).persist()
+    u1 = ck(u1).persist()
 
     u2, l2 = _concurrently(
         lambda: solve_lower(l1, permute_rows(a2, p1), leaf_size),
         lambda: solve_upper_right(u1, a3, leaf_size),
     )
-    u2 = _checkpoint(u2).persist()
-    l2 = _checkpoint(l2).persist()
+    u2 = ck(u2).persist()
+    l2 = ck(l2).persist()
 
-    s = _checkpoint(gemm(l2, u2, c=a4, alpha=-1.0))
+    s = ck(gemm(l2, u2, c=a4, alpha=-1.0))
     p3, l3, u3 = lu(s, leaf_size)
 
     l2p = permute_rows(l2, p3)
@@ -259,9 +272,12 @@ def solve_lower(lo: BlockMatrixFrame, b: BlockMatrixFrame,
     ld = lo.slice_blocks(mb, lo.nbi, mb, lo.nbi)
     ba = b.slice_blocks(0, mb, 0, b.nbj)
     bb = b.slice_blocks(mb, b.nbi, 0, b.nbj)
-    # xa feeds BOTH the Schur update and the output union — checkpoint
+    # xa feeds BOTH the Schur update and the output union — persist
     # it or the recursive DAG re-executes 2^depth times per action
-    xa = _checkpoint(solve_lower(la, ba, leaf_size)).persist()
+    # (checkpoint only above the leaf-adjacent level, see _level_ck)
+    xa = _level_ck(mb * lo.block_size <= leaf_size or mb == 1)(
+        solve_lower(la, ba, leaf_size)
+    ).persist()
     xb = solve_lower(ld, gemm(lc, xa, c=bb, alpha=-1.0), leaf_size)
     df = xa.df.unionAll(xb.shift(mb, 0))
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)
@@ -281,8 +297,10 @@ def solve_upper_right(up: BlockMatrixFrame, b: BlockMatrixFrame,
     ud = up.slice_blocks(mb, up.nbi, mb, up.nbj)
     ba = b.slice_blocks(0, b.nbi, 0, mb)
     bb = b.slice_blocks(0, b.nbi, mb, b.nbj)
-    # checkpoint: xa is used twice (see solve_lower)
-    xa = _checkpoint(solve_upper_right(ua, ba, leaf_size)).persist()
+    # persist: xa is used twice (see solve_lower)
+    xa = _level_ck(mb * up.block_size <= leaf_size or mb == 1)(
+        solve_upper_right(ua, ba, leaf_size)
+    ).persist()
     xb = solve_upper_right(ud, gemm(xa, ub, c=bb, alpha=-1.0), leaf_size)
     df = xa.df.unionAll(xb.shift(0, mb))
     return BlockMatrixFrame(df, b.n_rows, b.n_cols, b.block_size)
