@@ -587,7 +587,10 @@ def p_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed candidate generation, same scoring expression.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    v = emb.select(
+    # fan out the probe side: the nested-loop join's parallelism is
+    # the LEFT side's partition count, and the test table is one
+    # parquet file — without this every pair scores on a single core
+    v = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     dot = lambda x, y: F.aggregate(  # noqa: E731
