@@ -137,6 +137,9 @@ def main() -> None:
             ainv = invmod.inverse(a, leaf_size=INVERSE_LEAF)
             ainv.df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+            # free this run's intermediate caches so the three runs
+            # don't accrete O(leaves+levels) persisted frames
+            ainv.release()
             ids1 = tracker.getJobIdsForGroup(None) or [0]
             inverse_jobs = max(ids1) - max(ids0)
         timings[f"la_inverse_{INVERSE_N}"] = round(sorted(runs)[1], 3)

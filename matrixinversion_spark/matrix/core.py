@@ -81,6 +81,15 @@ class BlockMatrixFrame:
     local: np.ndarray | None = field(
         default=None, compare=False, repr=False
     )
+    # Intermediate DataFrames persisted while BUILDING this frame
+    # (recursion levels, leaf task outputs). The producer appends
+    # them; ``release()`` unpersists them once the result has been
+    # materialized, so repeated factorizations in one session do not
+    # accrete cached blocks until eviction pressure degrades the
+    # executors. ``to_numpy`` releases automatically.
+    retained: list = field(
+        default_factory=list, compare=False, repr=False
+    )
 
     @property
     def nbi(self) -> int:
@@ -239,6 +248,10 @@ class BlockMatrixFrame:
         ):
             blk = np.asarray(d, dtype=np.float64).reshape(r, c)
             out[bi * bs:bi * bs + r, bj * bs:bj * bs + c] = blk
+        # the collect above IS the materialization point: the owned
+        # intermediate caches have served their purpose (re-collecting
+        # simply recomputes through checkpointed lineage)
+        self.release()
         return out
 
     def persist(self) -> "BlockMatrixFrame":
@@ -247,6 +260,20 @@ class BlockMatrixFrame:
 
     def unpersist(self) -> "BlockMatrixFrame":
         self.df.unpersist()
+        return self
+
+    def release(self) -> "BlockMatrixFrame":
+        """Unpersist every intermediate frame this result owns (see
+        ``retained``). Call after the final action when materializing
+        through a path other than ``to_numpy`` (e.g. a parquet write)
+        — safe to call repeatedly, and safe before the action too
+        (the plan recomputes, just without the cache)."""
+        for d in self.retained:
+            try:
+                d.unpersist()
+            except Exception:
+                pass  # stopped session — nothing left to free
+        self.retained.clear()
         return self
 
     # -- block-coordinate slicing (metadata-only, Catalyst prunes) ----

@@ -91,7 +91,7 @@ def inverse_upper(up: BlockMatrixFrame,
     return BlockMatrixFrame(df, up.n_rows, up.n_cols, up.block_size)
 
 
-def _leaf_inv_frames(a: BlockMatrixFrame
+def _leaf_inv_frames(a: BlockMatrixFrame, retained: list | None = None
                      ) -> tuple[BlockMatrixFrame, BlockMatrixFrame]:
     """Factor AND invert a leaf inside one executor task, returning
     (J, U⁻¹) with J ≡ L⁻¹·P — the pivot already folded into L⁻¹'s
@@ -165,6 +165,8 @@ def _leaf_inv_frames(a: BlockMatrixFrame
         .applyInPandas(fac, schema)
         .persist()
     )
+    if retained is not None:
+        retained.append(tagged)
     block_cols = ["bi", "bj", "rows", "cols", "data"]
     jl = BlockMatrixFrame(
         tagged.filter(F.col("tag") == 0).select(*block_cols), n, m, bs
@@ -175,7 +177,8 @@ def _leaf_inv_frames(a: BlockMatrixFrame
     return jl, iu
 
 
-def _lu_inv_rec(a: BlockMatrixFrame, leaf_size: int
+def _lu_inv_rec(a: BlockMatrixFrame, leaf_size: int,
+                retained: list | None = None
                 ) -> tuple[BlockMatrixFrame, BlockMatrixFrame]:
     """Fused LU + triangular inversion + pivot fold: one bottom-up
     sweep returning (J, U⁻¹) with J ≡ L⁻¹·P and P·A = L·U, so
@@ -214,7 +217,7 @@ def _lu_inv_rec(a: BlockMatrixFrame, leaf_size: int
     bs = a.block_size
     if a.n_rows <= leaf_size or a.nbi == 1:
         if a.local is None and _leaf_inv_mode() == "executor":
-            return _leaf_inv_frames(a)
+            return _leaf_inv_frames(a, retained)
         lu_packed, perm = kernels.ludcmp(a.to_numpy())
         lower, upper = kernels.split_lu(lu_packed)
         jl = kernels.inv_lower_unit(lower)[:, np.argsort(perm)]
@@ -241,7 +244,7 @@ def _lu_inv_rec(a: BlockMatrixFrame, leaf_size: int
     child_leaf = mb * a.block_size <= leaf_size or mb == 1
     ck = (lambda m: m) if child_leaf else _checkpoint
 
-    jl1, iu1 = _lu_inv_rec(a1, leaf_size)
+    jl1, iu1 = _lu_inv_rec(a1, leaf_size, retained)
     jl1 = ck(jl1).persist()
     iu1 = ck(iu1).persist()
 
@@ -249,9 +252,13 @@ def _lu_inv_rec(a: BlockMatrixFrame, leaf_size: int
     l2 = ck(multiply(a3, iu1)).persist()
 
     s = ck(gemm(l2, u2, c=a4, alpha=-1.0))
-    jl3, iu3 = _lu_inv_rec(s, leaf_size)
+    jl3, iu3 = _lu_inv_rec(s, leaf_size, retained)
     jl3 = ck(jl3).persist()
     iu3 = ck(iu3).persist()
+    if retained is not None:
+        retained.extend(
+            f.df for f in (jl1, iu1, u2, l2, jl3, iu3)
+        )
 
     cu = gemm(multiply(iu1, u2), iu3, alpha=-1.0)
     cl = gemm(multiply(jl3, l2), jl1, alpha=-1.0)
@@ -273,11 +280,22 @@ def inverse(a: BlockMatrixFrame,
     Runs the fused single-sweep recursion (``_lu_inv_rec``): leaves
     emit pre-pivoted triangular inverses, levels combine them with
     static block algebra, and A⁻¹ = U⁻¹·J is one final multiply — no
-    pivot collect, no permute stage, one Spark job end to end."""
+    pivot collect, no permute stage, one Spark job end to end.
+
+    Cache lifecycle: every frame the recursion persists (leaf task
+    outputs plus the six per-level combiners) is tracked on the
+    result's ``retained`` list — ``to_numpy`` releases them after the
+    collect, and callers materializing another way (parquet write)
+    should call ``result.release()``; without that, repeated
+    inversions in one session would accrete O(leaves + levels)
+    cached frames until eviction pressure degrades the executors."""
     if leaf_size is None:
         leaf_size = auto_leaf(a.n_rows)
-    jl, iu = _lu_inv_rec(a, leaf_size)
-    return multiply(iu, jl)
+    tracked: list = []
+    jl, iu = _lu_inv_rec(a, leaf_size, tracked)
+    out = multiply(iu, jl)
+    out.retained.extend(tracked)
+    return out
 
 
 def solve(a: BlockMatrixFrame, b: BlockMatrixFrame,
@@ -303,7 +321,13 @@ def solve(a: BlockMatrixFrame, b: BlockMatrixFrame,
     lo = ck(lo).persist()
     up = ck(up).persist()
     y = solve_lower(lo, permute_rows(b, perm), leaf_size)  # L·Y = P·B
-    return _solve_upper_left(up, y, leaf_size)             # U·X = Y
+    out = _solve_upper_left(up, y, leaf_size)              # U·X = Y
+    # top-level factor caches ride the result's retained list (see
+    # inverse(): to_numpy / release() frees them after the action);
+    # per-level solve caches inside the recursions stay session-
+    # scoped — bounded by one frame per level, not per leaf
+    out.retained.extend([lo.df, up.df])
+    return out
 
 
 def _solve_upper_left(up: BlockMatrixFrame, b: BlockMatrixFrame,
@@ -360,7 +384,9 @@ def pinv(a: BlockMatrixFrame,
 
     at = _checkpoint(transpose(a)).persist()
     gram = multiply(at, a)
-    return solve(gram, at, leaf_size)
+    res = solve(gram, at, leaf_size)
+    res.retained.append(at.df)
+    return res
 
 
 def determinant(a: BlockMatrixFrame,

@@ -69,7 +69,8 @@ def _checkpoint(m: BlockMatrixFrame) -> BlockMatrixFrame:
         # checkpoint would only add a materialization job.
         return m
     return BlockMatrixFrame(
-        m.df.localCheckpoint(eager=False), m.n_rows, m.n_cols, m.block_size
+        m.df.localCheckpoint(eager=False), m.n_rows, m.n_cols, m.block_size,
+        retained=m.retained,  # cache ownership follows the frame
     )
 
 

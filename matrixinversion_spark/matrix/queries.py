@@ -128,6 +128,7 @@ def la_inverse_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     a.persist()
     ainv = invmod.inverse(a, leaf_size=64)
     err = ops.max_abs_diff_from_identity(ops.multiply(a, ainv))
+    ainv.release()  # the residual action above consumed the caches
     return spark.createDataFrame(
         [(256, float(round(err, 6)), bool(err < 1e-8 * 256))],
         "n int, identity_err_r6 double, ok boolean",
@@ -623,6 +624,8 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_inv = invmod.inverse(a, leaf_size=bs)
     a_inv = _checkpoint(a_inv)
     a_inv.persist()
+    # the checkpoint materialized A⁻¹; its build caches are spent
+    a_inv.release()
 
     def dominant(m: BlockMatrixFrame) -> float:
         v = BlockMatrixFrame.from_numpy(

@@ -226,7 +226,8 @@ def near_dup_leakage(
     tau: float = _NEARDUP_TAU,
     sig: DataFrame | None = None,
     max_bucket: int | None = None,
-) -> DataFrame:
+    with_report: bool = False,
+):
     """Per held-out split: how many docs are a NEAR-duplicate of any
     train doc — LSH band buckets (MinHash 16, 4×4 — the exact
     machinery of ``dedup.p_dedup_minhash_lsh``) generate candidates
@@ -247,6 +248,11 @@ def near_dup_leakage(
     collapsed first; off by default for oracle exactness).
 
     Returns (split, n_docs, n_leaked) for each non-train split.
+    ``with_report=True`` returns ``(out, refused)`` where ``refused``
+    is the guard's (band_id, bkey, n_members) frame of dropped
+    buckets (empty when ``max_bucket`` is None) — an audit whose
+    candidate gate silently refused clusters would be an audit that
+    under-reports leakage, so the refusals travel with the result.
     """
     from matrixinversion_spark.pipeline.dedup import (
         lsh_bands,
@@ -274,7 +280,11 @@ def near_dup_leakage(
         )
     bands = lsh_bands(sig, id_col)
     if max_bucket is not None:
-        bands, _oversized = lsh_bucket_guard(bands, max_bucket, id_col)
+        bands, oversized = lsh_bucket_guard(bands, max_bucket, id_col)
+    else:
+        oversized = bands.groupBy("band_id", "bkey").agg(
+            F.count(F.lit(1)).alias("n_members")
+        ).filter(F.lit(False))
     splits = sig.select(id_col, split_col)
     tr_b = (
         bands.join(splits, id_col)
@@ -316,6 +326,8 @@ def near_dup_leakage(
             .alias("n_leaked"),
         )
     )
+    if with_report:
+        return out, oversized
     return out
 
 
@@ -503,6 +515,66 @@ def p_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_leaked_exact"),
         )
     )
+
+
+def guarded_release_report(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int,
+):
+    """``p_release_report`` plus the near-dup candidate gate's
+    refusal audit — the composition a production release run gates
+    on when the LSH mega-bucket guard is armed.
+
+    Returns ``(report, refused)``:
+
+    - ``report``: the registered release report's per-split row with
+      one extra column ``n_neardup_refused_docs`` — how many of the
+      split's documents sit in at least one band bucket the guard
+      refused (those docs' near-dup candidates were suppressed in
+      that band, so the dataset card must disclose them);
+    - ``refused``: the raw (band_id, bkey, n_members) frame of every
+      refused bucket, for drill-down.
+
+    Plan shape: the guard's aggregation runs on the same (band_id,
+    bkey) keys the candidate join shuffles on; the refused-key frame
+    is tiny by construction (≤ n_docs·N_BANDS / max_bucket rows) and
+    broadcasts back onto the band frame; membership resolves to a
+    distinct doc set and one more groupBy(split). Nothing here adds
+    a data-sized shuffle beyond what the near-dup audit already pays.
+    """
+    from matrixinversion_spark.pipeline.dedup import (
+        lsh_bands,
+        lsh_bucket_guard,
+        shared_doc_signatures,
+    )
+
+    base = p_release_report(spark, sf_dir)
+    sig = shared_doc_signatures(spark, sf_dir)
+    bands = lsh_bands(sig)
+    _kept, refused = lsh_bucket_guard(bands, max_bucket)
+    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    refused_per_split = (
+        bands.join(
+            F.broadcast(refused.select("band_id", "bkey")),
+            ["band_id", "bkey"],
+        )
+        .select("doc_id")
+        .distinct()
+        .select(
+            F.when(bucket < 90, "train")
+            .when(bucket < 95, "validation")
+            .otherwise("test")
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("_n_refused"))
+    )
+    report = base.join(refused_per_split, "split", "left").withColumn(
+        "n_neardup_refused_docs",
+        F.coalesce(F.col("_n_refused"), F.lit(0)).cast("bigint"),
+    ).drop("_n_refused")
+    return report, refused
 
 
 # -- BPE merge-pair counting -----------------------------------------------

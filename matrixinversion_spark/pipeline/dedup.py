@@ -173,7 +173,28 @@ def minhash_signatures(
 # it. The cache is keyed by the resolved sf_dir so the driver's
 # correctness gate (sf0.01) and the bench (sf0.1) never cross-talk,
 # and entries die with the SparkSession (persist() is session-scoped).
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+# The session half of the key is applicationId — a stable identity
+# string, unlike id(spark) which CPython can recycle after a stopped
+# session is garbage-collected (a recycled id would hand a dead
+# DataFrame to a brand-new session). A stale-entry sweep on every
+# lookup drops frames whose owning SparkContext has stopped, so the
+# dict never pins dead sessions or their DataFrames.
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    sc = spark.sparkContext
+    return f"{sc.applicationId}:{sc.startTime}"
+
+
+def _evict_dead_entries() -> None:
+    for key, sig in list(_SIG_CACHE.items()):
+        try:
+            alive = not sig.sparkSession.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            alive = False
+        if not alive:
+            _SIG_CACHE.pop(key, None)
 
 
 def shared_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +208,8 @@ def shared_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os as _os
 
-    key = (id(spark), _os.path.abspath(sf_dir))
+    _evict_dead_entries()
+    key = (_session_key(spark), _os.path.abspath(sf_dir))
     cached = _SIG_CACHE.get(key)
     if cached is not None:
         return cached
@@ -444,7 +466,8 @@ def minhash_lsh_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
     max_bucket: int | None = None,
-) -> DataFrame:
+    with_report: bool = False,
+):
     """Candidate generation + signature verification over a
     precomputed signature frame (see ``minhash_signatures``).
 
@@ -453,10 +476,21 @@ def minhash_lsh_pairs(
     oracle; at 100 TB set it (and run exact dedup first) so a
     pathological identical-doc cluster cannot go quadratic inside
     one bucket.
+
+    ``with_report=True`` returns ``(pairs, refused)`` where
+    ``refused`` is the guard's (band_id, bkey, n_members) frame of
+    dropped buckets (empty when ``max_bucket`` is None) — dropped
+    candidate mass is observable, never silent. A production run
+    with the guard on should always take the report and persist or
+    log it alongside the pair output.
     """
     bands = lsh_bands(sig, id_col)
     if max_bucket is not None:
-        bands, _oversized = lsh_bucket_guard(bands, max_bucket, id_col)
+        bands, oversized = lsh_bucket_guard(bands, max_bucket, id_col)
+    else:
+        oversized = bands.groupBy("band_id", "bkey").agg(
+            F.count(F.lit(1)).alias("n_members")
+        ).filter(F.lit(False))
 
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
@@ -484,7 +518,7 @@ def minhash_lsh_pairs(
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
         for j in range(len(MINHASH_COEFFS))
     )
-    return (
+    pairs = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("n_match", matches)
@@ -497,6 +531,9 @@ def minhash_lsh_pairs(
             ).alias("est_jaccard"),
         )
     )
+    if with_report:
+        return pairs, oversized
+    return pairs
 
 
 # ---------------------------------------------------------------------------

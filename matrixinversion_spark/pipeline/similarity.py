@@ -1011,7 +1011,12 @@ def p_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n = _vectors(spark, sf_dir)
     cand = ivfpq_topk(n, top_k=TOP_K * ANN_REFINE)
-    qv = n.select(
+    # Broadcast ONLY the query vectors (vec_id < N_QUERIES) — cand's
+    # query_id is < N_QUERIES by construction, so the filter is
+    # semantics-preserving, and the broadcast payload stays O(queries)
+    # instead of O(corpus) (a full-table broadcast would materialize
+    # every embedding on the driver and each executor at scale).
+    qv = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),

@@ -22,6 +22,14 @@ from pyspark.sql import functions as F
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
+# WAP publish bookkeeping: a version dir gains the marker file the
+# instant it is published (underscore prefix => invisible to Spark's
+# directory scans and to *.parquet globs); _gc_old_versions treats
+# unmarked dirs as in-progress and leaves them alone until they are
+# old enough to be crash leftovers.
+_PUBLISH_MARKER = "_PUBLISHED"
+_STALE_STAGING_SECS = 24 * 3600
+
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".tmp_io")
 
@@ -349,6 +357,13 @@ def write_audit_publish(
             f"write_audit_publish to {path!r} rejected by audits "
             f"{failed}; previously published data is untouched"
         )
+    # Mark the version as PUBLISHED before flipping the pointer: the
+    # GC counts only marked dirs toward its grace slot, so a
+    # concurrent publisher's in-progress (unmarked) staging dir can
+    # never consume the slot and cause the immediately-previous
+    # published version to be reclaimed under in-flight readers.
+    with open(os.path.join(version, _PUBLISH_MARKER), "w") as fh:
+        fh.write(tag)
     if os.path.islink(path) or not os.path.exists(path):
         # atomic publish: rename a prepared symlink over the old one
         tmplink = os.path.join(parent, f".{base}.lnk-{tag}")
@@ -374,12 +389,23 @@ def _gc_old_versions(parent: str, base: str, current: str,
                      keep_prior: int = 1) -> None:
     """Delete stale ``.{base}.v-*`` version dirs, keeping the current
     publish target plus the ``keep_prior`` most recently modified
-    non-current versions (in-flight readers of the previous snapshot
-    finish undisturbed; versions two publishes old are reclaimed)."""
+    non-current PUBLISHED versions (in-flight readers of the previous
+    snapshot finish undisturbed; versions two publishes old are
+    reclaimed).
+
+    Only dirs carrying the ``_PUBLISHED`` marker count toward — or
+    are eligible for — reclamation: a concurrent publisher's
+    in-progress staging dir is unmarked, so it can neither consume
+    the grace slot (which would have rmtree'd the immediately-
+    previous published version under in-flight readers) nor be
+    deleted out from under its writer. Unmarked dirs older than
+    ``_STALE_STAGING_SECS`` are crash leftovers (a successful publish
+    marks, a failed one rmtrees) and are swept too."""
     import shutil
+    import time
 
     prefix = f".{base}.v-"
-    stale = []
+    published, unmarked = [], []
     for name in os.listdir(parent):
         if not name.startswith(prefix):
             continue
@@ -387,12 +413,20 @@ def _gc_old_versions(parent: str, base: str, current: str,
         if os.path.realpath(full) == current:
             continue
         try:
-            stale.append((os.path.getmtime(full), full))
+            mtime = os.path.getmtime(full)
         except OSError:
             continue  # concurrently GC'd by another publisher
-    stale.sort(reverse=True)
-    for _, full in stale[keep_prior:]:
+        if os.path.exists(os.path.join(full, _PUBLISH_MARKER)):
+            published.append((mtime, full))
+        else:
+            unmarked.append((mtime, full))
+    published.sort(reverse=True)
+    for _, full in published[keep_prior:]:
         shutil.rmtree(full, ignore_errors=True)
+    cutoff = time.time() - _STALE_STAGING_SECS
+    for mtime, full in unmarked:
+        if mtime < cutoff:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def compact_parquet_dir(

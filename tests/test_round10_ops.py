@@ -1,0 +1,217 @@
+"""Round-10 hardening tests: the fused-inverse plan-shape pin (job
+fingerprint + no driver collect), the LSH mega-bucket guard's
+oversized-bucket report surfacing, and the guarded release report."""
+
+from __future__ import annotations
+
+import inspect
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestFusedInversePlanPin:
+    """VERDICT r9 #1: the −61% fused-inverse win (10 → 5 jobs at
+    N=2048) gets a regression tripwire — a silent re-introduction of
+    a driver-side pivot collect or a per-level blocking stage cannot
+    land without failing here."""
+
+    def test_no_driver_collect_in_fused_path(self):
+        # The fused sweep's invariant is structural: NO pivot (or any
+        # block data) crosses to the driver during plan construction.
+        # Every driver transfer in pyspark goes through collect() /
+        # toPandas() / toLocalIterator(); none may appear in the
+        # fused recursion's source.
+        from matrixinversion_spark.matrix import inverse as invmod
+
+        for fn in (
+            invmod._lu_inv_rec,
+            invmod._leaf_inv_frames,
+            invmod.inverse,
+        ):
+            src = inspect.getsource(fn)
+            for marker in (".collect(", ".toPandas(", ".toLocalIterator("):
+                assert marker not in src, (
+                    f"{fn.__name__} gained a driver transfer "
+                    f"({marker}) — the fused one-job-per-sweep plan "
+                    "shape is broken"
+                )
+
+    def test_job_fingerprint_and_residual_2048(self, spark):
+        # Exact bench geometry (bench.py INVERSE_*): N=2048, 1024
+        # blocks, leaf 1024, AQE off, shuffle partitions = 2·grid.
+        # The whole inverse must execute as FIVE Spark jobs (the noop
+        # write plus the lazy localCheckpoint/persist materializations
+        # the single sweep schedules) — the r8 two-sweep pipeline took
+        # 10, so a regression roughly doubles this count.
+        from matrixinversion_spark.matrix import inverse as invmod
+        from matrixinversion_spark.matrix import ops
+        from matrixinversion_spark.matrix.core import BlockMatrixFrame
+
+        n, bs, leaf = 2048, 1024, 1024
+        tracker = spark.sparkContext.statusTracker()
+
+        def max_job():
+            ids = tracker.getJobIdsForGroup(None)
+            return max(ids) if ids else -1
+
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(2 * (n // bs) ** 2)
+        )
+        try:
+            a = BlockMatrixFrame.random_uniform(
+                spark, n, block_size=bs, seed=45
+            ).persist()
+            a.df.count()
+            j0 = max_job()
+            ainv = invmod.inverse(a, leaf_size=leaf)
+            ainv.df.write.format("noop").mode("overwrite").save()
+            jobs = max_job() - j0
+            assert jobs == 5, (
+                f"fused inverse at N={n} ran {jobs} Spark jobs "
+                "(pinned: 5) — plan shape regressed"
+            )
+            # 3e-11-class residual at N=2048 (BENCH_NOTES r9); the
+            # gate is 1e-8·N with margin for rougher conditioning.
+            err = ops.max_abs_diff_from_identity(ops.multiply(a, ainv))
+            assert err < 1e-8 * n, f"‖A·A⁻¹−I‖∞ = {err}"
+            ainv.release()
+            a.unpersist()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+
+    def test_inverse_releases_intermediate_caches(self, spark):
+        # ADVICE r9: repeated inversions in one session must not
+        # accrete persisted frames. to_numpy() is the materialization
+        # point and must leave the retained list empty and the
+        # intermediates unpersisted.
+        from matrixinversion_spark.matrix import inverse as invmod
+        from matrixinversion_spark.matrix.core import BlockMatrixFrame
+
+        rng = np.random.default_rng(7)
+        m = rng.standard_normal((256, 256)) + 256 * np.eye(256)
+        bm = BlockMatrixFrame.from_numpy(spark, m, block_size=64)
+        ainv = invmod.inverse(bm, leaf_size=64)
+        assert len(ainv.retained) > 0, "inverse() no longer tracks caches"
+        tracked = list(ainv.retained)
+        got = ainv.to_numpy()
+        np.testing.assert_allclose(got, np.linalg.inv(m), atol=1e-8)
+        assert ainv.retained == [], "to_numpy did not release"
+        assert all(
+            d.storageLevel.useMemory is False
+            and d.storageLevel.useDisk is False
+            for d in tracked
+        ), "an intermediate frame is still persisted after release()"
+
+
+class TestGuardReportSurfacing:
+    """ADVICE r9 / VERDICT #2: the mega-bucket guard's refused
+    buckets must reach callers and the release report — dropped
+    candidate mass is never silent."""
+
+    def test_minhash_pairs_with_report(self, spark):
+        from matrixinversion_spark.pipeline.dedup import (
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        mega = [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)]
+        base = "red orange yellow green blue indigo violet umber"
+        pair = [(100, base + " one"), (101, base + " two")]
+        sig = minhash_signatures(_docs(spark, mega + pair))
+        pairs, refused = minhash_lsh_pairs(
+            sig, max_bucket=10, with_report=True
+        )
+        rep = refused.collect()
+        assert rep, "mega-bucket refusals did not reach the caller"
+        assert set(refused.columns) == {"band_id", "bkey", "n_members"}
+        assert all(r["n_members"] == 20 for r in rep)
+        ids = {
+            (r["id_a"], r["id_b"]) for r in pairs.collect()
+        }
+        assert (100, 101) in ids  # legit pair survives the guard
+
+    def test_with_report_empty_when_guard_off(self, spark):
+        from matrixinversion_spark.pipeline.dedup import (
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        sig = minhash_signatures(
+            _docs(spark, [(1, "a b c d e f"), (2, "a b c d e g")])
+        )
+        _pairs, refused = minhash_lsh_pairs(sig, with_report=True)
+        assert refused.count() == 0
+        assert set(refused.columns) == {"band_id", "bkey", "n_members"}
+
+    def test_near_dup_leakage_with_report(self, spark):
+        from matrixinversion_spark.pipeline.corpus import near_dup_leakage
+
+        mega = [
+            (i, "alpha beta gamma delta epsilon zeta",
+             "train" if i % 2 == 0 else "test")
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(
+            mega, "doc_id long, text string, split string"
+        )
+        out, refused = near_dup_leakage(
+            docs, max_bucket=10, with_report=True
+        )
+        assert refused.count() > 0
+        # all the identical docs sit in refused buckets, so the audit
+        # reports zero leaks — exactly the silent-refusal hazard the
+        # surfaced report exists to expose
+        rows = {r["split"]: r for r in out.collect()}
+        assert rows["test"]["n_leaked"] == 0
+
+    def test_guarded_release_report(self, spark):
+        from matrixinversion_spark.pipeline.corpus import (
+            guarded_release_report,
+            p_release_report,
+        )
+
+        report, refused = guarded_release_report(spark, SF_DIR, max_bucket=2)
+        rows = report.collect()
+        assert "n_neardup_refused_docs" in report.columns
+        base_cols = p_release_report(spark, SF_DIR).columns
+        assert report.columns == base_cols + ["n_neardup_refused_docs"]
+        assert set(refused.columns) == {"band_id", "bkey", "n_members"}
+        n_refused_docs = sum(r["n_neardup_refused_docs"] for r in rows)
+        if refused.count() > 0:
+            assert n_refused_docs > 0, (
+                "buckets were refused but no split discloses them"
+            )
+        # a permissive cap refuses nothing and the report degrades to
+        # the registered release report plus an all-zero column
+        report2, refused2 = guarded_release_report(
+            spark, SF_DIR, max_bucket=10_000_000
+        )
+        assert refused2.count() == 0
+        assert all(
+            r["n_neardup_refused_docs"] == 0 for r in report2.collect()
+        )
+
+
+class TestSignatureCacheSessionKey:
+    def test_cache_key_is_stable_identity(self, spark):
+        from matrixinversion_spark.pipeline import dedup
+
+        dedup.clear_signature_cache()
+        s1 = dedup.shared_doc_signatures(spark, SF_DIR)
+        s2 = dedup.shared_doc_signatures(spark, SF_DIR)
+        assert s1 is s2
+        (key, _), = list(dedup._SIG_CACHE.items())[:1] or [((None, None), None)]
+        assert spark.sparkContext.applicationId in key[0]
+        dedup.clear_signature_cache()

@@ -151,3 +151,53 @@ def test_compaction_reduces_files_and_preserves_rows(spark):
     assert (
         out.exceptAll(d).count() == 0 and d.exceptAll(out).count() == 0
     )
+
+
+def test_wap_concurrent_staging_dir_does_not_consume_grace_slot(spark):
+    """ADVICE r9: a concurrent publisher's in-progress .v-* dir
+    (newest mtime, unmarked) must neither consume the one-publish
+    grace slot — which would rmtree the immediately-previous
+    published version under in-flight readers — nor be deleted out
+    from under its writer."""
+    d = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    parent = tempfile.mkdtemp()
+    path = os.path.join(parent, "orders_out")
+    write_audit_publish(
+        d.limit(100), path, {"ok": lambda s: True},
+        target_rows_per_file=100000,
+    )
+    first_version = os.path.realpath(path)
+    # simulate another publisher mid-write: a fresh unmarked staging
+    # dir with the newest mtime
+    in_progress = os.path.join(parent, ".orders_out.v-concurrent000")
+    os.makedirs(in_progress)
+    with open(os.path.join(in_progress, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"partial")
+    write_audit_publish(
+        d.limit(10), path, {"ok": lambda s: True},
+        target_rows_per_file=100000,
+    )
+    # prior published version survives its grace cycle even though
+    # the unmarked dir is newer...
+    assert os.path.isdir(first_version)
+    # ...and the in-progress dir is untouched
+    assert os.path.isdir(in_progress)
+    # one more publish: first_version is now two publishes old -> GC;
+    # the unmarked dir STILL survives (not old enough to be a crash
+    # leftover)
+    write_audit_publish(
+        d.limit(5), path, {"ok": lambda s: True},
+        target_rows_per_file=100000,
+    )
+    assert not os.path.exists(first_version)
+    assert os.path.isdir(in_progress)
+    # aged-out unmarked dirs are swept as crash leftovers
+    old = os.path.getmtime(in_progress) - 2 * 24 * 3600
+    os.utime(in_progress, (old, old))
+    write_audit_publish(
+        d.limit(3), path, {"ok": lambda s: True},
+        target_rows_per_file=100000,
+    )
+    assert not os.path.exists(in_progress)
