@@ -417,7 +417,23 @@ def p_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- dataset release report -------------------------------------------------
 
-_RELEASE_SQL = f"""
+# per-rule quality pass rates (C4/Gopher gate, text.p_quality_gate)
+# joined into the per-split release row — the "rule-rate columns" a
+# dataset card publishes next to the counts
+_RATE_COLS = (
+    "rate_min_len", "rate_stopword", "rate_word_len",
+    "rate_top_frac", "rate_distinct", "rate_punct", "rate_pass_all",
+)
+
+
+def _release_sql() -> str:
+    from matrixinversion_spark.pipeline.text import _QUALITY_GATE_SQL
+
+    rate_exprs = ",\n           ".join(
+        f"round(avg(q.r_{c[5:]}), 6) AS {c}"
+        for c in _RATE_COLS[:-1]
+    ) + ",\n           round(avg(q.pass_all), 6) AS rate_pass_all"
+    return f"""
 WITH h AS (
     SELECT doc_id, text, lang,
            md5(text) AS th,
@@ -442,15 +458,25 @@ base AS (
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(count(*) - count(DISTINCT th) AS BIGINT)
                AS n_dup_docs
-    FROM h GROUP BY split)
+    FROM h GROUP BY split),
+qr AS (
+    SELECT h.split,
+           {rate_exprs}
+    FROM ({_QUALITY_GATE_SQL}) q JOIN h ON q.doc_id = h.doc_id
+    GROUP BY h.split)
 SELECT b.split, b.n_docs, b.n_chars, b.n_tokens, b.n_langs,
        b.n_dup_docs,
-       CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked_exact
-FROM base b LEFT JOIN leak l ON b.split = l.split
+       CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked_exact,
+       qr.rate_min_len, qr.rate_stopword, qr.rate_word_len,
+       qr.rate_top_frac, qr.rate_distinct, qr.rate_punct,
+       qr.rate_pass_all
+FROM base b
+LEFT JOIN leak l ON b.split = l.split
+JOIN qr ON b.split = qr.split
 """
 
 
-@query("p_release_report", oracle=_RELEASE_SQL)
+@query("p_release_report", oracle=_release_sql())
 def p_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card release report: one row per split of the
     registered 90/5/5 hash split with the numbers a corpus release
@@ -462,11 +488,20 @@ def p_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit), composed into the single frame a release pipeline gates
     on.
 
+    Round 10 adds the composed C4/Gopher quality gate's per-rule
+    pass rates (``text.p_quality_gate``) per split — the rule-rate
+    columns a dataset card publishes next to the counts, so a
+    regression in any single filter (stop-word band, repetition cap,
+    …) is attributable from the release row alone.
+
     Plan: one groupBy(split) aggregation with map-side partials over
     a single scan (counts, sums, two count-distincts), plus the
-    md5-distinct train-fingerprint join for leakage — the same
-    bounded shapes as the constituent operators; nothing data-sized
-    reaches the driver."""
+    md5-distinct train-fingerprint join for leakage, plus the quality
+    gate's map-side rule pass and its own groupBy(split) — three
+    bounded aggregations over two scans of the same table; nothing
+    data-sized reaches the driver."""
+    from matrixinversion_spark.pipeline.text import quality_gate_frame
+
     d = read_table(spark, sf_dir, "documents")
     bucket = hash32(F.col("doc_id").cast("string")) % 100
     h = d.select(
@@ -501,8 +536,22 @@ def p_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dup_docs"),
     )
+    q = quality_gate_frame(d)
+    rates = (
+        h.select("doc_id", "split")
+        .join(q, "doc_id")
+        .groupBy("split")
+        .agg(
+            *[
+                F.round(F.avg(f"r_{c[5:]}"), 6).alias(c)
+                for c in _RATE_COLS[:-1]
+            ],
+            F.round(F.avg("pass_all"), 6).alias("rate_pass_all"),
+        )
+    )
     return (
         base.join(leak, "split", "left")
+        .join(rates, "split")
         .select(
             "split",
             "n_docs",
@@ -513,6 +562,7 @@ def p_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_leaked"), F.lit(0))
             .cast("bigint")
             .alias("n_leaked_exact"),
+            *_RATE_COLS,
         )
     )
 

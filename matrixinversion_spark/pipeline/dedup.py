@@ -335,6 +335,138 @@ def p_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Line-level exact dedup (RefinedWeb-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+# The test corpus has no newlines, so the registered query first
+# materializes deterministic "lines" of LINE_W tokens; a real corpus
+# passes its natural \n lines straight into line_dedup(). Lines
+# whose EXACT text occurs in >= LINE_DUP_K distinct documents are
+# boilerplate (nav bars, footers, cookie banners — Penedo et al.
+# 2023, RefinedWeb §3.3 remove repeated lines the same way) and are
+# dropped from every document containing them.
+LINE_W = 10
+LINE_DUP_K = 3
+
+_LINE_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+lines AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(
+               list_slice(ts, i * {LINE_W} + 1, i * {LINE_W} + {LINE_W}),
+               ' ')) AS lf,
+           array_to_string(
+               list_slice(ts, i * {LINE_W} + 1, i * {LINE_W} + {LINE_W}),
+               ' ') AS line
+    FROM toks,
+         UNNEST(range(CAST(ceil(len(ts) / {LINE_W}.0) AS BIGINT))) AS t(i)
+),
+counts AS (SELECT lf, count(DISTINCT doc_id) AS nd FROM lines GROUP BY lf),
+kept AS (
+    SELECT l.doc_id, l.pos, l.line
+    FROM lines l JOIN counts c USING (lf)
+    WHERE c.nd < {LINE_DUP_K}
+),
+agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_fp
+    FROM kept GROUP BY doc_id
+),
+nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+       FROM lines GROUP BY doc_id)
+SELECT n.doc_id, n.n_lines,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.kept_fp, md5('')) AS kept_fp
+FROM nl n LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+    pos_col: str = "pos",
+    dup_k: int = LINE_DUP_K,
+) -> DataFrame:
+    """Line-level exact dedup over an already line-split frame
+    (id, pos, line): drop every line whose exact text appears in
+    ``dup_k`` or more distinct documents, return per-doc
+    (id, n_lines, n_kept, kept_fp) with kept_fp = md5 of the
+    surviving lines rejoined by \\n in original order.
+
+    The RefinedWeb tier doc-exact / CDC-substring / near-dup miss:
+    boilerplate lines (navigation, footers, cookie banners) repeated
+    across MANY documents while each containing document is unique.
+
+    Scale shape: one groupBy on the 128-bit line fingerprint (uniform
+    by construction — no skew), one fingerprint join back (the
+    duplicated-line side is small; at a real corpus the nd >= k frame
+    broadcasts), one groupBy(doc) to reassemble. All JVM-side
+    expressions; nothing touches the driver.
+    """
+    lf = F.md5(F.col(line_col)).alias("lf")
+    lined = docs.select(id_col, pos_col, line_col, lf)
+    counts = lined.groupBy("lf").agg(
+        F.countDistinct(id_col).alias("nd")
+    )
+    kept = (
+        lined.join(counts, "lf")
+        .filter(F.col("nd") < dup_k)
+        .select(id_col, pos_col, line_col)
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(pos_col, line_col))
+                    ),
+                    lambda s: s[line_col],
+                ),
+            )
+        ).alias("kept_fp"),
+    )
+    nl = docs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return nl.join(agg, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
+    )
+
+
+@query("p_dedup_boilerplate_lines", oracle=_LINE_DEDUP_SQL)
+def p_dedup_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-level exact dedup over ``documents``:
+    split each doc into fixed LINE_W-token lines (the corpus carries
+    no newlines; a real pipeline feeds natural lines), drop lines
+    occurring in >= LINE_DUP_K distinct docs, and report per doc the
+    line counts plus the md5 of the cleaned text. See ``line_dedup``
+    for semantics and the 100 TB plan shape."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    n_lines = F.ceil(F.size("ts") / F.lit(float(LINE_W))).cast("int")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice("ts", i * LINE_W + 1, LINE_W), " "
+                ),
+            )
+        ).alias("pos", "line"),
+    )
+    return line_dedup(lines)
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard dedup (exact; the oracle baseline for MinHash)
 # ---------------------------------------------------------------------------
 
@@ -678,8 +810,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {PPJOIN_TAU}
 """
 
 
-@query("p_set_similarity_ppjoin", oracle=_PPJOIN_SQL)
-def p_set_similarity_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ppjoin_pairs(docs: DataFrame) -> DataFrame:
     """Token-set Jaccard >= 0.7 self-join via prefix filtering (PPJoin).
 
     The third candidate-generation strategy alongside the inverted-
@@ -700,16 +831,20 @@ def p_set_similarity_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles only prefix tokens, whose buckets are small by
     construction (rarest-first ordering). No false negatives — the
     oracle is the brute-force pair scan.
+
+    Emits EVERY qualifying pair — on a dense corpus that output mass
+    dominates the wall (the sf0.1 sweep measured ~100 s of pure pair
+    egress); callers that only need the worst offenders should bound
+    the result like the registered query does (TakeOrdered on the
+    similarity), keeping this emitter untouched for audits that
+    genuinely need the full pair set (exp_ppjoin_scale.py is the
+    planted-truth evidence at 40k docs).
     """
     from pyspark.sql import Window
 
-    d = (
-        read_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-        )
-        .filter(F.size("toks") > 0)
-    )
+    d = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).filter(F.size("toks") > 0)
     tok = d.select(
         "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("t")
     )
@@ -782,6 +917,34 @@ def p_set_similarity_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("i", F.size(F.array_intersect("ta", "tb")))
         .filter(jac >= PPJOIN_TAU)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# Bounded registered answer: the emitter above is exact and its scale
+# smoke (exp_ppjoin_scale.py, 40k docs) is the evidence it prunes,
+# but on the dense small-vocabulary sf corpora MOST doc pairs clear
+# tau=0.7, so the registered sweep was paying ~100 s of pure pair
+# egress — output mass, not plan cost. The registered query returns
+# the worst offenders only: top PPJOIN_TOP_N pairs by similarity
+# (deterministic tiebreak on ids), which Spark executes as
+# TakeOrderedAndProject — no global sort, no change upstream.
+PPJOIN_TOP_N = 1000
+
+
+@query(
+    "p_set_similarity_ppjoin",
+    oracle=_PPJOIN_SQL
+    + f"\nORDER BY jaccard DESC, id_a, id_b\nLIMIT {PPJOIN_TOP_N}",
+)
+def p_set_similarity_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PPJOIN_TOP_N`` token-set Jaccard >= 0.7 pairs by
+    similarity via prefix filtering — ``ppjoin_pairs`` (the exact
+    unbounded emitter; see its docstring) followed by a TakeOrdered
+    on (jaccard DESC, id_a, id_b)."""
+    return (
+        ppjoin_pairs(read_table(spark, sf_dir, "documents"))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(PPJOIN_TOP_N)
     )
 
 

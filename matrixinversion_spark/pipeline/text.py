@@ -1227,3 +1227,154 @@ def p_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((po - pexp) / (1 - pexp), 6).alias("kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed quality-rule release gate (C4 / Gopher public rules)
+# ---------------------------------------------------------------------------
+
+# Thresholds from the published filter sets — C4 (Raffel et al. 2020
+# §2.2) and Gopher (Rae et al. 2021 table A1) — scaled to this
+# corpus's short synthetic docs where noted. Shared verbatim by the
+# Spark expressions and the DuckDB oracle.
+QG_MIN_CHARS = 50      # C4: drop too-short pages
+QG_MIN_TOKENS = 10     # Gopher: 50 words, scaled to the test corpus
+QG_SW_LO, QG_SW_HI = 0.01, 0.6   # Gopher: stop-word sanity band
+QG_WL_LO, QG_WL_HI = 2.0, 10.0   # Gopher: mean word length 3-10 (lo
+#                                  relaxed: synthetic vocab is short)
+QG_TOP_MAX = 0.2       # Gopher: top word <= 20% of the doc
+QG_DIST_MIN = 0.3      # degenerate-page floor on distinct ratio
+QG_PUNCT_MAX = 0.2     # C4-style symbol-mass cap
+
+_QG_RULES = (
+    "r_min_len", "r_stopword", "r_word_len",
+    "r_top_frac", "r_distinct", "r_punct",
+)
+
+_QUALITY_GATE_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+),
+words AS (SELECT doc_id, unnest(ts) AS w FROM base),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+rep AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT)   AS top_c
+    FROM wc GROUP BY doc_id
+),
+rules AS (
+    SELECT b.doc_id,
+        CASE WHEN length(b.text) >= {QG_MIN_CHARS}
+              AND r.n_tokens >= {QG_MIN_TOKENS} THEN 1 ELSE 0 END
+            AS r_min_len,
+        CASE WHEN CAST(len(list_filter(b.ts,
+                     t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(b.ts)
+                  BETWEEN {QG_SW_LO} AND {QG_SW_HI} THEN 1 ELSE 0 END
+            AS r_stopword,
+        CASE WHEN CAST(list_sum(list_transform(b.ts,
+                     t -> length(t))) AS DOUBLE) / len(b.ts)
+                  BETWEEN {QG_WL_LO} AND {QG_WL_HI} THEN 1 ELSE 0 END
+            AS r_word_len,
+        CASE WHEN CAST(r.top_c AS DOUBLE) / r.n_tokens
+                  <= {QG_TOP_MAX} THEN 1 ELSE 0 END
+            AS r_top_frac,
+        CASE WHEN CAST(r.n_distinct AS DOUBLE) / r.n_tokens
+                  >= {QG_DIST_MIN} THEN 1 ELSE 0 END
+            AS r_distinct,
+        CASE WHEN CAST(length(b.text) - length(regexp_replace(
+                     b.text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)
+                  / length(b.text) <= {QG_PUNCT_MAX} THEN 1 ELSE 0 END
+            AS r_punct
+    FROM base b JOIN rep r USING (doc_id)
+)
+SELECT doc_id, r_min_len, r_stopword, r_word_len, r_top_frac,
+       r_distinct, r_punct,
+       r_min_len * r_stopword * r_word_len * r_top_frac
+           * r_distinct * r_punct AS pass_all
+FROM rules
+"""
+
+
+def quality_gate_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc pass/fail (1/0) for each public C4/Gopher quality
+    rule, plus ``pass_all`` — the composed keep-gate a release
+    pipeline applies before publishing a corpus.
+
+    The individual signals exist as separate operators
+    (``p_text_quality``, ``p_text_repetition``, ``p_token_entropy``);
+    a production run wants ONE frame with the verdicts side by side
+    so per-rule kill rates are attributable. Everything is computed
+    in a single map-side pass: the token array is sorted once per
+    doc and distinct count / top-run length read off the run
+    boundaries (same O(n log n) array trick as ``p_text_repetition``
+    — no explode, no shuffle, so a 100 TB corpus streams through
+    whole-stage codegen and the only exchange is whatever the caller
+    aggregates afterwards)."""
+    t = F.col("_t")
+    d = docs.select(
+        id_col,
+        F.col(text_col).alias("_t"),
+        F.array_sort(tokens(F.col(text_col))).alias("ts"),
+    )
+    ts = F.col("ts")
+    n = F.size(ts)
+    # materialized projection stage: starts must be a column BEFORE
+    # per-element lambdas read it (alias-inlining trap, see
+    # p_text_repetition)
+    starts_expr = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.element_at(ts, i) != F.element_at(ts, i - 1)),
+    )
+    w = d.select(id_col, "_t", "ts", starts_expr.alias("starts"))
+    run_lens = F.zip_with(
+        F.col("starts"),
+        F.concat(
+            F.slice(F.col("starts"), 2, F.size("starts")),
+            F.array(n + 1),
+        ),
+        lambda a, b: b - a,
+    )
+    n_chars = F.length(t)
+    sw_ratio = F.size(
+        F.filter(ts, lambda x: x.isin(*STOPWORDS))
+    ).cast("double") / n
+    wl = F.aggregate(
+        ts, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double") / n
+    top_frac = F.array_max(run_lens).cast("double") / n
+    dist_ratio = F.size("starts").cast("double") / n
+    punct_ratio = punct_count(t).cast("double") / n_chars
+    rules = {
+        "r_min_len": (n_chars >= QG_MIN_CHARS) & (n >= QG_MIN_TOKENS),
+        "r_stopword": (sw_ratio >= QG_SW_LO) & (sw_ratio <= QG_SW_HI),
+        "r_word_len": (wl >= QG_WL_LO) & (wl <= QG_WL_HI),
+        "r_top_frac": top_frac <= QG_TOP_MAX,
+        "r_distinct": dist_ratio >= QG_DIST_MIN,
+        "r_punct": punct_ratio <= QG_PUNCT_MAX,
+    }
+    out = w.select(
+        id_col,
+        *[
+            F.when(cond, 1).otherwise(0).alias(name)
+            for name, cond in rules.items()
+        ],
+    )
+    pass_all = F.col(_QG_RULES[0])
+    for r in _QG_RULES[1:]:
+        pass_all = pass_all * F.col(r)
+    return out.withColumn("pass_all", pass_all)
+
+
+@query("p_quality_gate", oracle=_QUALITY_GATE_SQL)
+def p_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher quality release gate over ``documents`` —
+    see ``quality_gate_frame``. Corpus-level rule rates compose into
+    the dataset release report (``corpus.quality_rates`` /
+    ``corpus.guarded_release_report``)."""
+    return quality_gate_frame(read_table(spark, sf_dir, "documents"))

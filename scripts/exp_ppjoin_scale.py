@@ -72,7 +72,12 @@ base.unionAll(dup).coalesce(64).write.parquet(f"{td}/documents.parquet")
 t_gen = time.time() - t0
 
 t0 = time.time()
-out = QUERIES["p_set_similarity_ppjoin"](spark, td)
+# the UNBOUNDED emitter: the whole point of this smoke is that the
+# full pair set stays exactly FAM pairs at scale (the registered
+# query is the TakeOrdered-bounded view of the same plan)
+from matrixinversion_spark.pipeline.dedup import ppjoin_pairs
+
+out = ppjoin_pairs(spark.read.parquet(f"{td}/documents.parquet"))
 agg = out.agg(
     F.count(F.lit(1)).alias("n_pairs"),
     F.sum(

@@ -215,3 +215,63 @@ class TestSignatureCacheSessionKey:
         (key, _), = list(dedup._SIG_CACHE.items())[:1] or [((None, None), None)]
         assert spark.sparkContext.applicationId in key[0]
         dedup.clear_signature_cache()
+
+
+class TestBoilerplateLineDedup:
+    """VERDICT r9 #3: RefinedWeb-style line-level dedup — boilerplate
+    lines repeated across documents are dropped from EVERY document
+    (unlike text.p_dedup_lines' keep-first chunk dedup)."""
+
+    def test_planted_boilerplate_removed_everywhere(self, spark):
+        from matrixinversion_spark.pipeline.dedup import line_dedup
+
+        footer = "copyright acme corp all rights reserved"
+        rows = []
+        for d in range(4):  # footer in 4 docs -> >= LINE_DUP_K=3
+            rows.append((d, 0, f"unique body text of document {d}"))
+            rows.append((d, 1, footer))
+        rows.append((9, 0, "a fully unique document"))
+        lines = spark.createDataFrame(
+            rows, "doc_id long, pos int, line string"
+        )
+        out = {r["doc_id"]: r for r in line_dedup(lines).collect()}
+        for d in range(4):
+            assert out[d]["n_lines"] == 2
+            assert out[d]["n_kept"] == 1  # footer dropped, body kept
+        assert out[9]["n_kept"] == 1 == out[9]["n_lines"]
+        # cleaned text is the md5 of the surviving lines in order
+        import hashlib
+
+        exp = hashlib.md5(b"a fully unique document").hexdigest()
+        assert out[9]["kept_fp"] == exp
+
+    def test_doc_of_pure_boilerplate_survives_with_zero_lines(self, spark):
+        from matrixinversion_spark.pipeline.dedup import line_dedup
+
+        nav = "home about contact privacy"
+        rows = [(d, 0, nav) for d in range(5)]
+        lines = spark.createDataFrame(
+            rows, "doc_id long, pos int, line string"
+        )
+        out = line_dedup(lines).collect()
+        assert len(out) == 5  # every doc still reported
+        import hashlib
+
+        empty = hashlib.md5(b"").hexdigest()
+        assert all(
+            r["n_kept"] == 0 and r["kept_fp"] == empty for r in out
+        )
+
+    def test_within_doc_repeats_do_not_trigger_threshold(self, spark):
+        # the threshold counts DISTINCT documents: a doc repeating its
+        # own line 10 times is repetition (p_text_repetition's job),
+        # not cross-corpus boilerplate
+        from matrixinversion_spark.pipeline.dedup import line_dedup
+
+        rows = [(1, i, "la la la") for i in range(10)]
+        rows += [(2, 0, "other text")]
+        lines = spark.createDataFrame(
+            rows, "doc_id long, pos int, line string"
+        )
+        out = {r["doc_id"]: r for r in line_dedup(lines).collect()}
+        assert out[1]["n_kept"] == 10

@@ -339,14 +339,11 @@ def test_ppjoin_matches_bruteforce_on_synthetic_docs(spark):
             if j >= PPJOIN_TAU:
                 want.add((ids[x], ids[y]))
 
-    import tempfile
+    from matrixinversion_spark.pipeline.dedup import ppjoin_pairs
 
-    with tempfile.TemporaryDirectory() as td:
-        df.write.parquet(f"{td}/documents.parquet")
-        got = {
-            (r["id_a"], r["id_b"])
-            for r in QUERIES["p_set_similarity_ppjoin"](spark, td).collect()
-        }
+    got = {
+        (r["id_a"], r["id_b"]) for r in ppjoin_pairs(df).collect()
+    }
     assert got == want
     assert want  # planted dups must produce pairs
 
