@@ -141,6 +141,14 @@ def prefix_sum(
 
     ``order_cols`` must be a total order (include a tiebreaker) or
     the result is nondeterministic.
+
+    Single-JVM heap note (local mode only): the range sort's task
+    buffers live in ONE process, so a 100M-row input OOMs the
+    default 8 GB driver heap — set ``SPARK_GRAFT_DRIVER_MEM=24g``
+    (honored by ``matrixinversion_spark.session.get_spark``) before
+    building the session; 24 GB runs 100M rows clean
+    (``scripts/exp_100m_scale.py``). On a real cluster the same sort
+    spreads across executors and needs no knob.
     """
     multi = not isinstance(value_col, str)
     vcols = list(value_col) if multi else [value_col]
