@@ -275,3 +275,19 @@ class TestBoilerplateLineDedup:
         )
         out = {r["doc_id"]: r for r in line_dedup(lines).collect()}
         assert out[1]["n_kept"] == 10
+
+
+def test_ppjoin_registered_query_lowers_to_takeordered(spark):
+    """The bounded registered PPJoin answer must execute as a
+    per-partition heap (TakeOrderedAndProject), never a global Sort
+    — the whole point of bounding it was killing the pair-egress
+    wall without touching the emitter upstream."""
+    import matrixinversion_spark.pipeline.dedup  # noqa: F401 — registers
+    from matrixinversion_spark.registry import QUERIES
+
+    df = QUERIES["p_set_similarity_ppjoin"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert plan.lstrip().startswith(
+        ("TakeOrderedAndProject", "AdaptiveSparkPlan")
+    )
