@@ -384,6 +384,36 @@ NOTES: dict[str, str] = {
         "source to a 100 TB corpus updates the matrix without "
         "rescanning the other sources' text."
     ),
+    "p_dedup_boilerplate_lines": (
+        "Line fingerprints are md5 — the duplication-count groupBy "
+        "shuffles uniformly by construction; the count join back is "
+        "keyed on the same fingerprint (at a real corpus the "
+        "nd >= k duplicated-line side is small enough to broadcast), "
+        "and the two per-doc groupBys (kept-line reassembly, "
+        "total line count) are the only other exchanges. "
+        "Nothing data-sized reaches the driver; the "
+        "1M-doc/7M-line planted smoke (exp_line_dedup_scale.py) is "
+        "the closed-form scale evidence."
+    ),
+    "p_quality_gate": (
+        "All six C4/Gopher rule verdicts compute in ONE map-side "
+        "codegen span over the scan — the token array sorts once per "
+        "doc and distinct-count/top-run read off run boundaries, so "
+        "there is no explode and ZERO exchanges; a 100 TB corpus "
+        "streams through at scan parallelism and the caller pays "
+        "only for whatever it aggregates afterwards."
+    ),
+    "p_set_similarity_ppjoin": (
+        "Prefix filtering shuffles only rarest-first prefix tokens "
+        "(small buckets by construction), the verify join touches "
+        "candidate pairs only, and the round-10 bound lowers the "
+        "registered answer to TakeOrderedAndProject — per-partition "
+        "heaps, no global sort — so the sweep measures plan cost, "
+        "not the dense test corpus's 5.1M-pair output mass. The "
+        "unbounded emitter (ppjoin_pairs) keeps the exact full pair "
+        "set for audits; its 40k-doc planted smoke is the pruning "
+        "evidence."
+    ),
 }
 
 
