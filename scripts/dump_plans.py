@@ -405,14 +405,16 @@ NOTES: dict[str, str] = {
     ),
     "p_set_similarity_ppjoin": (
         "Prefix filtering shuffles only rarest-first prefix tokens "
-        "(small buckets by construction), the verify join touches "
-        "candidate pairs only, and the round-10 bound lowers the "
-        "registered answer to TakeOrderedAndProject — per-partition "
-        "heaps, no global sort — so the sweep measures plan cost, "
-        "not the dense test corpus's 5.1M-pair output mass. The "
-        "unbounded emitter (ppjoin_pairs) keeps the exact full pair "
-        "set for audits; its 40k-doc planted smoke is the pruning "
-        "evidence."
+        "(small buckets by construction) and the verify join touches "
+        "candidate pairs only. The registered audit runs on a "
+        "deterministic 10% doc shard + TakeOrderedAndProject: on the "
+        "31-token sf vocabulary every qualifying pair must be scored "
+        "before any top-k (5.1M pairs at tau 0.7, still 965k at 0.9 "
+        "— measured), so sampling, not bounding, controls the "
+        "intrinsic pair mass. The unbounded full-corpus emitter "
+        "(ppjoin_pairs) keeps the exact pair set for audits; its "
+        "40k-doc planted smoke on a realistic Zipfian vocabulary is "
+        "the pruning evidence."
     ),
 }
 
