@@ -624,7 +624,13 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_inv = invmod.inverse(a, leaf_size=bs)
     a_inv = _checkpoint(a_inv)
     a_inv.persist()
-    # the checkpoint materialized A⁻¹; its build caches are spent
+    # localCheckpoint(eager=False) is LAZY: force one action so A⁻¹
+    # materializes THROUGH the build caches before they are released
+    # (releasing first would make the checkpoint's first real action
+    # recompute the recursion uncached; the query's wall is dominated
+    # by the 60 sequential iteration jobs either way — this pins the
+    # lifecycle order, it is not the wall)
+    a_inv.df.count()
     a_inv.release()
 
     def dominant(m: BlockMatrixFrame) -> float:
