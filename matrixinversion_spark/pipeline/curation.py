@@ -693,3 +693,80 @@ def p_semantic_decontaminate(
             F.sum("flagged") * 1.0 / F.count(F.lit(1)), 6
         ).alias("flag_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard per-domain quota cap
+# ---------------------------------------------------------------------------
+
+DQ_K = 10          # max docs kept per domain (sf corpora: 25/source)
+DQ_SALT = 16       # phase-1 salt buckets — mega-domain skew guard
+
+_DOMAIN_QUOTA_SQL = f"""
+WITH r AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS quota_rank
+    FROM documents)
+SELECT doc_id, source, CAST(quota_rank AS BIGINT) AS quota_rank
+FROM r WHERE quota_rank <= {DQ_K}
+"""
+
+
+def domain_quota(
+    docs: DataFrame,
+    k: int = DQ_K,
+    salt_buckets: int = DQ_SALT,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Hard per-domain cap: keep at most ``k`` docs per domain,
+    selected by a deterministic md5 rank over the doc id — a
+    reproducible uniform sample that needs no seed exchange between
+    engines. The C4/Dolma-style guard against domain dominance that
+    rate-based resampling (``p_mixture_resample``) cannot give: a
+    quota is a hard ceiling, acceptance-sampling only an expectation.
+
+    Scale shape (the reason this is not one window): a naive
+    row_number over ``partitionBy(domain)`` sends EVERY row of a
+    mega-domain (a 100 TB crawl's top domain can be ~1% of the
+    corpus) through ONE task's sort. Phase 1 ranks inside
+    (domain, salt) buckets — salt = xxhash64(id) % salt_buckets, so a
+    domain's rows spread over ``salt_buckets`` window partitions —
+    and keeps each bucket's top-k. Phase 2 re-ranks the ≤
+    k·salt_buckets survivors per domain: exact, because the global
+    top-k by rank key is contained in the union of per-bucket
+    top-ks (TakeOrdered's per-partition-heap argument, applied per
+    group). Both phases are one shuffle each; phase 2's per-domain
+    input is bounded by k·salt_buckets rows regardless of corpus
+    size."""
+    from pyspark.sql import Window
+
+    rk = F.md5(F.col(id_col).cast("string"))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy("_rk", id_col)
+    w2 = Window.partitionBy(domain_col).orderBy("_rk", id_col)
+    survivors = (
+        docs.select(id_col, domain_col, rk.alias("_rk"), salt.alias("_salt"))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    return (
+        survivors.withColumn("quota_rank", F.row_number().over(w2))
+        .filter(F.col("quota_rank") <= k)
+        .select(
+            id_col,
+            domain_col,
+            F.col("quota_rank").cast("bigint").alias("quota_rank"),
+        )
+    )
+
+
+@query("p_domain_quota", oracle=_DOMAIN_QUOTA_SQL)
+def p_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap over ``documents``: the ≤ ``DQ_K`` docs
+    kept per source with their quota rank — see ``domain_quota`` for
+    semantics and the two-phase mega-domain skew guard."""
+    return domain_quota(read_table(spark, sf_dir, "documents"))

@@ -291,3 +291,63 @@ def test_ppjoin_registered_query_lowers_to_takeordered(spark):
     assert plan.lstrip().startswith(
         ("TakeOrderedAndProject", "AdaptiveSparkPlan")
     )
+
+
+class TestDomainQuota:
+    """Hard per-domain cap — two-phase salted rank must equal the
+    naive single-window rank exactly, and each domain keeps
+    min(k, n_docs)."""
+
+    def _docs(self, spark, sizes):
+        rows = []
+        i = 0
+        for dom, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, dom))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_two_phase_equals_single_window(self, spark):
+        from pyspark.sql import Window
+        from matrixinversion_spark.pipeline.curation import domain_quota
+
+        docs = self._docs(
+            spark, {"mega": 3000, "mid": 40, "tiny": 3}
+        )
+        got = {
+            (r["doc_id"], r["source"], r["quota_rank"])
+            for r in domain_quota(docs, k=10, salt_buckets=7).collect()
+        }
+        w = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        want = {
+            (r["doc_id"], r["source"], r["quota_rank"])
+            for r in docs.withColumn(
+                "quota_rank", F.row_number().over(w).cast("bigint")
+            )
+            .filter(F.col("quota_rank") <= 10)
+            .collect()
+        }
+        assert got == want
+
+    def test_keeps_min_k_n_per_domain(self, spark):
+        from matrixinversion_spark.pipeline.curation import domain_quota
+
+        docs = self._docs(spark, {"a": 25, "b": 10, "c": 2})
+        counts = {
+            r["source"]: r["n"]
+            for r in domain_quota(docs, k=10)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert counts == {"a": 10, "b": 10, "c": 2}
+
+    def test_deterministic_across_runs(self, spark):
+        from matrixinversion_spark.pipeline.curation import domain_quota
+
+        docs = self._docs(spark, {"a": 100}).repartition(8)
+        one = sorted(r["doc_id"] for r in domain_quota(docs, k=5).collect())
+        two = sorted(r["doc_id"] for r in domain_quota(docs, k=5).collect())
+        assert one == two and len(one) == 5
