@@ -1274,3 +1274,71 @@ def p_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub") * 1.0 / F.sum("n_char"), 6
         ).alias("subwords_per_char"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget data selection
+# ---------------------------------------------------------------------------
+
+TB_BUDGET = 5_000  # tokens — scale-independent so every sf exercises the cut
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ratio
+    FROM documents),
+c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (
+               ORDER BY ratio DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= {TB_BUDGET}
+"""
+
+
+@query("p_token_budget_select", oracle=_TOKEN_BUDGET_SQL)
+def p_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: rank every doc by a
+    quality proxy (distinct-token ratio, doc_id tiebreak) and keep
+    the best docs whose INCLUSIVE running token total still fits
+    ``TB_BUDGET`` — the greedy knapsack relaxation every
+    budget-capped training run executes ("fill the budget with the
+    highest-quality tokens first").
+
+    Scale shape: the score is a map-side expression; the running
+    total rides ``prefix_sum``'s range shuffle (never a
+    single-partition global window), so the selection costs exactly
+    one sort-shuffle — the same bill as any global ORDER BY — and
+    the budget predicate is a filter on the running column. At
+    100 TB swap the ratio for any model-based quality score column;
+    the plan is unchanged."""
+    from matrixinversion_spark.relational.profiling import prefix_sum
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    t = d.select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.array_distinct("ts")).cast("double") / F.size("ts")
+        ).alias("ratio"),
+    )
+    cum = prefix_sum(
+        t,
+        [F.col("ratio").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+    )
+    return cum.filter(F.col("cum_tokens") <= TB_BUDGET).select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )

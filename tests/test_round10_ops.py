@@ -351,3 +351,56 @@ class TestDomainQuota:
         one = sorted(r["doc_id"] for r in domain_quota(docs, k=5).collect())
         two = sorted(r["doc_id"] for r in domain_quota(docs, k=5).collect())
         assert one == two and len(one) == 5
+
+
+class TestTokenBudgetSelect:
+    """Greedy token-budget selection — distributed prefix_sum path
+    must equal a naive single-window cumsum, and the budget is an
+    inclusive cut."""
+
+    def test_matches_naive_window_and_cut_is_tight(self, spark):
+        import tempfile
+
+        from pyspark.sql import Window
+        from matrixinversion_spark.pipeline.corpus import (
+            TB_BUDGET, p_token_budget_select,
+        )
+
+        rows = [
+            # doc i: i+1 repeats of one word + i distinct fillers ->
+            # varying ratio and n_tokens
+            (i, " ".join(["w"] * (i + 1) + [f"f{j}" for j in range(i)]))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(f"{td}/documents.parquet")
+            got = {
+                (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+                for r in p_token_budget_select(spark, td).collect()
+            }
+        ts = F.split("text", " ")
+        t = df.select(
+            "doc_id",
+            F.size(ts).cast("bigint").alias("n_tokens"),
+            (F.size(F.array_distinct(ts)).cast("double") / F.size(ts))
+            .alias("ratio"),
+        )
+        w = (
+            Window.orderBy(F.col("ratio").desc(), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        naive = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        want = {
+            (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+            for r in naive.filter(F.col("cum_tokens") <= TB_BUDGET).collect()
+        }
+        assert got == want and got
+        # inclusive tight cut: the best EXCLUDED doc would overflow
+        spent = max(c for _, _, c in got)
+        nxt = (
+            naive.filter(F.col("cum_tokens") > TB_BUDGET)
+            .orderBy("cum_tokens")
+            .first()
+        )
+        assert nxt["cum_tokens"] > TB_BUDGET >= spent
