@@ -633,26 +633,48 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_inv.df.count()
     a_inv.release()
 
-    def dominant(m: BlockMatrixFrame) -> float:
+    def norm_of(w: BlockMatrixFrame) -> float:
+        norm2 = w.df.select(
+            F.sum(
+                F.aggregate(
+                    "data", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+        return float(np.sqrt(norm2))
+
+    # Power iteration with CHAINED steps: `chunk` multiplies stay
+    # lazy between materializations, so the driver pays one
+    # job/collect per chunk instead of per step (60 -> ~14 round
+    # trips). Measured honestly at demo n: the wall is UNCHANGED
+    # (~44 s) — each multiply is still its own shuffle STAGE and
+    # stage latency, not the driver round-trip, dominates at n=256;
+    # the chaining is kept because fewer blocking collects is the
+    # right shape at any n and costs nothing. Overflow-safe: within
+    # a chunk components grow <= lam^chunk <= 1000^5 = 1e15 of a
+    # unit vector. The burn-in only needs the DIRECTION — after it,
+    # one classic step on the renormalized vector yields the
+    # eigenvalue with the iterate error of the full 30 straight
+    # steps (dominant-ratio >= 2 => direction error ~0.5^29).
+    def dominant(m: BlockMatrixFrame, chunk: int = 5) -> float:
         v = BlockMatrixFrame.from_numpy(
             spark,
             rng.standard_normal((n, 1)) / np.sqrt(n),
             block_size=bs,
         )
-        lam = 0.0
-        for _ in range(iters):
-            w = _checkpoint(ops.multiply(m, v))
+        done = 0
+        while done < iters - 1:
+            take = min(chunk, iters - 1 - done)
+            w = v
+            for _ in range(take):
+                w = ops.multiply(m, w)
+            w = _checkpoint(w)
             w.persist()
-            norm2 = w.df.select(
-                F.sum(
-                    F.aggregate(
-                        "data", F.lit(0.0), lambda acc, x: acc + x * x
-                    )
-                ).alias("s")
-            ).collect()[0]["s"]
-            lam = float(np.sqrt(norm2))
-            v = ops.scale(w, 1.0 / lam)
-        return lam
+            v = ops.scale(w, 1.0 / norm_of(w))
+            done += take
+        w = _checkpoint(ops.multiply(m, v))
+        w.persist()
+        return norm_of(w)
 
     kappa = dominant(a) * dominant(a_inv)
     rel_err = abs(kappa - 1000.0) / 1000.0
