@@ -1320,22 +1320,24 @@ def quality_gate_frame(
     d = docs.select(
         id_col,
         F.col(text_col).alias("_t"),
-        F.array_sort(tokens(F.col(text_col))).alias("ts"),
+        F.array_sort(tokens(F.col(text_col))).alias("_toks"),
     )
-    ts = F.col("ts")
+    ts = F.col("_toks")
     n = F.size(ts)
     # materialized projection stage: starts must be a column BEFORE
     # per-element lambdas read it (alias-inlining trap, see
-    # p_text_repetition)
+    # p_text_repetition). Internal aliases are underscored so a
+    # caller's own "ts"/"starts" column (e.g. the streaming monitor's
+    # event-time) can never collide.
     starts_expr = F.filter(
         F.sequence(F.lit(1), n),
         lambda i: (i == 1) | (F.element_at(ts, i) != F.element_at(ts, i - 1)),
     )
-    w = d.select(id_col, "_t", "ts", starts_expr.alias("starts"))
+    w = d.select(id_col, "_t", "_toks", starts_expr.alias("_starts"))
     run_lens = F.zip_with(
-        F.col("starts"),
+        F.col("_starts"),
         F.concat(
-            F.slice(F.col("starts"), 2, F.size("starts")),
+            F.slice(F.col("_starts"), 2, F.size("_starts")),
             F.array(n + 1),
         ),
         lambda a, b: b - a,
@@ -1348,7 +1350,7 @@ def quality_gate_frame(
         ts, F.lit(0), lambda acc, x: acc + F.length(x)
     ).cast("double") / n
     top_frac = F.array_max(run_lens).cast("double") / n
-    dist_ratio = F.size("starts").cast("double") / n
+    dist_ratio = F.size("_starts").cast("double") / n
     punct_ratio = punct_count(t).cast("double") / n_chars
     rules = {
         "r_min_len": (n_chars >= QG_MIN_CHARS) & (n >= QG_MIN_TOKENS),

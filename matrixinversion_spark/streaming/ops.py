@@ -824,3 +824,50 @@ def wap_stream_sink(
         "checkpointLocation", checkpoint_dir
     )
     return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+def quality_gate_stream(
+    docs: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "event_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming data-quality monitor: per-event-time-window pass
+    rates of the composed C4/Gopher quality gate
+    (``pipeline.text.quality_gate_frame``) over a document stream —
+    the live dashboard a production ingest watches to catch a
+    quality regression (a broken extractor, a spam flood) within one
+    window instead of at the next offline release report.
+
+    The six rule verdicts are stateless map-side expressions (the
+    same single codegen span as the batch operator — no explode, no
+    per-doc state), so the ONLY stateful piece is one windowed
+    aggregation: state = one 9-column row per open window regardless
+    of stream rate. Same composition contract as the batch
+    ``p_release_report``: per-rule rates side by side so a moving
+    ``rate_pass_all`` is attributable to the rule that moved."""
+    from matrixinversion_spark.pipeline.text import (
+        _QG_RULES,
+        quality_gate_frame,
+    )
+
+    g = quality_gate_frame(docs, id_col=time_col, text_col=text_col)
+    return (
+        g.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *[
+                F.round(F.avg(r), 6).alias(f"rate_{r[2:]}")
+                for r in _QG_RULES
+            ],
+            F.round(F.avg("pass_all"), 6).alias("rate_pass_all"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs",
+            *[f"rate_{r[2:]}" for r in _QG_RULES],
+            "rate_pass_all",
+        )
+    )

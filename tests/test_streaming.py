@@ -626,3 +626,77 @@ def test_watermark_semantics_state_bound_not_completeness(spark, tmp_path):
     late_ws = (base - pd.Timedelta(hours=3)).to_pydatetime()
     assert got[late_ws] == 50
     assert audit.dropped == 0  # no eviction pressure in 2 batches
+
+
+def test_quality_gate_stream_matches_batch(spark, tmp_path):
+    """Per-window quality-gate pass rates over a 2-batch doc stream
+    must equal the batch computation over the same files — planted
+    per-window pass/fail mixes make the expected rates closed-form."""
+    import datetime as dt
+
+    from matrixinversion_spark.pipeline.text import quality_gate_frame
+
+    good = (
+        "the quick brown vulpine jumps over lazy canines near "
+        "riverbank marker stones"
+    )
+    bad = "it aa bb cc dd ee"  # fails r_min_len only
+    h1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h2 = dt.datetime(2024, 1, 1, 11, 0, 0)
+    batch1 = [(h1, good)] * 3 + [(h1, bad)]          # hour 1: 3/4 pass
+    batch2 = [(h2, good)] * 1 + [(h2, bad)] * 3      # hour 2: 1/4 pass
+    schema = "event_ts timestamp, text string"
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "b2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        sops.quality_gate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("qgate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start"]: (r["n_docs"], r["rate_pass_all"])
+        for r in spark.sql("SELECT * FROM qgate").collect()
+    }
+    assert got == {h1: (4, 0.75), h2: (4, 0.25)}
+
+    # full-row differential vs the batch twin over the same files
+    batch = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(schema)
+        .parquet(str(src))
+    )
+    want = {
+        tuple(r)
+        for r in quality_gate_frame(batch, id_col="event_ts")
+        .groupBy(F.window("event_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("pass_all"), 6).alias("rate_pass_all"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_docs",
+                "rate_pass_all")
+        .collect()
+    }
+    stream_rows = {
+        (r["window_start"], r["n_docs"], r["rate_pass_all"])
+        for r in spark.sql(
+            "SELECT window_start, n_docs, rate_pass_all FROM qgate"
+        ).collect()
+    }
+    assert stream_rows == want
