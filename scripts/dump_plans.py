@@ -416,6 +416,23 @@ NOTES: dict[str, str] = {
         "40k-doc planted smoke on a realistic Zipfian vocabulary is "
         "the pruning evidence."
     ),
+    "p_domain_quota": (
+        "Two window stages, each one exchange: phase 1 ranks inside "
+        "(domain, salt) buckets so a mega-domain's rows spread over "
+        "16 partitions instead of one task's sort; phase 2 re-ranks "
+        "per domain over an input bounded at k*salt_buckets rows per "
+        "domain regardless of corpus size. Provably equal to the "
+        "naive single-window rank (differential pytest)."
+    ),
+    "p_token_budget_select": (
+        "The quality score is a map-side expression; the inclusive "
+        "running token total rides prefix_sum's range shuffle (range "
+        "repartition + per-partition window + K-row offset fold) — "
+        "one sort-shuffle total, never a single-partition global "
+        "window — and the budget is a filter on the running column. "
+        "Swap the score column for a model-based one at 100 TB; the "
+        "plan is unchanged."
+    ),
 }
 
 
