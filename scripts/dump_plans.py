@@ -455,6 +455,7 @@ def markers(plan: str) -> str:
     codegen_ids = set(re.findall(r"\*[(]([0-9]+)[)]", plan))
     return (
         f"exchanges={plan.count('Exchange hashpartitioning')} "
+        f"range_exchanges={plan.count('Exchange rangepartitioning')} "
         f"broadcasts={plan.count('BroadcastHashJoin') + plan.count('BroadcastNestedLoopJoin')} "
         f"sortmerge={plan.count('SortMergeJoin')} "
         f"codegen_spans={len(codegen_ids)} "
