@@ -430,8 +430,12 @@ NOTES: dict[str, str] = {
         "repartition + per-partition window + K-row offset fold) — "
         "one sort-shuffle total, never a single-partition global "
         "window — and the budget is a filter on the running column. "
-        "Swap the score column for a model-based one at 100 TB; the "
-        "plan is unchanged."
+        "The displayed tree is Scan-ExistingRDD + filter because "
+        "prefix_sum localCheckpoints to pin its range boundaries; "
+        "the one range exchange lives inside that pinned "
+        "materialization, not downstream of it. Swap the score "
+        "column for a model-based one at 100 TB; the plan is "
+        "unchanged."
     ),
 }
 
