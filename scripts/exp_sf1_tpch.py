@@ -83,7 +83,12 @@ def build_sf1(spark, out_dir: str) -> None:
 
 
 def final_plan(df) -> str:
-    # after an action, AQE's executed plan is final
+    # IMPORTANT: the action must run on THIS Dataset's own
+    # QueryExecution — df.count() spawns a separate QueryExecution
+    # for the count aggregate and leaves df's plan UNEXECUTED, so
+    # executedPlan() would print the initial speculative
+    # AdaptiveSparkPlan (isFinalPlan=false), hiding exactly the AQE
+    # runtime decisions this experiment exists to diff.
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -94,6 +99,9 @@ JOIN_RE = re.compile(
 
 
 def join_census(plan: str) -> dict[str, int]:
+    # an executed AdaptiveSparkPlan appends the pre-AQE
+    # "== Initial Plan ==" section — census only the FINAL plan
+    plan = plan.split("== Initial Plan ==")[0]
     c: dict[str, int] = {}
     for m in JOIN_RE.finditer(plan):
         c[m.group(1)] = c.get(m.group(1), 0) + 1
@@ -104,9 +112,13 @@ def run_at(spark, name: str, sf_dir: str):
     fn = queries()[name]
     t0 = time.time()
     df = fn(spark, sf_dir)
-    n = df.count()
+    n = len(df.collect())  # executes df's OWN plan -> AQE finalizes it
     wall = time.time() - t0
-    return wall, n, join_census(final_plan(df))
+    plan = final_plan(df)
+    assert "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan, (
+        f"{name}: plan not finalized"
+    )
+    return wall, n, join_census(plan)
 
 
 def main() -> int:
