@@ -357,13 +357,16 @@ def write_audit_publish(
             f"write_audit_publish to {path!r} rejected by audits "
             f"{failed}; previously published data is untouched"
         )
-    # Mark the version as PUBLISHED before flipping the pointer: the
-    # GC counts only marked dirs toward its grace slot, so a
-    # concurrent publisher's in-progress (unmarked) staging dir can
-    # never consume the slot and cause the immediately-previous
-    # published version to be reclaimed under in-flight readers.
-    with open(os.path.join(version, _PUBLISH_MARKER), "w") as fh:
-        fh.write(tag)
+    # Record the OUTGOING target before the flip: the GC's grace slot
+    # is this explicit pointer, not an mtime ranking — so neither a
+    # concurrent publisher's staging dir nor a marked-but-never-
+    # current crash leftover can displace the one version in-flight
+    # readers may still be scanning.
+    prev_target = (
+        os.path.realpath(path)
+        if os.path.islink(path) or os.path.exists(path)
+        else None
+    )
     if os.path.islink(path) or not os.path.exists(path):
         # atomic publish: rename a prepared symlink over the old one
         tmplink = os.path.join(parent, f".{base}.lnk-{tag}")
@@ -375,6 +378,20 @@ def write_audit_publish(
         os.rename(path, replaced)
         os.symlink(version, path)
         shutil.rmtree(replaced, ignore_errors=True)
+    # Mark AFTER the flip: a marked dir therefore WAS current at some
+    # point, so "marked and now neither current nor prev" provably
+    # means >= 2 publishes old — immediately reclaimable. A crash
+    # before the marker leaves the current dir unmarked, which is
+    # harmless: GC always skips the current target, and the next
+    # publish protects it as prev.
+    with open(os.path.join(version, _PUBLISH_MARKER), "w") as fh:
+        fh.write(tag)
+    # Persist the grace pointer atomically (temp + rename).
+    prevfile = os.path.join(parent, f".{base}.gc-prev")
+    tmpprev = prevfile + f".tmp-{tag}"
+    with open(tmpprev, "w") as fh:
+        fh.write(prev_target or "")
+    os.replace(tmpprev, prevfile)
     # GRACE-PERIOD GC, not immediate deletion: a reader that resolved
     # the old symlink target before the flip (a Spark scan mid-job)
     # must not hit FileNotFound. The immediately-previous version
@@ -393,16 +410,32 @@ def _gc_old_versions(parent: str, base: str, current: str,
     snapshot finish undisturbed; versions two publishes old are
     reclaimed).
 
-    Only dirs carrying the ``_PUBLISHED`` marker count toward — or
-    are eligible for — reclamation: a concurrent publisher's
-    in-progress staging dir is unmarked, so it can neither consume
-    the grace slot (which would have rmtree'd the immediately-
-    previous published version under in-flight readers) nor be
-    deleted out from under its writer. Unmarked dirs older than
-    ``_STALE_STAGING_SECS`` are crash leftovers (a successful publish
-    marks, a failed one rmtrees) and are swept too."""
+    The grace slot is the EXPLICIT ``.{base}.gc-prev`` pointer the
+    publisher records at flip time — the dir that actually WAS the
+    symlink target immediately before the current one — never an
+    mtime ranking (which a concurrent publisher's staging dir, a
+    marked-but-never-current crash leftover, or a pre-marker-era
+    version could displace). Beyond {current, prev}: dirs with the
+    ``_PUBLISHED`` marker were current once and are now >= 2
+    publishes old — reclaimed immediately; unmarked dirs are a
+    writer's in-progress staging (protected) until
+    ``_STALE_STAGING_SECS`` old, after which they are crash
+    leftovers (a successful publish marks, a failed one rmtrees)
+    and are swept. ``keep_prior`` retains that many additional
+    most-recent marked versions beyond the explicit prev (0 by
+    default semantics is covered by the pointer itself)."""
     import shutil
     import time
+
+    keep = {current}
+    prevfile = os.path.join(parent, f".{base}.gc-prev")
+    try:
+        with open(prevfile) as fh:
+            recorded = fh.read().strip()
+        if recorded:
+            keep.add(os.path.realpath(recorded))
+    except OSError:
+        pass  # first-ever publish, or pre-pointer layout
 
     prefix = f".{base}.v-"
     published, unmarked = [], []
@@ -410,7 +443,7 @@ def _gc_old_versions(parent: str, base: str, current: str,
         if not name.startswith(prefix):
             continue
         full = os.path.join(parent, name)
-        if os.path.realpath(full) == current:
+        if os.path.realpath(full) in keep:
             continue
         try:
             mtime = os.path.getmtime(full)
@@ -421,7 +454,8 @@ def _gc_old_versions(parent: str, base: str, current: str,
         else:
             unmarked.append((mtime, full))
     published.sort(reverse=True)
-    for _, full in published[keep_prior:]:
+    extra = max(keep_prior - 1, 0)  # prev pointer already holds slot 1
+    for _, full in published[extra:]:
         shutil.rmtree(full, ignore_errors=True)
     cutoff = time.time() - _STALE_STAGING_SECS
     for mtime, full in unmarked:

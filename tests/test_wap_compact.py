@@ -22,7 +22,13 @@ def _visible(parent: str) -> list[str]:
 
 
 def _hidden(parent: str) -> list[str]:
-    return sorted(p for p in os.listdir(parent) if p.startswith("."))
+    # version dirs only — the .gc-prev grace pointer is a permanent
+    # one-file fixture of the layout, not a leftover
+    return sorted(
+        p
+        for p in os.listdir(parent)
+        if p.startswith(".") and ".gc-prev" not in p
+    )
 
 
 def test_wap_publishes_when_audits_pass(spark):
@@ -201,3 +207,52 @@ def test_wap_concurrent_staging_dir_does_not_consume_grace_slot(spark):
         target_rows_per_file=100000,
     )
     assert not os.path.exists(in_progress)
+
+
+def test_gc_grace_is_the_recorded_prev_not_mtime(spark):
+    """A marked-but-never-current crash leftover (or any newer-mtime
+    dir) must NOT displace the version in-flight readers may still be
+    scanning: the grace slot is the explicit .gc-prev pointer."""
+    import time as _time
+
+    d = spark.range(5).select(F.col("id").alias("k"))
+    parent = tempfile.mkdtemp()
+    path = os.path.join(parent, "t")
+    write_audit_publish(d, path, {}, target_rows_per_file=100)
+    v1 = os.path.realpath(path)
+    write_audit_publish(d, path, {}, target_rows_per_file=100)
+    v2 = os.path.realpath(path)
+    # plant a MARKED dir that was never the symlink target, with the
+    # newest mtime — under mtime ranking it would steal the grace slot
+    fake = os.path.join(parent, ".t.v-deadbeef0000")
+    os.makedirs(fake)
+    with open(os.path.join(fake, "_PUBLISHED"), "w") as fh:
+        fh.write("deadbeef0000")
+    _time.sleep(0.05)
+    write_audit_publish(d, path, {}, target_rows_per_file=100)
+    # v2 (the true previous target) survives; the fake marked dir and
+    # v1 (two publishes old) are reclaimed
+    assert os.path.isdir(v2)
+    assert not os.path.exists(fake)
+    assert not os.path.exists(v1)
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_gc_protects_unmarked_prev_from_stale_sweep(spark):
+    """A pre-marker-era published version (unmarked, old mtime) that
+    is the recorded previous target must survive the stale-staging
+    sweep — the next publish's readers may still be on it."""
+    import time as _time
+
+    d = spark.range(3).select(F.col("id").alias("k"))
+    parent = tempfile.mkdtemp()
+    path = os.path.join(parent, "t")
+    write_audit_publish(d, path, {}, target_rows_per_file=100)
+    v1 = os.path.realpath(path)
+    # simulate a pre-marker layout: strip the marker, age the dir
+    os.remove(os.path.join(v1, "_PUBLISHED"))
+    old = _time.time() - 3 * 24 * 3600
+    os.utime(v1, (old, old))
+    write_audit_publish(d, path, {}, target_rows_per_file=100)
+    assert os.path.isdir(v1)  # protected as the recorded prev
+    assert spark.read.parquet(path).count() == 3
