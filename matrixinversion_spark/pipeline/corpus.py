@@ -29,6 +29,25 @@ from matrixinversion_spark.pipeline.dedup import _hash32_sql, hash32
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
+
+def split_bucket(id_col: str = "doc_id"):
+    """Deterministic 0-99 split bucket of a doc id (hash32 mod 100) —
+    the ONE definition of the corpus's 90/5/5 boundary hashing."""
+    return hash32(F.col(id_col).cast("string")) % 100
+
+
+def split_col(id_col: str = "doc_id"):
+    """The registered 90/5/5 train/validation/test assignment — every
+    operator that references the split derives it from here, so the
+    ratios and hash input can never drift between the split itself
+    and its downstream audits (leakage, release report, quotas)."""
+    b = split_bucket(id_col)
+    return (
+        F.when(b < 90, "train")
+        .when(b < 95, "validation")
+        .otherwise("test")
+    )
+
 # -- sequential Poisson sampling -------------------------------------------
 
 _SPS_K = 100
@@ -186,14 +205,10 @@ def p_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements p_decontaminate (train vs EXTERNAL benchmark) by
     auditing leakage INTERNAL to the corpus release."""
     d = read_table(spark, sf_dir, "documents")
-    bucket = hash32(F.col("doc_id").cast("string")) % 100
     h = d.select(
         "doc_id",
         F.md5("text").alias("th"),
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "validation")
-        .otherwise("test")
-        .alias("split"),
+        split_col().alias("split"),
     )
     tr = h.filter(F.col("split") == "train").select("th").distinct()
     ev = h.filter(F.col("split") != "train")
@@ -279,12 +294,7 @@ def near_dup_leakage(
             docs, id_col=id_col, text_col=text_col, extra_cols=(split_col,)
         )
     bands = lsh_bands(sig, id_col)
-    if max_bucket is not None:
-        bands, oversized = lsh_bucket_guard(bands, max_bucket, id_col)
-    else:
-        oversized = bands.groupBy("band_id", "bkey").agg(
-            F.count(F.lit(1)).alias("n_members")
-        ).filter(F.lit(False))
+    bands, oversized = lsh_bucket_guard(bands, max_bucket, id_col)
     splits = sig.select(id_col, split_col)
     tr_b = (
         bands.join(splits, id_col)
@@ -399,12 +409,7 @@ def p_split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixinversion_spark.pipeline.dedup import shared_doc_signatures
 
     d = read_table(spark, sf_dir, "documents")
-    bucket = hash32(F.col("doc_id").cast("string")) % 100
-    split_expr = (
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "validation")
-        .otherwise("test")
-    )
+    split_expr = split_col()
     docs = d.select("doc_id", "text", split_expr.alias("split"))
     # signatures ride the shared per-(session, sf_dir) cache — the
     # split column is a pure function of doc_id, so it re-derives on
@@ -503,16 +508,12 @@ def p_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixinversion_spark.pipeline.text import quality_gate_frame
 
     d = read_table(spark, sf_dir, "documents")
-    bucket = hash32(F.col("doc_id").cast("string")) % 100
     h = d.select(
         "doc_id",
         "text",
         "lang",
         F.md5("text").alias("th"),
-        F.when(bucket < 90, "train")
-        .when(bucket < 95, "validation")
-        .otherwise("test")
-        .alias("split"),
+        split_col().alias("split"),
     )
     tr = (
         h.filter(F.col("split") == "train")
@@ -603,7 +604,6 @@ def guarded_release_report(
     sig = shared_doc_signatures(spark, sf_dir)
     bands = lsh_bands(sig)
     _kept, refused = lsh_bucket_guard(bands, max_bucket)
-    bucket = hash32(F.col("doc_id").cast("string")) % 100
     refused_per_split = (
         bands.join(
             F.broadcast(refused.select("band_id", "bkey")),
@@ -611,12 +611,7 @@ def guarded_release_report(
         )
         .select("doc_id")
         .distinct()
-        .select(
-            F.when(bucket < 90, "train")
-            .when(bucket < 95, "validation")
-            .otherwise("test")
-            .alias("split")
-        )
+        .select(split_col().alias("split"))
         .groupBy("split")
         .agg(F.count("*").cast("bigint").alias("_n_refused"))
     )
@@ -764,7 +759,7 @@ def p_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Heaps-law sublinear in corpus size) — same story as
     ``p_token_entropy``/``p_bpe_pair_counts``."""
     d = read_table(spark, sf_dir, "documents")
-    bucket = hash32(F.col("doc_id").cast("string")) % 100
+    bucket = split_bucket()
     b = d.where(bucket < 95).select(
         F.when(bucket < 90, F.lit("train"))
         .otherwise(F.lit("validation"))

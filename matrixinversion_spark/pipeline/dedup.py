@@ -233,11 +233,15 @@ def clear_signature_cache() -> None:
 
 def lsh_bucket_guard(
     bands: DataFrame,
-    max_bucket: int,
+    max_bucket: int | None,
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
     """Skew guard for LSH band buckets: drop buckets with more than
     ``max_bucket`` members before the candidate self-join.
+    ``max_bucket=None`` disables the guard and returns the bands
+    untouched plus an EMPTY report with the same schema — so callers
+    always get the report frame from one place and the schema can
+    never drift between call sites.
 
     A pathological bucket — e.g. thousands of byte-identical documents
     reaching the near-dup stage because exact dedup was skipped —
@@ -256,11 +260,12 @@ def lsh_bucket_guard(
     refuse (run exact dedup first — its one uniform hash shuffle
     collapses identical docs at a fraction of the cost).
     """
-    oversized = (
-        bands.groupBy("band_id", "bkey")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .filter(F.col("n_members") > max_bucket)
+    counts = bands.groupBy("band_id", "bkey").agg(
+        F.count(F.lit(1)).alias("n_members")
     )
+    if max_bucket is None:
+        return bands, counts.filter(F.lit(False))
+    oversized = counts.filter(F.col("n_members") > max_bucket)
     kept = bands.join(
         F.broadcast(oversized.select("band_id", "bkey")),
         ["band_id", "bkey"],
@@ -400,20 +405,23 @@ def line_dedup(
     across MANY documents while each containing document is unique.
 
     Scale shape: one groupBy on the 128-bit line fingerprint (uniform
-    by construction — no skew), one fingerprint join back (the
-    duplicated-line side is small; at a real corpus the nd >= k frame
-    broadcasts), one groupBy(doc) to reassemble. All JVM-side
-    expressions; nothing touches the driver.
+    by construction — no skew), then a LEFT ANTI join against only
+    the nd >= k fingerprints — the duplicated-line side is a tiny
+    fraction of distinct lines on a real corpus, so AQE broadcasts it
+    and the line frame never shuffles a second time (an inner join
+    against the full counts frame would); one groupBy(doc) to
+    reassemble. All JVM-side expressions; nothing touches the driver.
     """
     lf = F.md5(F.col(line_col)).alias("lf")
     lined = docs.select(id_col, pos_col, line_col, lf)
-    counts = lined.groupBy("lf").agg(
-        F.countDistinct(id_col).alias("nd")
+    dup = (
+        lined.groupBy("lf")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= dup_k)
+        .select("lf")
     )
-    kept = (
-        lined.join(counts, "lf")
-        .filter(F.col("nd") < dup_k)
-        .select(id_col, pos_col, line_col)
+    kept = lined.join(dup, "lf", "left_anti").select(
+        id_col, pos_col, line_col
     )
     agg = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
@@ -617,12 +625,7 @@ def minhash_lsh_pairs(
     log it alongside the pair output.
     """
     bands = lsh_bands(sig, id_col)
-    if max_bucket is not None:
-        bands, oversized = lsh_bucket_guard(bands, max_bucket, id_col)
-    else:
-        oversized = bands.groupBy("band_id", "bkey").agg(
-            F.count(F.lit(1)).alias("n_members")
-        ).filter(F.lit(False))
+    bands, oversized = lsh_bucket_guard(bands, max_bucket, id_col)
 
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
