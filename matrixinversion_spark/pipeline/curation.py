@@ -741,7 +741,12 @@ def domain_quota(
     top-ks (TakeOrdered's per-partition-heap argument, applied per
     group). Both phases are one shuffle each; phase 2's per-domain
     input is bounded by k·salt_buckets rows regardless of corpus
-    size."""
+    size. Honest scale evidence (exp_domain_quota_scale.py, 5M- and
+    50M-row mega-domain): on single-node local the WALL is a wash —
+    total CPU is conserved — but the per-task bound is real (max
+    task rows ~N/salt_buckets vs the naive window's N), and the
+    bound, not local wall, is what stops one core sorting a top
+    domain while the rest of a cluster idles."""
     from pyspark.sql import Window
 
     rk = F.md5(F.col(id_col).cast("string"))
