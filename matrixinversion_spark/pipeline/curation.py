@@ -775,3 +775,145 @@ def p_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept per source with their quota rank — see ``domain_quota`` for
     semantics and the two-phase mega-domain skew guard."""
     return domain_quota(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64   # hashed feature space (Xie et al. use 10^4; the
+                    # test corpus's uni+bigram space is ~950)
+DSIR_TARGET_LANG = "en"  # target-domain proxy on TESTDATA
+DSIR_TOP_K = 25
+
+_DSIR_HASH = (
+    "CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT)::BIGINT"
+)
+
+_DSIR_SQL = f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS ts
+    FROM documents),
+f AS (
+    SELECT doc_id, lang, {_DSIR_HASH} % {DSIR_BUCKETS} AS b
+    FROM (
+        SELECT doc_id, lang,
+               unnest(list_concat(
+                   ts,
+                   list_transform(range(1, len(ts)),
+                                  i -> ts[i] || ' ' || ts[i + 1])
+               )) AS g
+        FROM t)
+    WHERE g != ''),
+m AS (
+    SELECT b, count(*) AS cr,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                    THEN 1 ELSE 0 END) AS ct
+    FROM f GROUP BY 1),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM m),
+llr AS (
+    SELECT b,
+           ln((ct + 1.0) / (nt + {DSIR_BUCKETS}))
+               - ln((cr + 1.0) / (nr + {DSIR_BUCKETS})) AS w
+    FROM m, tot),
+d AS (
+    SELECT f.doc_id, any_value(f.lang) AS lang,
+           count(*) AS n_feats, sum(llr.w) AS w
+    FROM f JOIN llr USING (b) GROUP BY 1)
+SELECT doc_id, lang, CAST(n_feats AS BIGINT) AS n_feats,
+       round(w, 6) AS log_weight
+FROM d
+ORDER BY round(w, 6) DESC, doc_id
+LIMIT {DSIR_TOP_K}
+"""
+
+
+@query("p_dsir_select", oracle=_DSIR_SQL)
+def p_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by its log importance weight under hashed-n-gram bag
+    models of a TARGET domain vs the RAW corpus, and keep the
+    top-K — the standard way to tilt a 100 TB crawl toward a small
+    high-quality target distribution without training a classifier.
+    The target here is the ``lang='en'`` slice (a stand-in for
+    "looks like Wikipedia"); features are hashed unigrams+bigrams in
+    ``DSIR_BUCKETS`` buckets; bucket models are add-one smoothed;
+    the paper's Gumbel-noise resampling step is replaced by a
+    deterministic top-K so the operator is oracle-checkable (the
+    noisy variant is one extra column).
+
+    Scale shape: the corpus explodes ONCE into hashed features
+    (unigrams + zip_with bigrams — the shingle lesson from
+    ``shingles_from_tokens`` applies); both bucket models come from
+    ONE map-side-combined groupBy over ``DSIR_BUCKETS`` keys
+    (conditional count for the target slice — no second scan); the
+    bucket→log-ratio table is B rows, broadcast back onto the
+    feature stream; per-doc weights are one groupBy(doc_id); the
+    top-K cut is a TakeOrdered, never a global sort. Total: two
+    shuffles over bucket- and doc-cardinality frames. The per-ulp
+    ``ln`` divergence across engines (~1e-16/bucket, summed over
+    ~60 features/doc) sits ~9 orders under the 6-dp round, and the
+    top-K boundary orders by the ROUNDED weight on both sides."""
+    t = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("ts")
+    )
+    n = F.size("ts")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("ts", 1, n - 1),
+            F.slice("ts", 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from matrixinversion_spark.pipeline.dedup import hash32
+
+    f = (
+        t.select(
+            "doc_id",
+            "lang",
+            F.explode(F.concat("ts", bigrams)).alias("g"),
+        )
+        .filter(F.col("g") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (hash32(F.col("g")) % DSIR_BUCKETS).alias("b"),
+        )
+    )
+    m = f.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            (F.col("lang") == DSIR_TARGET_LANG).cast("bigint")
+        ).alias("ct"),
+    )
+    tot = m.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    llr = m.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + DSIR_BUCKETS))
+        ).alias("w"),
+    )
+    d = (
+        f.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("w").alias("w"),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.round("w", 6).alias("log_weight"),
+        )
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(DSIR_TOP_K)
+    )

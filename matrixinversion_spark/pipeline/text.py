@@ -1380,3 +1380,87 @@ def p_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dataset release report (``corpus.quality_rates`` /
     ``corpus.guarded_release_report``)."""
     return quality_gate_frame(read_table(spark, sf_dir, "documents"))
+
+
+# Heavy-hitter contract: report every token whose corpus share
+# exceeds HH_PHI, with EXACT counts. The sketch phase is complete
+# for phi > 1/k (Misra-Gries/SpaceSaving bound), so k = 1024 gives
+# a 20x safety margin over phi = 0.02.
+HH_PHI = 0.02
+HH_K = 1024
+
+
+@query(
+    "p_heavy_hitters_exact",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    f AS (SELECT tok FROM t WHERE tok != ''),
+    tot AS (SELECT count(*) AS n FROM f)
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+    FROM f
+    GROUP BY tok
+    HAVING count(*) > {HH_PHI} * (SELECT n FROM tot)
+    """,
+)
+def p_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact heavy hitters: tokens holding > ``HH_PHI`` of
+    the corpus, with EXACT counts — the contract ``p_vocab_topk``'s
+    one-pass sketch cannot give (its counts are estimates outside
+    the exact regime, and top-k membership under ties is
+    engine-arbitrary; a share threshold is tie-stable).
+
+    The classic candidate-then-verify plan (Misra-Gries candidates +
+    exact count of candidates only): phase 1 runs the mergeable
+    ``approx_top_k`` frequent-items sketch — one aggregation buffer
+    of k entries per partition, NO token-keyed shuffle — which is
+    guaranteed to retain every token with share > 1/k; phase 2
+    re-scans and exact-counts ONLY the candidate tokens (broadcast
+    semi-join, then a groupBy whose key cardinality is ≤ k, not
+    |vocab|). At 100 TB the verify shuffle moves k counters per
+    partition instead of the full vocabulary — that is the entire
+    point — and the phi > 1/k completeness bound means no false
+    negatives, ever. The planted-zipf pytest exercises the regime
+    where the sketch genuinely prunes (vocab ≫ k); on TESTDATA's
+    31-token vocabulary the candidate set is the whole vocabulary
+    and the threshold does the filtering."""
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return heavy_hitters_exact(toks, "tok", HH_PHI, k=HH_K)
+
+
+def heavy_hitters_exact(
+    df: DataFrame, col: str, phi: float, k: int = 1024
+) -> DataFrame:
+    """See ``p_heavy_hitters_exact``. Requires phi > 1/k (raises
+    otherwise: the sketch's completeness bound would not cover the
+    threshold and silent false negatives could appear)."""
+    if phi <= 1.0 / k:
+        raise ValueError(
+            f"heavy_hitters_exact: phi={phi} <= 1/k={1.0 / k:g} — "
+            "candidate phase would not be complete; raise k"
+        )
+    cand = (
+        df.selectExpr(f"approx_top_k({col}, {k}, {2 * k}) AS tk")
+        .select(F.explode("tk").alias("e"))
+        .select(F.col(f"e.item").alias(col))
+    )
+    exact = (
+        df.join(F.broadcast(cand), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") > phi * F.col("n"))
+        .select(
+            col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )

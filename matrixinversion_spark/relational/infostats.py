@@ -887,3 +887,102 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(msw, 6).alias("ms_within"),
         F.round(msb / msw, 6).alias("f_stat"),
     )
+
+
+@query(
+    "q_spearman_corr",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS flag, l_quantity AS x,
+               l_extendedprice AS y
+        FROM lineitem),
+    vx AS (SELECT flag, x, count(*) AS c FROM r GROUP BY 1, 2),
+    mx AS (
+        SELECT flag, x,
+               sum(c) OVER (PARTITION BY flag ORDER BY x)
+                   - c + (c + 1) / 2.0 AS rx
+        FROM vx),
+    vy AS (SELECT flag, y, count(*) AS c FROM r GROUP BY 1, 2),
+    my AS (
+        SELECT flag, y,
+               sum(c) OVER (PARTITION BY flag ORDER BY y)
+                   - c + (c + 1) / 2.0 AS ry
+        FROM vy),
+    j AS (
+        SELECT r.flag, rx, ry
+        FROM r
+        JOIN mx ON r.flag = mx.flag AND r.x = mx.x
+        JOIN my ON r.flag = my.flag AND r.y = my.y),
+    s AS (
+        SELECT flag, count(*) AS n,
+               sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+               sum(rx * ry) AS sxy
+        FROM j GROUP BY 1)
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx)
+                        * (n * syy - sy * sy)), 6) AS rho
+    FROM s
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group (quantity vs extended
+    price within each return flag) — the rank-based, outlier-robust
+    companion of the Pearson machinery in ``q_regr_agg``, and the
+    monotone-association statistic feature-drift audits prefer when
+    values are heavy-tailed. Ties get textbook midranks, so the
+    result matches scipy's ``spearmanr`` definition exactly.
+
+    Scale shape follows ``q_mannwhitney_u``: ranks are NEVER
+    assigned row-at-a-time. Each variable collapses to its
+    VALUE-level histogram per group (one map-side-combined groupBy,
+    cardinality = distinct values, not rows), midranks come from a
+    running total over that histogram, and rows get their ranks
+    back through two equi-joins on (group, value). The per-group
+    running sum is a window over the value-level table — groups
+    parallelize across the cluster; a single giant group degrades
+    to the same distinct-value ordering ``prefix_sum`` handles for
+    the global MWU/KS statistics. Midranks are half-integers
+    (exactly representable), so the only fp reorder lives in the
+    final Σrank² sums, ~1e-12 relative at this scale — far inside
+    the 6-dp round."""
+    r = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def midranks(col: str, out: str) -> DataFrame:
+        v = r.groupBy("flag", col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            W.partitionBy("flag")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return v.select(
+            "flag",
+            col,
+            (
+                F.sum("c").over(w) - F.col("c") + (F.col("c") + 1) / 2.0
+            ).alias(out),
+        )
+
+    j = (
+        r.join(midranks("x", "rx"), ["flag", "x"])
+        .join(midranks("y", "ry"), ["flag", "y"])
+    )
+    s = j.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("flag", "n", F.round(num / den, 6).alias("rho"))
