@@ -1040,3 +1040,137 @@ def p_ann_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60      # Cormack et al. 2009's smoothing constant
+RRF_POOL = 20   # per-ranker candidate pool fed into the fusion
+RRF_TOP = 10    # fused results returned per query
+
+_RRF_SQL = f"""
+WITH {_VEC_CTE},
+qz AS (
+    SELECT vec_id, e,
+           list_transform(e, x -> round(x * 127)) AS z
+    FROM n),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.e, c.e), 6) AS cos,
+           list_dot_product(q.z, c.z) AS qdot
+    FROM qz q JOIN qz c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {N_QUERIES}),
+re AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS r
+    FROM pairs),
+rq AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY qdot DESC, neighbor_id) AS r
+    FROM pairs),
+fused AS (
+    SELECT coalesce(re.query_id, rq.query_id) AS query_id,
+           coalesce(re.neighbor_id, rq.neighbor_id) AS neighbor_id,
+           coalesce(1.0 / ({RRF_K} + re.r), 0)
+               + coalesce(1.0 / ({RRF_K} + rq.r), 0) AS rrf
+    FROM (SELECT * FROM re WHERE r <= {RRF_POOL}) re
+    FULL OUTER JOIN (SELECT * FROM rq WHERE r <= {RRF_POOL}) rq
+      ON re.query_id = rq.query_id
+     AND re.neighbor_id = rq.neighbor_id),
+top AS (
+    SELECT query_id, neighbor_id, rrf,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf DESC, neighbor_id) AS rnk
+    FROM fused)
+SELECT query_id, neighbor_id, round(rrf, 6) AS rrf_score, rnk
+FROM top WHERE rnk <= {RRF_TOP}
+"""
+
+
+@query("p_rrf_fusion", oracle=_RRF_SQL)
+def p_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two retrieval rankers: the exact float cosine ranking and an
+    int8-quantized dot-product ranking (`round(x*127)` components —
+    the memory-bound ranking a compressed index serves). RRF is THE
+    standard way hybrid search merges rankers without score
+    calibration: score = Σ_rankers 1/(k + rank), k=60, over each
+    ranker's top-``RRF_POOL`` pool.
+
+    The embeddings are unit-norm, so the quantized ranking agrees
+    with the exact one except where quantization noise reorders
+    near-ties — exactly the disagreement RRF exists to arbitrate.
+
+    Scale shape: fusion itself only ever touches the rankers'
+    BOUNDED top-pool lists (2·POOL rows per query — a full outer
+    join on (query, neighbor) + one TakeOrdered); at 100 TB the
+    pools come from the ANN family (`p_ann_ivfpq_refined` etc.),
+    not a rescan. The demo pools here come from one broadcast-query
+    corpus pass shared by both rankers (the quantized vector is a
+    projection of the same row — no second scan). Cross-engine
+    determinism: the exact ranker orders by the ROUNDED cosine (the
+    `p_knn_bruteforce` rule), the quantized dot is integer-exact,
+    and RRF scores are rationals of small integers — bit-identical
+    in both engines."""
+    n = _vectors(spark, sf_dir).select(
+        "vec_id",
+        "e",
+        F.transform(
+            "e", lambda x: F.round(x * 127, 0)
+        ).alias("z"),
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("z").alias("qz"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("qe"), F.col("e")), 6).alias("cos"),
+            dot(F.col("qz"), F.col("z")).alias("qdot"),
+        )
+    )
+
+    def top_pool(score_col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score_col), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= RRF_POOL)
+            .select("query_id", "neighbor_id", "r")
+        )
+
+    re_ = top_pool("cos").withColumnRenamed("r", "re")
+    rq_ = top_pool("qdot").withColumnRenamed("r", "rq")
+    fused = re_.join(
+        rq_, ["query_id", "neighbor_id"], "full_outer"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("re")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rq")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RRF_TOP)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            "rnk",
+        )
+    )

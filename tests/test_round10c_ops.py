@@ -1,0 +1,181 @@
+"""Round-10 extension batch 2: Holt linear smoothing, reciprocal-rank
+fusion, and k-core peeling — planted-truth and differential tests
+independent of the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# q_holt_linear
+# ---------------------------------------------------------------------------
+
+
+def _holt_reference(y, alpha, beta):
+    lv, tr = y[1], y[1] - y[0]
+    for t in range(2, len(y)):
+        nxt = alpha * y[t] + (1 - alpha) * (lv + tr)
+        tr = beta * (nxt - lv) + (1 - beta) * tr
+        lv = nxt
+    return lv, tr
+
+
+def test_holt_matches_sequential_reference(spark):
+    """Differential: the distributed query equals a plain sequential
+    pandas replay of the textbook recursion on the same daily
+    series."""
+    from matrixinversion_spark.relational.temporal import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_HORIZON,
+        q_holt_linear,
+    )
+    from matrixinversion_spark.session import read_table
+
+    daily = (
+        read_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("y"))
+        .toPandas()
+    )
+    out = {r.event_type: r for r in q_holt_linear(spark, SF_DIR).collect()}
+    assert len(out) == daily.event_type.nunique()
+    for et, sub in daily.groupby("event_type"):
+        y = sub.sort_values("day")["y"].to_numpy()
+        lv, tr = _holt_reference(y, HOLT_ALPHA, HOLT_BETA)
+        r = out[et]
+        assert r.n_days == len(y)
+        assert r.level == pytest.approx(lv, abs=1e-6)
+        assert r.trend == pytest.approx(tr, abs=1e-6)
+        assert r.forecast == pytest.approx(
+            lv + HOLT_HORIZON * tr, abs=1e-6
+        )
+
+
+def test_holt_linear_trend_recovered(spark):
+    """On a noiseless linear series y = 5 + 2t the smoother must
+    recover level = last point and trend = slope exactly (the
+    recursion is exact on its own model class)."""
+    from matrixinversion_spark.relational.temporal import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+
+    y = [5.0 + 2.0 * t for t in range(20)]
+    lv, tr = _holt_reference(y, HOLT_ALPHA, HOLT_BETA)
+    assert lv == pytest.approx(y[-1], abs=1e-9)
+    assert tr == pytest.approx(2.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# p_rrf_fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_shape_and_bounds(spark):
+    from matrixinversion_spark.pipeline.similarity import (
+        N_QUERIES,
+        RRF_K,
+        RRF_POOL,
+        RRF_TOP,
+        p_rrf_fusion,
+    )
+
+    rows = p_rrf_fusion(spark, SF_DIR).collect()
+    assert len(rows) == N_QUERIES * RRF_TOP
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    hi = 2.0 / (RRF_K + 1)
+    lo = 1.0 / (RRF_K + RRF_POOL)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, RRF_TOP + 1))
+        scores = [r.rrf_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for s in scores:  # scores are rounded to 6 dp
+            assert lo - 1e-6 <= s <= hi + 1e-6
+
+
+def test_rrf_double_rank1_wins(spark):
+    """A neighbor ranked 1 by BOTH rankers scores 2/(k+1) — the
+    maximum — and must take fused rank 1. Verified wherever the two
+    rankers' top-1 coincide in the demo set (unit-norm embeddings ⇒
+    they almost always do)."""
+    from matrixinversion_spark.pipeline.similarity import (
+        RRF_K,
+        p_rrf_fusion,
+    )
+
+    rows = p_rrf_fusion(spark, SF_DIR).collect()
+    top = [r for r in rows if r.rnk == 1]
+    assert top
+    double_best = [
+        r for r in top
+        if r.rrf_score == pytest.approx(2.0 / (RRF_K + 1), abs=1e-6)
+    ]
+    # at least one query's exact and quantized rankers agree on #1
+    assert double_best
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel
+# ---------------------------------------------------------------------------
+
+
+def _naive_kcore(pairs, k):
+    import collections
+
+    edges = list(pairs)
+    while True:
+        deg = collections.Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        alive = {n for n, d in deg.items() if d >= k}
+        nxt = [(u, v) for u, v in edges if u in alive and v in alive]
+        if len(nxt) == len(edges):
+            return set(edges)
+        edges = nxt
+
+
+def test_kcore_fixpoint_matches_naive(spark):
+    """K4 + a pendant chain + a separate triangle: the 3-core is
+    exactly the K4; the triangle (degree 2) and chain dissolve.
+    The distributed fixpoint must equal the sequential peel."""
+    from matrixinversion_spark.relational.mining import kcore_peel
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    pairs = k4 + chain + tri
+    df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["u", "v"])
+    )
+    got = {
+        (r.u, r.v) for r in kcore_peel(df, 3, rounds=None).collect()
+    }
+    assert got == _naive_kcore(pairs, 3) == set(k4)
+
+
+def test_kcore_bounded_rounds_peel_progressively(spark):
+    """On a path graph a bounded peel removes exactly one layer of
+    endpoints per round (degree-1 nodes), so r rounds leave
+    len-2r edges — pinning that rounds=r does exactly r peels."""
+    from matrixinversion_spark.relational.mining import kcore_peel
+
+    path = [(i, i + 1) for i in range(1, 10)]  # 9 edges
+    df = spark.createDataFrame(
+        pd.DataFrame(path, columns=["u", "v"])
+    )
+    for r in (1, 2):
+        got = kcore_peel(df, 2, rounds=r).collect()
+        assert len(got) == len(path) - 2 * r
+    # fixpoint: a path has no 2-core at all
+    assert kcore_peel(df, 2, rounds=None).collect() == []
