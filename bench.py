@@ -59,6 +59,10 @@ HEADLINE = [
     # extra pass" pattern; repartition-before-explode keeps the CPU
     # spread when the scan has fewer splits than cores)
     "q_poisson_bootstrap_ci",
+    # round-10 extension representative: DSIR importance selection
+    # (one feature explode + bucket-model broadcast + doc aggregate
+    # + TakeOrdered — the LLM-pipeline selection plan shape)
+    "p_dsir_select",
 ]
 
 INVERSE_N = 2048

@@ -843,11 +843,14 @@ def p_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic top-K so the operator is oracle-checkable (the
     noisy variant is one extra column).
 
-    Scale shape: the corpus explodes ONCE into hashed features
-    (unigrams + zip_with bigrams — the shingle lesson from
-    ``shingles_from_tokens`` applies); both bucket models come from
-    ONE map-side-combined groupBy over ``DSIR_BUCKETS`` keys
-    (conditional count for the target slice — no second scan); the
+    Scale shape: two passes over the hashed feature stream — the
+    fit/score minimum ANY trained selector has (the paper's
+    estimate-then-weight structure): pass 1 fits BOTH bucket models
+    in ONE map-side-combined groupBy over ``DSIR_BUCKETS`` keys
+    (conditional count for the target slice — the target model is
+    not a separate scan); pass 2 scores docs. Features are unigrams
+    + zip_with bigrams (the shingle lesson from
+    ``shingles_from_tokens`` applies); the
     bucket→log-ratio table is B rows, broadcast back onto the
     feature stream; per-doc weights are one groupBy(doc_id); the
     top-K cut is a TakeOrdered, never a global sort. Total: two

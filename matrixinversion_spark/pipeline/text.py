@@ -1414,8 +1414,13 @@ def p_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     The classic candidate-then-verify plan (Misra-Gries candidates +
     exact count of candidates only): phase 1 runs the mergeable
     ``approx_top_k`` frequent-items sketch — one aggregation buffer
-    of k entries per partition, NO token-keyed shuffle — which is
-    guaranteed to retain every token with share > 1/k; phase 2
+    of k entries per partition, NO token-keyed shuffle — which
+    retains every token with share > 1/k (the Misra-Gries bound at
+    maxItemsTracked = 2k; Spark's implementation additionally
+    post-filters to confidently-frequent survivors, returning far
+    FEWER than k on long-tailed data — 10 candidates out of a 1M-key
+    vocabulary in the 20M-token smoke, and still every planted item
+    down to share 0.9/k in the boundary probe); phase 2
     re-scans and exact-counts ONLY the candidate tokens (broadcast
     semi-join, then a groupBy whose key cardinality is ≤ k, not
     |vocab|). At 100 TB the verify shuffle moves k counters per
@@ -1447,7 +1452,7 @@ def heavy_hitters_exact(
     cand = (
         df.selectExpr(f"approx_top_k({col}, {k}, {2 * k}) AS tk")
         .select(F.explode("tk").alias("e"))
-        .select(F.col(f"e.item").alias(col))
+        .select(F.col("e.item").alias(col))
     )
     exact = (
         df.join(F.broadcast(cand), col, "left_semi")

@@ -930,3 +930,80 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               CAST(count(*) AS DOUBLE) AS obs
+        FROM orders GROUP BY 1, 2),
+    m AS (
+        SELECT pri, st, obs,
+               sum(obs) OVER (PARTITION BY pri) AS row_tot,
+               sum(obs) OVER (PARTITION BY st)  AS col_tot,
+               sum(obs) OVER ()                 AS n
+        FROM cells)
+    SELECT CAST(any_value(n) AS BIGINT) AS n,
+           CAST(count(DISTINCT pri) AS BIGINT) AS r,
+           CAST(count(DISTINCT st) AS BIGINT)  AS c,
+           round(sum(power(obs - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           round(sqrt(sum(power(obs - row_tot * col_tot / n, 2)
+                          / (row_tot * col_tot / n))
+                      / (any_value(n)
+                         * (least(count(DISTINCT pri),
+                                  count(DISTINCT st)) - 1))),
+                 6) AS cramers_v
+    FROM m
+    """,
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size (order priority × order status) — the
+    [0,1]-normalized association strength a drift audit reports
+    NEXT TO ``q_chisq_independence``'s test statistic: χ² grows
+    with n (every association is "significant" at 100 TB), V =
+    sqrt(χ²/(n·(min(r,c)−1))) does not, so alerting thresholds on V
+    survive data growth.
+
+    Same plan shape as the χ² query: ONE data-sized aggregation
+    (uniform two-key groupBy with map-side combine), margins as
+    window sums over the r×c cell table, one final fold. Exact
+    integer cell counts keep the cross-engine float spread at the
+    last ulp."""
+    o = read_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    m = cells.select(
+        "pri", "st", "obs",
+        F.sum("obs").over(Window.partitionBy("pri")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("st")).alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi2 = F.sum(F.pow(F.col("obs") - exp, 2) / exp)
+    return m.agg(
+        F.any_value("n").cast("bigint").alias("n"),
+        F.countDistinct("pri").cast("bigint").alias("r"),
+        F.countDistinct("st").cast("bigint").alias("c"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.any_value("n")
+                    * (
+                        F.least(
+                            F.countDistinct("pri"),
+                            F.countDistinct("st"),
+                        )
+                        - 1
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

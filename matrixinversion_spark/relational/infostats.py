@@ -986,3 +986,81 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("flag", "n", F.round(num / den, 6).alias("rho"))
+
+
+@query(
+    "q_theil_index",
+    oracle="""
+    WITH s AS (
+        SELECT c.c_nationkey AS grp,
+               sum(o.o_totalprice) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_nationkey),
+    g AS (
+        SELECT grp, count(*) AS ng, sum(x) AS sg,
+               sum(x * ln(x)) AS sxlx
+        FROM s GROUP BY 1),
+    t AS (
+        SELECT sum(ng) AS n, sum(sg) AS sx,
+               sum(sxlx) AS sxlx,
+               sum(sg * ln(sg / ng)) AS sglg
+        FROM g)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(sxlx / sx - ln(sx / n), 6) AS theil_total,
+           round(sglg / sx - ln(sx / n), 6) AS theil_between,
+           round(sxlx / sx - sglg / sx, 6) AS theil_within
+    FROM t
+    """,
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend with its exact
+    within/between-nation decomposition — the additive companion of
+    ``q_gini_spend`` (Gini does not decompose; Theil's
+    T_total = T_between + T_within is what concentration audits use
+    to answer "is the inequality BETWEEN segments or INSIDE them?").
+    Algebra: T_total = Σx·ln x/Σx − ln μ, T_between from group sums
+    via Σ s_g·ln(μ_g)/Σx − ln μ, T_within = the difference — all
+    three from ONE pass of (n_g, Σx, Σx·ln x) per group.
+
+    Scale shape: one uniform groupBy to per-customer spend (spend
+    > 0 by construction — o_totalprice is positive — so every ln is
+    finite), one map-side-combined groupBy to the ~25-nation frame,
+    one 1-row fold. No ranks, no windows — unlike the Gini's global
+    rank identity, Theil is a pure mergeable aggregate, the
+    cheapest inequality statistic at 100 TB. The additivity
+    identity is asserted to 1e-9 in pytest (it holds exactly in
+    algebra; fp reorder keeps it to ~1e-13)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(o.o_custkey, F.col("c_nationkey").alias("grp"))
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    g = s.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlx"),
+    )
+    t = g.agg(
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("sx"),
+        F.sum("sxlx").alias("sxlx"),
+        F.sum(F.col("sg") * F.log(F.col("sg") / F.col("ng"))).alias(
+            "sglg"
+        ),
+    )
+    mu_ln = F.log(F.col("sx") / F.col("n"))
+    return t.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.col("sxlx") / F.col("sx") - mu_ln, 6).alias(
+            "theil_total"
+        ),
+        F.round(F.col("sglg") / F.col("sx") - mu_ln, 6).alias(
+            "theil_between"
+        ),
+        F.round(
+            F.col("sxlx") / F.col("sx") - F.col("sglg") / F.col("sx"),
+            6,
+        ).alias("theil_within"),
+    )

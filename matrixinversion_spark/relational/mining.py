@@ -817,7 +817,18 @@ def link_prediction_scores(
     standard mitigation (hubs contribute ~0 signal anyway: their
     1/ln(d) weight vanishes and their neighborhoods are
     promiscuous). The cap is OFF by default so the registered query
-    stays oracle-exact."""
+    stays oracle-exact.
+
+    The edge list is referenced three times (symmetrize twice +
+    adjacency anti-join), so it is pinned through the
+    ``_fresh_stats_barrier`` first — without it Catalyst re-derives
+    the caller's edge pipeline per reference (measured: 13 → 6
+    exchanges on the co-purchase query at sf0.01)."""
+    from matrixinversion_spark.pipeline.curation import (
+        _fresh_stats_barrier,
+    )
+
+    edges = _fresh_stats_barrier(edges)
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

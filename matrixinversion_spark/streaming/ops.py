@@ -871,3 +871,62 @@ def quality_gate_stream(
             "rate_pass_all",
         )
     )
+
+
+def heavy_hitters_stream(
+    toks: DataFrame,
+    phi: float = 0.02,
+    k: int = 1024,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "event_ts",
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Streaming heavy hitters: per event-time window, the tokens
+    the ``approx_top_k`` sketch retains whose ESTIMATED share
+    exceeds ``phi`` — the live "what's flooding the ingest right
+    now" monitor (a spam token, a stuck client's user-agent), and
+    the streaming half of the ``p_heavy_hitters_exact`` lambda
+    pair.
+
+    The decisive property is state size: a windowed
+    ``groupBy(window, tok).count()`` keeps one state row per
+    DISTINCT TOKEN per open window — vocabulary-sized, unbounded on
+    adversarial input — while the sketch keeps ONE mergeable
+    k-entry buffer per open window, rate-independent. The price is
+    the Misra-Gries contract, stated honestly: counts are
+    estimates (over-counts possible up to n/maxItemsTracked =
+    n/2k), completeness holds for true share > 1/k (enforced via
+    phi > 1/k, same bound as the batch op), so a window's alert
+    list can include borderline extras but never misses a true
+    > phi flood. Exact counts come from replaying the flagged
+    window through the batch ``heavy_hitters_exact``."""
+    if phi <= 1.0 / k:
+        raise ValueError(
+            f"heavy_hitters_stream: phi={phi} <= 1/k={1.0 / k:g} — "
+            "the sketch's completeness bound would not cover the "
+            "threshold; raise k"
+        )
+    agg = (
+        toks.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"))
+        .agg(
+            F.expr(
+                f"approx_top_k({tok_col}, {k}, {2 * k}) AS tk"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_window"),
+        )
+    )
+    e = agg.select(
+        F.col("w.start").alias("window_start"),
+        "n_window",
+        F.explode("tk").alias("e"),
+    )
+    return e.filter(
+        F.col("e.count") > phi * F.col("n_window")
+    ).select(
+        "window_start",
+        F.col("e.item").alias(tok_col),
+        F.col("e.count").cast("bigint").alias("est_count"),
+        "n_window",
+    )

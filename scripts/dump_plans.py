@@ -437,6 +437,84 @@ NOTES: dict[str, str] = {
         "column for a model-based one at 100 TB; the plan is "
         "unchanged."
     ),
+    "p_dsir_select": (
+        "DSIR importance selection: ONE explode of the corpus into "
+        "hashed uni+bigram features; the bucket models are one "
+        "map-side-combined 64-key groupBy with a conditional count "
+        "(no second corpus scan); the 64-row log-ratio table comes "
+        "back as a BroadcastHashJoin onto the feature stream; "
+        "per-doc weights are one hash aggregate on doc_id; the "
+        "top-K cut is TakeOrderedAndProject, never a global sort. "
+        "Two data-sized exchanges total (features->buckets partial, "
+        "features->doc_id), both on uniform keys. At 100 TB the "
+        "bucket count grows to the paper's 10^4 and the plan is "
+        "unchanged."
+    ),
+    "q_link_prediction": (
+        "Adamic-Adar link prediction: the symmetrized edge list "
+        "self-joins on the middle vertex (both sides hash to the "
+        "same key — one exchange pair), degrees ride a broadcast "
+        "node-cardinality frame, and existing edges leave via a "
+        "broadcast anti-join; the edge list is pinned through the "
+        "stats barrier so the caller's edge pipeline derives once, "
+        "not once per reference (13 -> 6 exchanges). The 100 TB "
+        "hazard is hub fan-out "
+        "(deg^2 wedges per middle); max_degree caps any task at "
+        "cap^2 pairs — exp_linkpred_scale pins a 20-billion-wedge "
+        "hub being removed while all 400k closed-form pairs "
+        "survive."
+    ),
+    "q_spearman_corr": (
+        "Spearman per group: each variable collapses to its "
+        "value-level histogram (map-side-combined groupBy, "
+        "cardinality = distinct values), midranks come from a "
+        "running window over that histogram (groups parallelize; "
+        "value-level, never row-level state), and rows take their "
+        "ranks back through two equi-joins on (group, value). The "
+        "final correlation is one 6-sum mergeable aggregate per "
+        "group. No row ever carries a row_number."
+    ),
+    "p_heavy_hitters_exact": (
+        "Two-phase heavy hitters: phase 1 is the mergeable "
+        "approx_top_k sketch — a single aggregation buffer per "
+        "partition, NO token-keyed exchange; phase 2 exact-counts "
+        "ONLY the candidates (broadcast semi-join + a groupBy "
+        "whose key cardinality is <= k). The naive plan shuffles "
+        "every distinct token; this one moves k counters per "
+        "partition plus the candidate counts — exp_heavy_hitters_"
+        "scale measured 10 candidate keys vs 1,000,010 distinct "
+        "keys at 20M tokens, bit-identical answers."
+    ),
+    "q_holt_linear": (
+        "Holt smoothing: the ONLY data-sized stage is the JVM "
+        "groupBy collapsing events to one row per (series, day); "
+        "the sequential recursion runs in an Arrow-batched "
+        "applyInPandas over calendar-bounded per-series arrays "
+        "(30 points here) — the honest shape for an operator with "
+        "no order-reducible closed form. Series parallelize across "
+        "the cluster; per-series state is two doubles."
+    ),
+    "p_rrf_fusion": (
+        "Reciprocal-rank fusion: both rankers share ONE "
+        "broadcast-query corpus pass (the quantized vector is a "
+        "projection of the same row), each pool is a per-query "
+        "window over the scored set, and the fusion is a "
+        "full-outer join of two bounded top-POOL lists plus a "
+        "TakeOrdered. At 100 TB the pools come from the ANN "
+        "operators, so fusion cost is O(queries * pool), "
+        "independent of corpus size."
+    ),
+    "q_kcore_peel": (
+        "k-core peeling, 3 bounded rounds: per round one "
+        "node-cardinality degree aggregate + two semi-joins, with "
+        "the _fresh_stats_barrier lineage+stats reset ending every "
+        "round — each round references its input three times, so "
+        "an unbarriered loop re-derives the base 3^r times "
+        "(measured 24 s vs 12 s at three rounds). The graph only "
+        "shrinks, so per-round shuffle volume is monotonically "
+        "decreasing. The displayed tree is Scan-ExistingRDD + aggs "
+        "because rounds are checkpoint-pinned."
+    ),
 }
 
 

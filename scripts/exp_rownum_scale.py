@@ -21,10 +21,18 @@ Usage: python scripts/exp_rownum_scale.py [n_rows]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# 50M cached rows + a 32-thread range sort sit on the default-8g
+# execution-memory boundary (observed flaky UNABLE_TO_ACQUIRE_MEMORY
+# under suite page-cache pressure) — same single-JVM sort-pressure
+# class the 100M probe documented; use its knob (prefix_sum
+# docstring / README ops notes).
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 from pyspark.sql import functions as F
 

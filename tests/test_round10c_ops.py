@@ -179,3 +179,64 @@ def test_kcore_bounded_rounds_peel_progressively(spark):
         assert len(got) == len(path) - 2 * r
     # fixpoint: a path has no 2-core at all
     assert kcore_peel(df, 2, rounds=None).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# q_cramers_v / q_theil_index
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_bounds_and_consistency(spark):
+    from matrixinversion_spark.relational.analytics import q_cramers_v
+
+    r = q_cramers_v(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.cramers_v <= 1.0
+    # V must equal sqrt(chi2 / (n * (min(r,c) - 1))) of its own row
+    import math
+
+    expect = math.sqrt(r.chi2 / (r.n * (min(r.r, r.c) - 1)))
+    assert r.cramers_v == pytest.approx(expect, abs=1e-6)
+
+
+def test_theil_additivity_and_positivity(spark):
+    """Theil's defining property: total = between + within, both
+    components non-negative (Jensen)."""
+    from matrixinversion_spark.relational.infostats import (
+        q_theil_index,
+    )
+
+    r = q_theil_index(spark, SF_DIR).collect()[0]
+    assert r.theil_total >= -1e-9
+    assert r.theil_between >= -1e-9
+    assert r.theil_within >= -1e-9
+    assert r.theil_total == pytest.approx(
+        r.theil_between + r.theil_within, abs=1e-6
+    )
+
+
+def test_theil_uniform_is_zero(spark):
+    """Perfectly equal incomes give T = 0 in every component —
+    checked through the same aggregate algebra on a planted frame."""
+    from pyspark.sql import functions as F2
+
+    s = spark.range(100).select(
+        (F2.col("id") % 4).alias("grp"), F2.lit(250.0).alias("x")
+    )
+    g = s.groupBy("grp").agg(
+        F2.count(F2.lit(1)).alias("ng"),
+        F2.sum("x").alias("sg"),
+        F2.sum(F2.col("x") * F2.log("x")).alias("sxlx"),
+    )
+    t = g.agg(
+        F2.sum("ng").alias("n"),
+        F2.sum("sg").alias("sx"),
+        F2.sum("sxlx").alias("sxlx"),
+        F2.sum(
+            F2.col("sg") * F2.log(F2.col("sg") / F2.col("ng"))
+        ).alias("sglg"),
+    ).collect()[0]
+    import math
+
+    mu_ln = math.log(t.sx / t.n)
+    assert t.sxlx / t.sx - mu_ln == pytest.approx(0.0, abs=1e-12)
+    assert t.sglg / t.sx - mu_ln == pytest.approx(0.0, abs=1e-12)

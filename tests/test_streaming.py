@@ -700,3 +700,56 @@ def test_quality_gate_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert stream_rows == want
+
+
+def test_heavy_hitters_stream_planted_windows(spark, tmp_path):
+    """Planted per-window floods: hour 1 is flooded by 'spam'
+    (50% share) over a quiet tail, hour 2 by 'bot' (40%); each
+    window's alert list must contain exactly its own flood token
+    (tail tokens hold <= 4% each, far under phi=0.2). The test
+    vocabulary fits the sketch, so the estimated counts are exact
+    here; at real cardinality they are upper estimates
+    (heavy_hitters_stream docstring)."""
+    import datetime as dt
+
+    h1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h2 = dt.datetime(2024, 1, 1, 11, 0, 0)
+    rows = (
+        [(h1, "spam")] * 25
+        + [(h1, f"t{i % 25}") for i in range(25)]
+        + [(h2, "bot")] * 20
+        + [(h2, f"t{i % 30}") for i in range(30)]
+    )
+    schema = "event_ts timestamp, tok string"
+    src = tmp_path / "toks"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        sops.heavy_hitters_stream(stream, phi=0.2, k=64)
+        .writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["tok"]): (r["est_count"], r["n_window"])
+        for r in spark.sql("SELECT * FROM hh_stream").collect()
+    }
+    assert got == {(h1, "spam"): (25, 50), (h2, "bot"): (20, 50)}
+
+
+def test_heavy_hitters_stream_rejects_uncovered_phi(spark):
+    import pytest as _pytest
+
+    df = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="phi"):
+        sops.heavy_hitters_stream(df, phi=0.001, k=64)
