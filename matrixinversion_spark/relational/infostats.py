@@ -1064,3 +1064,138 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("theil_within"),
     )
+
+
+@query(
+    "q_changepoint_binseg",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderdate AS dt,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS c
+        FROM orders GROUP BY 1),
+    t AS (
+        SELECT dt,
+               sum(c) OVER (ORDER BY dt) AS cum,
+               row_number() OVER (ORDER BY dt) AS t,
+               (SELECT sum(c) FROM d) AS tot,
+               (SELECT count(*) FROM d) AS nd
+        FROM d),
+    s1 AS (
+        SELECT dt, t, cum, tot, nd,
+               cum - t * (tot * 1.0 / nd) AS s
+        FROM t),
+    cp1 AS (
+        SELECT t AS t1, dt AS dt1, cum AS cum1, s AS sv, tot, nd
+        FROM s1 WHERE t < nd
+        ORDER BY abs(s) DESC, dt LIMIT 1),
+    seg AS (
+        SELECT s1.dt, s1.t,
+               CASE WHEN s1.t <= cp1.t1 THEN 0 ELSE 1 END AS g,
+               s1.cum
+                   - CASE WHEN s1.t <= cp1.t1 THEN 0
+                          ELSE cp1.cum1 END
+                   - (s1.t - CASE WHEN s1.t <= cp1.t1 THEN 0
+                                  ELSE cp1.t1 END)
+                     * (CASE WHEN s1.t <= cp1.t1 THEN cp1.cum1
+                             ELSE cp1.tot - cp1.cum1 END * 1.0
+                        / CASE WHEN s1.t <= cp1.t1 THEN cp1.t1
+                               ELSE cp1.nd - cp1.t1 END) AS s,
+               CASE WHEN s1.t <= cp1.t1 THEN cp1.t1
+                    ELSE cp1.nd END AS seg_end
+        FROM s1, cp1),
+    cp2 AS (
+        SELECT g, dt, s,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY abs(s) DESC, dt) AS rk
+        FROM seg WHERE t < seg_end)
+    SELECT CAST(1 AS BIGINT) AS level,
+           strftime(dt1, '%Y-%m-%d') AS cp_date,
+           round(sv / 100.0, 6) AS cusum_dollars
+    FROM cp1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), strftime(dt, '%Y-%m-%d'),
+           round(s / 100.0, 6)
+    FROM cp2 WHERE rk = 1
+    """,
+)
+def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation change-point detection (Scott & Knott
+    1974; the ruptures-default multi-change extension of
+    ``q_cusum_changepoint``): find the level-1 CUSUM argmax, split
+    the series there, and re-run the segment-local CUSUM scan in
+    EACH half — up to three change points from two levels, each
+    maximizing |Σ(xᵢ − x̄_segment)| within its segment.
+
+    Exactness inherits the integer-cents trick: cumulative sums are
+    exact bigints, segment means are single exact-int divisions, so
+    both engines compute identical doubles and the argmax ties
+    break on the date. The level-1 split rides the same
+    ``prefix_sum`` reduction as the single-change query; level 2
+    re-uses the SAME cumulative column (segment-local CUSUM is an
+    affine function of the global prefix sums — no second pass over
+    anything), with the split row arriving as a broadcast 1-row
+    frame, never a driver round-trip. Split candidates exclude each
+    segment's last point (a split there is no split)."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    cum = prefix_sum(
+        d.withColumn("one", F.lit(1).cast("bigint")),
+        [F.col("dt")],
+        ["c", "one"],
+        out_col=["cum", "t"],
+        grand_total_col=["tot", "nd"],
+    ).select("dt", "cum", "t", "tot", "nd")
+    s1 = cum.withColumn(
+        "s", F.col("cum") - F.col("t") * (F.col("tot") * 1.0 / F.col("nd"))
+    )
+    cp1 = (
+        s1.filter(F.col("t") < F.col("nd"))
+        .orderBy(F.abs(F.col("s")).desc(), "dt")
+        .limit(1)
+        .select(
+            F.col("t").alias("t1"),
+            F.col("dt").alias("dt1"),
+            F.col("cum").alias("cum1"),
+            F.col("s").alias("sv"),
+        )
+    )
+    seg = s1.crossJoin(F.broadcast(cp1))
+    first = F.col("t") <= F.col("t1")
+    base = F.when(first, F.lit(0).cast("bigint")).otherwise(F.col("cum1"))
+    off = F.when(first, F.lit(0).cast("bigint")).otherwise(F.col("t1"))
+    seg_sum = F.when(first, F.col("cum1")).otherwise(
+        F.col("tot") - F.col("cum1")
+    )
+    seg_len = F.when(first, F.col("t1")).otherwise(
+        F.col("nd") - F.col("t1")
+    )
+    seg_end = F.when(first, F.col("t1")).otherwise(F.col("nd"))
+    scored = seg.select(
+        F.when(first, 0).otherwise(1).alias("g"),
+        "dt",
+        "t",
+        (
+            F.col("cum")
+            - base
+            - (F.col("t") - off) * (seg_sum * 1.0 / seg_len)
+        ).alias("s"),
+        seg_end.alias("seg_end"),
+    ).filter(F.col("t") < F.col("seg_end"))
+    w = W.partitionBy("g").orderBy(F.abs(F.col("s")).desc(), "dt")
+    lvl2 = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.lit(2).cast("bigint").alias("level"),
+            F.date_format("dt", "yyyy-MM-dd").alias("cp_date"),
+            F.round(F.col("s") / 100.0, 6).alias("cusum_dollars"),
+        )
+    )
+    lvl1 = cp1.select(
+        F.lit(1).cast("bigint").alias("level"),
+        F.date_format("dt1", "yyyy-MM-dd").alias("cp_date"),
+        F.round(F.col("sv") / 100.0, 6).alias("cusum_dollars"),
+    )
+    return lvl1.unionAll(lvl2)

@@ -970,3 +970,91 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lv") + HOLT_HORIZON * F.col("tr"), 6
         ).alias("forecast"),
     )
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderdate AS dt,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS c
+        FROM orders GROUP BY 1),
+    ma AS (
+        SELECT dt, c,
+               avg(c)   OVER w AS trend_c,
+               count(*) OVER w AS w_n
+        FROM d
+        WINDOW w AS (ORDER BY dt
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+        SELECT dt, c, trend_c, c - trend_c AS detr,
+               CAST(strftime(dt, '%w') AS INT) AS dow
+        FROM ma WHERE w_n = 7),
+    dowavg AS (
+        SELECT dow, avg(detr) AS raw_seas FROM det GROUP BY 1),
+    seas AS (
+        SELECT dow, raw_seas - avg(raw_seas) OVER () AS seas_c
+        FROM dowavg)
+    SELECT strftime(det.dt, '%Y-%m-%d') AS day,
+           det.dow,
+           round(det.c / 100.0, 2) AS revenue,
+           round(det.trend_c / 100.0, 6) AS trend,
+           round(seas.seas_c / 100.0, 6) AS seasonal,
+           round((det.detr - seas.seas_c) / 100.0, 6) AS residual
+    FROM det JOIN seas ON det.dow = seas.dow
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue
+    (statsmodels ``seasonal_decompose`` semantics, period = 7):
+    trend = centered 7-day moving average (full windows only),
+    seasonal = mean-centered day-of-week average of the detrended
+    series, residual = the rest — the y = T + S + R split every
+    metric dashboard's anomaly band is built on, and the
+    decomposition behind ``q_seasonal_dow_index``'s ratio summary.
+
+    Exactness: daily revenue in integer cents (the
+    q_cusum_changepoint trick), so the 7-day means are exact-int
+    divisions by 7 and the DOW means exact-int divisions — both
+    engines produce identical doubles. Scale shape: the fact scan
+    collapses to one row per DAY (the only data-sized stage); the
+    moving-average window and the 7-row seasonal frame run on the
+    calendar-bounded daily series — the q_holt_linear argument: at
+    ANY corpus size the series length is bounded by the date range,
+    and a per-key variant partitions the same windows by series
+    key."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("dt")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    wma = W.orderBy("dt").rowsBetween(-3, 3)
+    ma = d.select(
+        "dt",
+        "c",
+        F.avg("c").over(wma).alias("trend_c"),
+        F.count(F.lit(1)).over(wma).alias("w_n"),
+    )
+    det = ma.filter(F.col("w_n") == 7).select(
+        "dt",
+        "c",
+        "trend_c",
+        (F.col("c") - F.col("trend_c")).alias("detr"),
+        (F.dayofweek("dt") - 1).alias("dow"),
+    )
+    dowavg = det.groupBy("dow").agg(F.avg("detr").alias("raw_seas"))
+    seas = dowavg.select(
+        "dow",
+        (
+            F.col("raw_seas") - F.avg("raw_seas").over(W.partitionBy())
+        ).alias("seas_c"),
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        F.date_format("dt", "yyyy-MM-dd").alias("day"),
+        "dow",
+        F.round(F.col("c") / 100.0, 2).alias("revenue"),
+        F.round(F.col("trend_c") / 100.0, 6).alias("trend"),
+        F.round(F.col("seas_c") / 100.0, 6).alias("seasonal"),
+        F.round(
+            (F.col("detr") - F.col("seas_c")) / 100.0, 6
+        ).alias("residual"),
+    )

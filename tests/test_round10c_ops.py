@@ -240,3 +240,127 @@ def test_theil_uniform_is_zero(spark):
     mu_ln = math.log(t.sx / t.n)
     assert t.sxlx / t.sx - mu_ln == pytest.approx(0.0, abs=1e-12)
     assert t.sglg / t.sx - mu_ln == pytest.approx(0.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# q_changepoint_binseg / q_seasonal_decompose
+# ---------------------------------------------------------------------------
+
+
+def _orders_frame(spark, tmp_path, daily):
+    """Write a minimal orders table with one order per (day, cents)."""
+    import datetime as dt
+
+    rows = [
+        (
+            i,
+            1,
+            "O",
+            cents / 100.0,
+            dt.date(2024, 1, 1) + dt.timedelta(days=i),
+            "1-URGENT",
+        )
+        for i, cents in enumerate(daily)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/orders.parquet")
+    return sf
+
+
+def _naive_binseg(daily):
+    """Sequential replay: global CUSUM argmax, then per-segment."""
+    n = len(daily)
+
+    def scan(lo, hi):  # candidates lo..hi-1 (1-based t in [lo, hi))
+        seg = daily[lo - 1: hi]
+        mean = sum(seg) / len(seg)
+        best, cum = None, 0.0
+        for j, x in enumerate(seg[:-1]):
+            cum += x - mean
+            t = lo + j
+            if best is None or abs(cum) > abs(best[1]):
+                best = (t, cum)
+        return best
+
+    t1, s1 = scan(1, n)
+    out = [(1, t1, s1)]
+    for lo, hi in ((1, t1), (t1 + 1, n)):
+        if hi - lo >= 1 and len(daily[lo - 1: hi]) >= 2:
+            t, s = scan(lo, hi)
+            out.append((2, t, s))
+    return out
+
+
+def test_binseg_two_planted_shifts(spark, tmp_path):
+    """Series with two mean shifts (100 -> 500 at day 10, 500 -> 50
+    at day 20): level 1 must find one of the true breaks and level 2
+    the other; every reported stat equals the sequential replay."""
+    from matrixinversion_spark.relational.infostats import (
+        q_changepoint_binseg,
+    )
+
+    daily = [10000] * 10 + [50000] * 10 + [5000] * 10
+    sf = _orders_frame(spark, tmp_path, daily)
+    got = {
+        (r.level, r.cp_date): r.cusum_dollars
+        for r in q_changepoint_binseg(spark, sf).collect()
+    }
+    import datetime as dt
+
+    expect = {}
+    for level, t, s in _naive_binseg(daily):
+        day = dt.date(2024, 1, 1) + dt.timedelta(days=t - 1)
+        expect[(level, day.strftime("%Y-%m-%d"))] = round(s / 100.0, 6)
+    assert got == expect
+    # the two true break days (day index 10 and 20 -> dates 10th/20th)
+    found_days = {d for (_, d) in got}
+    assert "2024-01-10" in found_days and "2024-01-20" in found_days
+
+
+def test_seasonal_decompose_identity_and_pure_cycle(spark, tmp_path):
+    """Planted series = linear trend + exact weekly sawtooth: the
+    decomposition must return residual == 0 everywhere (the model
+    class is recovered exactly), and y == trend + seasonal +
+    residual holds row-by-row."""
+    from matrixinversion_spark.relational.temporal import (
+        q_seasonal_decompose,
+    )
+
+    # start on a Monday-aligned boundary irrelevant — dow handled
+    sawtooth = [0, 700, 1400, 2100, 2800, 3500, 4200]  # mean 2100
+    daily = [
+        100000 + 1000 * i + (sawtooth[i % 7] - 2100)
+        for i in range(35)
+    ]
+    sf = _orders_frame(spark, tmp_path, daily)
+    rows = q_seasonal_decompose(spark, sf).collect()
+    assert len(rows) == 35 - 6  # full centered windows only
+    for r in rows:
+        assert r.residual == pytest.approx(0.0, abs=1e-6)
+        assert r.revenue == pytest.approx(
+            r.trend + r.seasonal + r.residual, abs=1e-6
+        )
+
+
+def test_seasonal_decompose_registry_properties(spark):
+    """On TESTDATA: additive identity per row and mean-zero
+    seasonal components."""
+    from matrixinversion_spark.relational.temporal import (
+        q_seasonal_decompose,
+    )
+
+    rows = q_seasonal_decompose(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.revenue == pytest.approx(
+            r.trend + r.seasonal + r.residual, abs=1e-5
+        )
+    seas = {r.dow: r.seasonal for r in rows}
+    assert sum(seas.values()) == pytest.approx(0.0, abs=1e-4)
