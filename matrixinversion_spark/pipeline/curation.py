@@ -854,7 +854,15 @@ def p_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket→log-ratio table is B rows, broadcast back onto the
     feature stream; per-doc weights are one groupBy(doc_id); the
     top-K cut is a TakeOrdered, never a global sort. Total: two
-    shuffles over bucket- and doc-cardinality frames. The per-ulp
+    shuffles over bucket- and doc-cardinality frames.
+
+    Production order-of-operations: DEDUP FIRST. Identical documents
+    get identical weights, so importance selection amplifies
+    duplicates — measured in ``exp_sf1_ext``, where a 10x-replicated
+    corpus turns the top-25 into replicas of just 3 logical
+    documents. Run ``p_dedup_exact`` (or the near-dup tier) before
+    selection, or the token budget fills with copies of the single
+    best page. The per-ulp
     ``ln`` divergence across engines (~1e-16/bucket, summed over
     ~60 features/doc) sits ~9 orders under the 6-dp round, and the
     top-K boundary orders by the ROUNDED weight on both sides."""
