@@ -24,7 +24,10 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from matrixinversion_spark.pipeline.dedup import shingles_from_tokens
+from matrixinversion_spark.pipeline.dedup import (
+    _hash32_sql,
+    shingles_from_tokens,
+)
 from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
@@ -786,16 +789,12 @@ DSIR_BUCKETS = 64   # hashed feature space (Xie et al. use 10^4; the
 DSIR_TARGET_LANG = "en"  # target-domain proxy on TESTDATA
 DSIR_TOP_K = 25
 
-_DSIR_HASH = (
-    "CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT)::BIGINT"
-)
-
 _DSIR_SQL = f"""
 WITH t AS (
     SELECT doc_id, lang, string_split(text, ' ') AS ts
     FROM documents),
 f AS (
-    SELECT doc_id, lang, {_DSIR_HASH} % {DSIR_BUCKETS} AS b
+    SELECT doc_id, lang, {_hash32_sql('g')} % {DSIR_BUCKETS} AS b
     FROM (
         SELECT doc_id, lang,
                unnest(list_concat(

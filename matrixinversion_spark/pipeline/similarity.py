@@ -1128,7 +1128,15 @@ def p_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("z").alias("qz"),
     )
-    pairs = (
+    # Both rankers read `pairs`, so pin it — otherwise Catalyst
+    # re-derives the broadcast-join + dot-product subtree once per
+    # window branch and the corpus is scored twice (the same
+    # multi-reference trap link_prediction_scores barriers).
+    from matrixinversion_spark.pipeline.curation import (
+        _fresh_stats_barrier,
+    )
+
+    pairs = _fresh_stats_barrier(
         F.broadcast(q)
         .join(n, F.col("query_id") != F.col("vec_id"))
         .select(

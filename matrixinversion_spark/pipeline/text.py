@@ -1384,8 +1384,8 @@ def p_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Heavy-hitter contract: report every token whose corpus share
 # exceeds HH_PHI, with EXACT counts. The sketch phase is complete
-# for phi > 1/k (Misra-Gries/SpaceSaving bound), so k = 1024 gives
-# a 20x safety margin over phi = 0.02.
+# for phi > 1.5/k (tracking + top-k displacement bound, see
+# heavy_hitters_exact), so k = 1024 gives a 13x margin at phi=0.02.
 HH_PHI = 0.02
 HH_K = 1024
 
@@ -1415,8 +1415,9 @@ def p_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count of candidates only): phase 1 runs the mergeable
     ``approx_top_k`` frequent-items sketch — one aggregation buffer
     of k entries per partition, NO token-keyed shuffle — which
-    retains every token with share > 1/k (the Misra-Gries bound at
-    maxItemsTracked = 2k; Spark's implementation additionally
+    retains every token with share > 1.5/k (tracking bound 1/(2k)
+    at maxItemsTracked = 2k, tightened for top-k displacement —
+    derivation in ``heavy_hitters_exact``; Spark's implementation additionally
     post-filters to confidently-frequent survivors, returning far
     FEWER than k on long-tailed data — 10 candidates out of a 1M-key
     vocabulary in the 20M-token smoke, and still every planted item
@@ -1425,7 +1426,7 @@ def p_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join, then a groupBy whose key cardinality is ≤ k, not
     |vocab|). At 100 TB the verify shuffle moves k counters per
     partition instead of the full vocabulary — that is the entire
-    point — and the phi > 1/k completeness bound means no false
+    point — and the phi > 1.5/k completeness bound means no false
     negatives, ever. The planted-zipf pytest exercises the regime
     where the sketch genuinely prunes (vocab ≫ k); on TESTDATA's
     31-token vocabulary the candidate set is the whole vocabulary
@@ -1441,27 +1442,45 @@ def p_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def heavy_hitters_exact(
     df: DataFrame, col: str, phi: float, k: int = 1024
 ) -> DataFrame:
-    """See ``p_heavy_hitters_exact``. Requires phi > 1/k (raises
-    otherwise: the sketch's completeness bound would not cover the
-    threshold and silent false negatives could appear)."""
-    if phi <= 1.0 / k:
+    """See ``p_heavy_hitters_exact``. Requires phi > 1.5/k.
+
+    Why 1.5/k and not the tracking bound 1/(2k): the sketch TRACKS
+    2k counters but RETURNS only the top k by estimated count, so a
+    true > phi item must also survive displacement. If it is pushed
+    out, ≥ k items carry estimates ≥ (phi − 1/(2k))·n; whether the
+    sketch under-counts (Misra-Gries) or over-counts by ≤ n/(2k)
+    (SpaceSaving), each such item has TRUE count ≥ (phi − 1/k)·n,
+    and k of them plus the item itself need total mass
+    > k·(phi − 1/k)·n ≥ n once phi > 2/k… tightening through the
+    ±n/(2k) error band gives the binding constraint k·phi ≤ 3/2,
+    i.e. displacement is impossible for phi > 1.5/k under either
+    sketch family. (The original phi > 1/k guard covered tracking
+    but left a silent false-negative window (1/k, 1.5/k] — caught
+    in review.)"""
+    if phi <= 1.5 / k:
         raise ValueError(
-            f"heavy_hitters_exact: phi={phi} <= 1/k={1.0 / k:g} — "
-            "candidate phase would not be complete; raise k"
+            f"heavy_hitters_exact: phi={phi} <= 1.5/k={1.5 / k:g} — "
+            "the top-k candidate phase could displace a true heavy "
+            "hitter (see docstring); raise k"
         )
-    cand = (
-        df.selectExpr(f"approx_top_k({col}, {k}, {2 * k}) AS tk")
-        .select(F.explode("tk").alias("e"))
-        .select(F.col("e.item").alias(col))
+    # ONE pass computes the sketch AND the grand total (a third
+    # full scan just for count(*) is pure waste at scale); the
+    # 1-row result is pinned so both downstream uses read the same
+    # materialization instead of re-scanning.
+    sk = df.selectExpr(
+        f"approx_top_k({col}, {k}, {2 * k}) AS tk",
+        "CAST(count(1) AS BIGINT) AS n",
+    ).localCheckpoint(eager=True)
+    cand = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias(col)
     )
     exact = (
         df.join(F.broadcast(cand), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
-        exact.crossJoin(F.broadcast(tot))
+        exact.crossJoin(F.broadcast(sk.select("n")))
         .filter(F.col("cnt") > phi * F.col("n"))
         .select(
             col,

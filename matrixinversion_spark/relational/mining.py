@@ -948,7 +948,7 @@ def kcore_peel(
     that all iterative join loops here use: each round references
     its input three times (degree agg + two semi-joins), so an
     unbarriered loop re-derives the base 3^r times — measured 24 s
-    vs 7 s at three rounds on sf0.01. Peeling is O(diameter) rounds
+    vs 12 s at three rounds on sf0.01. Peeling is O(diameter) rounds
     worst-case, and per-round shuffle volume only shrinks (the
     graph is monotonically decreasing, which also bounds total work
     at O(rounds·|E|))."""

@@ -896,16 +896,17 @@ def heavy_hitters_stream(
     k-entry buffer per open window, rate-independent. The price is
     the Misra-Gries contract, stated honestly: counts are
     estimates (over-counts possible up to n/maxItemsTracked =
-    n/2k), completeness holds for true share > 1/k (enforced via
-    phi > 1/k, same bound as the batch op), so a window's alert
+    n/2k), completeness holds for true share > 1.5/k (enforced via
+    phi > 1.5/k — the displacement-safe bound derived in the batch
+    ``heavy_hitters_exact`` docstring), so a window's alert
     list can include borderline extras but never misses a true
     > phi flood. Exact counts come from replaying the flagged
     window through the batch ``heavy_hitters_exact``."""
-    if phi <= 1.0 / k:
+    if phi <= 1.5 / k:
         raise ValueError(
-            f"heavy_hitters_stream: phi={phi} <= 1/k={1.0 / k:g} — "
-            "the sketch's completeness bound would not cover the "
-            "threshold; raise k"
+            f"heavy_hitters_stream: phi={phi} <= 1.5/k={1.5 / k:g} — "
+            "the top-k sketch could displace a true heavy hitter "
+            "(heavy_hitters_exact docstring has the bound); raise k"
         )
     agg = (
         toks.withWatermark(time_col, watermark)

@@ -475,9 +475,11 @@ NOTES: dict[str, str] = {
         "group. No row ever carries a row_number."
     ),
     "p_heavy_hitters_exact": (
-        "Two-phase heavy hitters: phase 1 is the mergeable "
-        "approx_top_k sketch — a single aggregation buffer per "
-        "partition, NO token-keyed exchange; phase 2 exact-counts "
+        "Two-phase heavy hitters: phase 1 is ONE pass computing "
+        "the mergeable approx_top_k sketch AND the grand total "
+        "together (a single aggregation buffer per partition, NO "
+        "token-keyed exchange), pinned as a 1-row frame; phase 2 "
+        "exact-counts "
         "ONLY the candidates (broadcast semi-join + a groupBy "
         "whose key cardinality is <= k). The naive plan shuffles "
         "every distinct token; this one moves k counters per "
@@ -495,9 +497,11 @@ NOTES: dict[str, str] = {
         "the cluster; per-series state is two doubles."
     ),
     "p_rrf_fusion": (
-        "Reciprocal-rank fusion: both rankers share ONE "
-        "broadcast-query corpus pass (the quantized vector is a "
-        "projection of the same row), each pool is a per-query "
+        "Reciprocal-rank fusion: the scored pairs frame is pinned "
+        "through the stats barrier so both rankers read ONE "
+        "materialized broadcast-query corpus pass (unbarriered, "
+        "Catalyst re-derived the scoring subtree per window "
+        "branch); each pool is a per-query "
         "window over the scored set, and the fusion is a "
         "full-outer join of two bounded top-POOL lists plus a "
         "TakeOrdered. At 100 TB the pools come from the ANN "
@@ -514,6 +518,41 @@ NOTES: dict[str, str] = {
         "shrinks, so per-round shuffle volume is monotonically "
         "decreasing. The displayed tree is Scan-ExistingRDD + aggs "
         "because rounds are checkpoint-pinned."
+    ),
+    "q_changepoint_binseg": (
+        "Binary segmentation: level 1 is the CUSUM query's plan "
+        "(day-collapse groupBy, prefix_sum range shuffle, "
+        "TakeOrdered top-1); level 2 derives each segment-local "
+        "CUSUM as an affine function of the SAME prefix-sum column "
+        "with the split row arriving as a broadcast 1-row frame — "
+        "no second pass over the data, no driver round-trip, and "
+        "the argmax per segment is a 2-partition window over the "
+        "date-bounded series."
+    ),
+    "q_seasonal_decompose": (
+        "Seasonal decomposition: the fact scan collapses to one "
+        "row per DAY (map-side combine) — the only data-sized "
+        "stage; the centered 7-day MA and the 7-row DOW seasonal "
+        "frame run on the calendar-bounded daily series, and the "
+        "seasonal table re-joins as a broadcast. Integer-cents "
+        "daily sums make every division exact-int cross-engine."
+    ),
+    "q_cramers_v": (
+        "Cramer's V: one data-sized aggregation (uniform two-key "
+        "groupBy with map-side combine) collapses the fact table "
+        "to the r x c contingency cells; margins are window sums "
+        "over that cell table and V is a 1-row fold. Same plan as "
+        "the chi-square query — V just normalizes the statistic "
+        "so thresholds survive n growth."
+    ),
+    "q_theil_index": (
+        "Theil index: two mergeable aggregations (fact -> "
+        "per-customer spend -> ~25-nation frame) and a 1-row fold "
+        "— no ranks, no windows, no global sort; the decomposition "
+        "identity T_total = T_between + T_within comes from the "
+        "same (n_g, sum x, sum x ln x) sufficient statistics. The "
+        "cheapest inequality statistic at any scale (the Gini "
+        "needs a global rank)."
     ),
 }
 

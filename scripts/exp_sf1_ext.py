@@ -79,6 +79,16 @@ def run(fn, spark, sf_dir):
     return time.time() - t0, rows, join_census(final_plan(df))
 
 
+def nlj_growth(j0: dict, j1: dict) -> bool:
+    """True iff the 10x plan gained a nested-loop/cartesian join the
+    sf0.1 plan didn't have — the only unacceptable flip class (a
+    constant 1-row broadcast NLJ present at BOTH scales is fine)."""
+    return any(
+        j1.get(k, 0) > j0.get(k, 0)
+        for k in ("BroadcastNestedLoopJoin", "CartesianProduct")
+    )
+
+
 def main() -> int:
     from matrixinversion_spark.pipeline.curation import p_dsir_select
     from matrixinversion_spark.pipeline.text import (
@@ -106,7 +116,7 @@ def main() -> int:
         and abs(rho1[f][1] - rho0[f][1]) <= 1e-6
         for f in rho0
     ) and set(rho0) == set(rho1)
-    ok &= inv
+    ok &= inv and not nlj_growth(j0, j1)
     print(
         f"q_spearman_corr      {w0:5.1f}s -> {w1:5.1f}s  "
         f"rho_invariant={inv} census {j0} -> {j1}"
@@ -122,7 +132,7 @@ def main() -> int:
         and abs(c1[t][1] - c0[t][1]) <= 1e-6
         for t in c0
     )
-    ok &= inv
+    ok &= inv and not nlj_growth(j0, j1)
     print(
         f"p_heavy_hitters      {w0:5.1f}s -> {w1:5.1f}s  "
         f"count_x10={inv} census {j0} -> {j1}"
@@ -151,14 +161,13 @@ def main() -> int:
             ((r.doc_id, r.log_weight) for r in r0[:3])
         )
     )
-    ok &= inv
+    ok &= inv and not nlj_growth(j0, j1)
     print(
         f"p_dsir_select        {w0:5.1f}s -> {w1:5.1f}s  "
         f"selection_invariant={inv} census {j0} -> {j1}"
     )
 
-    bad_joins = False  # census deltas already printed; NLJ growth fails
-    print(f"ok={ok and not bad_joins}")
+    print(f"ok={ok}")
     spark.stop()
     return 0 if ok else 1
 

@@ -23,65 +23,36 @@ from tests.conftest import SF_DIR
 # ---------------------------------------------------------------------------
 
 
-def test_spearman_matches_pandas_midranks(spark):
-    """Engine Spearman (value-histogram midranks) == pandas
-    rank(method='average') + Pearson on the ranks, ties included."""
+def test_spearman_matches_pandas_midranks(spark, tmp_path):
+    """The REGISTERED query (driven on a planted lineitem parquet,
+    ties included) == pandas rank(method='average') + Pearson on the
+    ranks — scipy's spearmanr definition."""
     rows = [
         ("g1", 1.0, 10.0), ("g1", 2.0, 9.0), ("g1", 2.0, 8.0),
         ("g1", 3.0, 8.0), ("g1", 5.0, 1.0), ("g1", 5.0, 2.0),
         ("g2", 1.0, 1.0), ("g2", 2.0, 4.0), ("g2", 3.0, 9.0),
         ("g2", 4.0, 16.0),
     ]
-    pdf = pd.DataFrame(rows, columns=["flag", "x", "y"])
+    pdf = pd.DataFrame(
+        rows, columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
     exp = {}
-    for g, sub in pdf.groupby("flag"):
-        rx = sub["x"].rank(method="average")
-        ry = sub["y"].rank(method="average")
+    for g, sub in pdf.groupby("l_returnflag"):
+        rx = sub["l_quantity"].rank(method="average")
+        ry = sub["l_extendedprice"].rank(method="average")
         exp[g] = rx.corr(ry)  # Pearson on midranks == Spearman
 
-    df = spark.createDataFrame(pdf)
-    # reuse the registered query's rank construction inline
-    from matrixinversion_spark.relational import infostats as mod
-
-    monkey = df.select(
-        F.col("flag"), F.col("x"), F.col("y")
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/lineitem.parquet")
+    from matrixinversion_spark.relational.infostats import (
+        q_spearman_corr,
     )
-    # compute via the same midrank construction the query uses
-    from pyspark.sql.window import Window as W
 
-    def midranks(col, out):
-        v = monkey.groupBy("flag", col).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        w = (
-            W.partitionBy("flag")
-            .orderBy(col)
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        return v.select(
-            "flag", col,
-            (F.sum("c").over(w) - F.col("c")
-             + (F.col("c") + 1) / 2.0).alias(out),
-        )
-
-    j = monkey.join(midranks("x", "rx"), ["flag", "x"]).join(
-        midranks("y", "ry"), ["flag", "y"]
-    )
-    s = j.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-    ).collect()
-    for r in s:
-        num = r.n * r.sxy - r.sx * r.sy
-        den = math.sqrt(
-            (r.n * r.sxx - r.sx**2) * (r.n * r.syy - r.sy**2)
-        )
-        assert num / den == pytest.approx(exp[r.flag], abs=1e-12)
-
-    assert mod is not None  # imported for registry side effects
+    got = {r.flag: r for r in q_spearman_corr(spark, sf).collect()}
+    assert set(got) == set(exp)
+    for g, r in got.items():
+        assert r.n == len(pdf[pdf.l_returnflag == g])
+        assert r.rho == pytest.approx(exp[g], abs=1e-6)
 
 
 def test_spearman_registered_query_bounds(spark):
