@@ -920,9 +920,11 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(rx * ry) AS sxy
         FROM j GROUP BY 1)
     SELECT flag, CAST(n AS BIGINT) AS n,
-           round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx)
-                        * (n * syy - sy * sy)), 6) AS rho
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+           END AS rho
     FROM s
     """,
 )
@@ -932,7 +934,10 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion of the Pearson machinery in ``q_regr_agg``, and the
     monotone-association statistic feature-drift audits prefer when
     values are heavy-tailed. Ties get textbook midranks, so the
-    result matches scipy's ``spearmanr`` definition exactly.
+    result matches scipy's ``spearmanr`` definition exactly —
+    including the degenerate case: a group whose x or y is constant
+    has zero rank variance and returns NULL (hypothesis-fuzzed; the
+    unguarded ratio raised ANSI DIVIDE_BY_ZERO).
 
     Scale shape follows ``q_mannwhitney_u``: ranks are NEVER
     assigned row-at-a-time. Each variable collapses to its
@@ -981,11 +986,19 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    den2 = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # a group where x or y is constant has zero rank variance: rho is
+    # undefined -> NULL (ANSI mode would otherwise raise
+    # DIVIDE_BY_ZERO; caught by the hypothesis fuzz suite)
+    return s.select(
+        "flag",
+        "n",
+        F.when(
+            den2 > 0, F.round(num / F.sqrt(den2), 6)
+        ).alias("rho"),
     )
-    return s.select("flag", "n", F.round(num / den, 6).alias("rho"))
 
 
 @query(
