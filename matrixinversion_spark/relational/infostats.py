@@ -1212,3 +1212,96 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sv") / 100.0, 6).alias("cusum_dollars"),
     )
     return lvl1.unionAll(lvl2)
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS score,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END AS resp,
+               row_number() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS i,
+               (SELECT count(*) FROM orders) AS n
+        FROM orders),
+    g AS (
+        SELECT ((i - 1) * 10) // n + 1 AS decile,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(resp) AS BIGINT) AS responders
+        FROM s GROUP BY 1),
+    c AS (
+        SELECT decile, n_rows, responders,
+               sum(n_rows)     OVER w AS cum_n,
+               sum(responders) OVER w AS cum_resp,
+               sum(n_rows)     OVER () AS tot_n,
+               sum(responders) OVER () AS tot_resp
+        FROM g
+        WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+    SELECT decile, n_rows, responders,
+           round(responders * 1.0 / n_rows, 6) AS response_rate,
+           round((cum_resp * 1.0 / cum_n)
+                 / (tot_resp * 1.0 / tot_n), 6) AS cum_lift
+    FROM c
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table — the model-evaluation companion of
+    ``q_auc_roc``: rank the population by a model score (here
+    order value as the propensity proxy), cut into ten equal-depth
+    deciles, and report per-decile response rate plus cumulative
+    lift over the base rate ("the top 10% of scores captures 1.8x
+    their share of responders") — the table every targeting /
+    ranking model review reads before AUC.
+
+    Scale shape: the ONLY global-order stage is
+    ``assign_global_ids``'s range sort-shuffle (never an ANSI
+    single-partition ``ntile``); the decile id is exact integer
+    arithmetic ⌊(i−1)·10/N⌋+1 on the bigint rank, so the equi-depth
+    cut is deterministic and identical cross-engine (score-desc,
+    key-asc total order); everything after runs on the 10-row
+    decile frame. Integer counts make every rate a ratio of exact
+    ints."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("score"),
+        (F.col("o_orderpriority") == "1-URGENT")
+        .cast("bigint")
+        .alias("resp"),
+        "o_orderkey",
+    )
+    ranked = assign_global_ids(
+        o, [F.col("score").desc(), F.col("o_orderkey")], out_col="i"
+    )
+    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    g = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("(i - 1) * 10 div n").alias("d0")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("resp").cast("bigint").alias("responders"),
+        )
+        .select(
+            (F.col("d0") + 1).alias("decile"), "n_rows", "responders"
+        )
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    return g.select(
+        "decile",
+        "n_rows",
+        "responders",
+        F.round(F.col("responders") * 1.0 / F.col("n_rows"), 6).alias(
+            "response_rate"
+        ),
+        F.round(
+            (F.sum("responders").over(w) * 1.0 / F.sum("n_rows").over(w))
+            / (
+                F.sum("responders").over(wall)
+                * 1.0
+                / F.sum("n_rows").over(wall)
+            ),
+            6,
+        ).alias("cum_lift"),
+    )

@@ -364,3 +364,28 @@ def test_seasonal_decompose_registry_properties(spark):
         )
     seas = {r.dow: r.seasonal for r in rows}
     assert sum(seas.values()) == pytest.approx(0.0, abs=1e-4)
+
+
+def test_decile_lift_properties(spark):
+    """Gains-table invariants: exactly 10 equal-depth deciles
+    (sizes differ by <= 1), cumulative lift at decile 10 is exactly
+    1.0 (the whole population's lift over itself), and the
+    responder total is conserved."""
+    from matrixinversion_spark.relational.infostats import (
+        q_decile_lift,
+    )
+    from matrixinversion_spark.session import read_table
+
+    rows = sorted(
+        q_decile_lift(spark, SF_DIR).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows[-1].cum_lift == pytest.approx(1.0, abs=1e-6)
+    o = read_table(spark, SF_DIR, "orders")
+    total_resp = o.filter(
+        o.o_orderpriority == "1-URGENT"
+    ).count()
+    assert sum(r.responders for r in rows) == total_resp
+    assert sum(sizes) == o.count()
