@@ -389,3 +389,78 @@ def test_decile_lift_properties(spark):
     ).count()
     assert sum(r.responders for r in rows) == total_resp
     assert sum(sizes) == o.count()
+
+
+def test_markov_attribution_planted_journeys(spark, tmp_path):
+    """Hand-computable chain: 10 users view->purchase, 10 users
+    click->(end), 5 users click->view->purchase.
+    P(start->view)=.4, P(start->click)=.6, P(click->view)=1/3,
+    P(click->null)=2/3, P(view->conv)=1. Full conversion = .6;
+    removing view kills all conversion (effect 1), removing click
+    leaves the direct-view .4 (effect 1/3) -> attribution
+    view .75 / click .25."""
+    import datetime as dt
+
+    from matrixinversion_spark.relational.temporal import (
+        q_attribution_markov,
+    )
+
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def add(user, *types):
+        nonlocal eid
+        for i, ty in enumerate(types):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=i), user, ty, 1.0)
+            )
+            eid += 1
+
+    for u in range(10):
+        add(u, "view", "purchase")
+    for u in range(10, 20):
+        add(u, "click")
+    for u in range(20, 25):
+        add(u, "click", "view", "purchase")
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    got = {
+        r.channel: (r.removal_effect, r.attribution)
+        for r in q_attribution_markov(spark, sf).collect()
+    }
+    assert set(got) == {"view", "click"}
+    assert got["view"][0] == pytest.approx(1.0, abs=1e-6)
+    assert got["click"][0] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["view"][1] == pytest.approx(0.75, abs=1e-6)
+    assert got["click"][1] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_markov_attribution_registry_properties(spark):
+    """Attribution shares sum to 1, effects in [0,1], one row per
+    non-absorbing channel present in the events table."""
+    from matrixinversion_spark.relational.temporal import (
+        q_attribution_markov,
+    )
+    from matrixinversion_spark.session import read_table
+
+    rows = q_attribution_markov(spark, SF_DIR).collect()
+    types = {
+        r.event_type
+        for r in read_table(spark, SF_DIR, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    assert {r.channel for r in rows} == types - {"purchase"}
+    for r in rows:
+        assert 0.0 <= r.removal_effect <= 1.0
+    assert sum(r.attribution for r in rows) == pytest.approx(
+        1.0, abs=1e-4
+    )
