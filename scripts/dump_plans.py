@@ -554,6 +554,25 @@ NOTES: dict[str, str] = {
         "cheapest inequality statistic at any scale (the Gini "
         "needs a global rank)."
     ),
+    "q_decile_lift": (
+        "Decile lift: the only global-order stage is "
+        "assign_global_ids's range sort-shuffle (no ANSI "
+        "single-partition ntile anywhere); the decile id is integer "
+        "floor-division on the bigint rank, so the equal-depth cut "
+        "is deterministic cross-engine; response rates and "
+        "cumulative lift run on the 10-row decile frame."
+    ),
+    "q_attribution_markov": (
+        "Markov attribution: ONE lag-window pass per user builds "
+        "the transition counts (the q_attribution_* shuffle) — the "
+        "only data-sized stage; the |S|^2 <= 49 exact-integer "
+        "matrix collects to the driver and the fixed-step "
+        "absorption runs per removal chain in plain Python (the "
+        "bounded-state _two_sample_counts precedent). A distributed "
+        "first cut of the channel-cardinality iteration cost ~25 s "
+        "of pure task/planning overhead — bounded driver math is "
+        "the honest plan."
+    ),
 }
 
 
