@@ -1488,3 +1488,83 @@ def heavy_hitters_exact(
             F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "p_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    cnt AS (
+        SELECT tok, CAST(count(*) AS DOUBLE) AS c
+        FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+    scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+               round(avg(ln(c / t)), 6) AS avg_logp
+        FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+        GROUP BY doc_id),
+    b AS (
+        SELECT d.lang, s.n_toks, s.avg_logp,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY s.avg_logp DESC, s.doc_id)
+                   AS nt
+        FROM scored s JOIN documents d USING (doc_id))
+    SELECT lang,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           round(avg(avg_logp), 6) AS mean_logp
+    FROM b GROUP BY lang, nt
+    """,
+)
+def p_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    each language's documents into head/middle/tail thirds by their
+    LM quality score (best scores = head) and report each bucket's
+    doc/token mass — the selection recipe behind CCNet/RedPajama-V2
+    ("train on head+middle, inspect tail"), composing the
+    ``p_unigram_lm_score`` filter into the decision a curation run
+    actually takes.
+
+    The LM passes are the data-sized stages (same plan as the score
+    operator); the per-lang ntile runs on the DOC-level scored frame
+    — languages parallelize, and the ordering key is the ROUNDED
+    score + doc_id, so tertile membership is deterministic
+    cross-engine (unrounded LM sums differ by ulps). At 100 TB the
+    per-lang sort becomes two broadcast approx-percentile boundaries
+    per language (the ``q_histogram_equi_depth`` twin) with bucket
+    assignment as a stateless CASE — same output contract."""
+    scored = p_unigram_lm_score(spark, sf_dir)
+    langs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    from pyspark.sql.window import Window
+
+    j = scored.join(langs, "doc_id")
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(
+            F.col("avg_logp").desc(), F.col("doc_id")
+        )
+    )
+    b = j.select("lang", "n_toks", "avg_logp", nt.alias("nt"))
+    return (
+        b.groupBy("lang", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("avg_logp"), 6).alias("mean_logp"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            "mean_logp",
+        )
+    )

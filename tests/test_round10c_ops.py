@@ -464,3 +464,34 @@ def test_markov_attribution_registry_properties(spark):
     assert sum(r.attribution for r in rows) == pytest.approx(
         1.0, abs=1e-4
     )
+
+
+def test_ccnet_buckets_properties(spark):
+    """Head/middle/tail per language: bucket sizes within 1 of each
+    other (ntile), head mean score >= middle >= tail, doc totals
+    conserved per language."""
+    from matrixinversion_spark.pipeline.text import p_ccnet_buckets
+    from matrixinversion_spark.session import read_table
+
+    rows = p_ccnet_buckets(spark, SF_DIR).collect()
+    per_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, {})[r.bucket] = r
+    lang_counts = {
+        r["lang"]: r["n"]
+        for r in read_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_lang) == set(lang_counts)
+    for lang, b in per_lang.items():
+        assert set(b) == {"head", "middle", "tail"}
+        sizes = [b[k].n_docs for k in ("head", "middle", "tail")]
+        assert sum(sizes) == lang_counts[lang]
+        assert max(sizes) - min(sizes) <= 1
+        assert (
+            b["head"].mean_logp
+            >= b["middle"].mean_logp
+            >= b["tail"].mean_logp
+        )
