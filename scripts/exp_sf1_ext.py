@@ -9,6 +9,9 @@ operator an EXACT prediction to verify, not just a wall clock:
   affinely, rho identical to 6 dp);
 - ``p_heavy_hitters_exact``: every token count multiplies by exactly
   10, shares unchanged -> same survivor set, cnt_sf1 == 10 * cnt_sf01;
+- ``q_attribution_markov``: replicated journeys multiply every
+  transition count by 10, so the fitted probabilities — and the
+  whole attribution output — must be IDENTICAL row-for-row;
 - ``p_dsir_select``: all replicas of one logical doc get IDENTICAL
   weights (the bucket models see the same count ratios), so the
   top-25 must be the sf0.1 top-⌈25/10⌉=3 logical docs in the same
@@ -57,6 +60,18 @@ def build(spark, out_dir: str) -> None:
         .repartition(32)
         .write.mode("overwrite")
         .parquet(f"{out_dir}/documents.parquet")
+    )
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    rep_ev = ev.withColumn("_rep", rep_col)
+    for k in ("event_id", "user_id"):
+        rep_ev = rep_ev.withColumn(
+            k, F.col(k) + F.col("_rep").cast("long") * OFFSET
+        )
+    (
+        rep_ev.drop("_rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/events.parquet")
     )
     li = spark.read.parquet(f"{SF01}/lineitem.parquet")
     rep = li.withColumn("_rep", rep_col)
@@ -165,6 +180,22 @@ def main() -> int:
     print(
         f"p_dsir_select        {w0:5.1f}s -> {w1:5.1f}s  "
         f"selection_invariant={inv} census {j0} -> {j1}"
+    )
+
+    # Markov attribution: output identical under replication
+    from matrixinversion_spark.relational.temporal import (
+        q_attribution_markov,
+    )
+
+    w0, r0, j0 = run(q_attribution_markov, spark, SF01)
+    w1, r1, j1 = run(q_attribution_markov, spark, td)
+    a0 = {r.channel: (r.removal_effect, r.attribution) for r in r0}
+    a1 = {r.channel: (r.removal_effect, r.attribution) for r in r1}
+    inv = a0 == a1
+    ok &= inv and not nlj_growth(j0, j1)
+    print(
+        f"q_attribution_markov {w0:5.1f}s -> {w1:5.1f}s  "
+        f"output_identical={inv} census {j0} -> {j1}"
     )
 
     print(f"ok={ok}")
