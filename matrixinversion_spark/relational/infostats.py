@@ -1240,8 +1240,10 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
     SELECT decile, n_rows, responders,
            round(responders * 1.0 / n_rows, 6) AS response_rate,
-           round((cum_resp * 1.0 / cum_n)
-                 / (tot_resp * 1.0 / tot_n), 6) AS cum_lift
+           CASE WHEN tot_resp > 0
+                THEN round((cum_resp * 1.0 / cum_n)
+                           / (tot_resp * 1.0 / tot_n), 6)
+           END AS cum_lift
     FROM c
     """,
 )
@@ -1270,12 +1272,13 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     ranked = assign_global_ids(
-        o, [F.col("score").desc(), F.col("o_orderkey")], out_col="i"
+        o,
+        [F.col("score").desc(), F.col("o_orderkey")],
+        out_col="i",
+        grand_total_col="n",
     )
-    tot = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     g = (
-        ranked.crossJoin(F.broadcast(tot))
-        .groupBy(
+        ranked.groupBy(
             F.expr("(i - 1) * 10 div n").alias("d0")
         )
         .agg(
@@ -1295,13 +1298,20 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("responders") * 1.0 / F.col("n_rows"), 6).alias(
             "response_rate"
         ),
-        F.round(
-            (F.sum("responders").over(w) * 1.0 / F.sum("n_rows").over(w))
-            / (
-                F.sum("responders").over(wall)
-                * 1.0
-                / F.sum("n_rows").over(wall)
+        F.when(
+            F.sum("responders").over(wall) > 0,
+            F.round(
+                (
+                    F.sum("responders").over(w)
+                    * 1.0
+                    / F.sum("n_rows").over(w)
+                )
+                / (
+                    F.sum("responders").over(wall)
+                    * 1.0
+                    / F.sum("n_rows").over(wall)
+                ),
+                6,
             ),
-            6,
-        ).alias("cum_lift"),
+        ).alias("cum_lift"),  # NULL when the corpus has 0 responders
     )

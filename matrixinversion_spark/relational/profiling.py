@@ -1084,6 +1084,7 @@ def assign_global_ids(
     order_cols: list[Column],
     out_col: str = "rid",
     n_parts: int = 32,
+    grand_total_col: str | None = None,
 ) -> DataFrame:
     """Contiguous 1-based global row ids in ``order_cols`` order —
     the distributed ``row_number() OVER (ORDER BY ...)``.
@@ -1111,12 +1112,17 @@ def assign_global_ids(
     # implementation, one place to maintain the RangePartitioner
     # double-execution fix. The bigint ones column keeps prefix_sum
     # on its integer-exact offset path.
+    # grand_total_col (optional) rides prefix_sum's existing
+    # partition-totals fold: N arrives as a literal column for free,
+    # instead of a second full aggregation pass over the numbered
+    # frame (the KS statistic's documented rule)
     return prefix_sum(
         df.withColumn("_ones", F.lit(1).cast("bigint")),
         order_cols,
         "_ones",
         out_col=out_col,
         n_parts=n_parts,
+        grand_total_col=grand_total_col,
     ).drop("_ones")
 
 

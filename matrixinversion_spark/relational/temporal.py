@@ -1126,16 +1126,26 @@ v0 AS MATERIALIZED (
         ",\n".join(ctes)
         + f""",
 conv AS (
-    SELECT chain, coalesce(sum(mass), 0) AS p_conv
-    FROM v{steps} WHERE s = 'conv' GROUP BY 1),
+    -- LEFT JOIN from the chain list: a removal that zeroes
+    -- conversion leaves NO s='conv' row for its chain, and an
+    -- inner-join formulation would silently DROP that channel
+    -- (and misnormalize the rest) — exactly the channels with
+    -- removal effect 1.0
+    SELECT ch.chain, coalesce(v.p_conv, 0) AS p_conv
+    FROM ch LEFT JOIN (
+        SELECT chain, sum(mass) AS p_conv
+        FROM v{steps} WHERE s = 'conv' GROUP BY 1) v
+      USING (chain)),
 eff AS (
     SELECT c.chain AS channel,
            greatest(f.p_conv - c.p_conv, 0) / f.p_conv AS effect
     FROM conv c, (SELECT p_conv FROM conv WHERE chain = 'full') f
-    WHERE c.chain != 'full')
+    WHERE c.chain != 'full' AND f.p_conv > 0)
 SELECT channel,
        round(effect, 6) AS removal_effect,
-       round(effect / sum(effect) OVER (), 6) AS attribution
+       CASE WHEN sum(effect) OVER () > 0
+            THEN round(effect / sum(effect) OVER (), 6)
+       END AS attribution
 FROM eff"""
     )
 
@@ -1213,8 +1223,14 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # bounded state: |S|² ≤ 49 exact-integer transition counts
-    counts = {(r["s"], r["t"]): r["c"] for r in m.collect()}
+    # bounded state: |S|² ≤ 49 exact-integer transition counts.
+    # SORT the collected rows — dict iteration follows partition
+    # arrival order otherwise, and the absorption sums below must
+    # add in a fixed order to be run-deterministic in the last ulp
+    counts = {
+        (r["s"], r["t"]): r["c"]
+        for r in sorted(m.collect(), key=lambda r: (r["s"], r["t"]))
+    }
     row_tot: dict[str, int] = {}
     for (s, _t), c in counts.items():
         row_tot[s] = row_tot.get(s, 0) + c
@@ -1244,7 +1260,14 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             mass = nxt
         return conv
 
+    schema = (
+        "channel string, removal_effect double, attribution double"
+    )
     full = p_conv(None)
+    if full == 0.0:
+        # no conversions reachable: attribution undefined — empty
+        # result, matching the oracle's f.p_conv > 0 filter
+        return spark.createDataFrame([], schema)
     effects = {
         c: max(full - p_conv(c), 0.0) / full for c in channels
     }
@@ -1253,10 +1276,8 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             c,
             round(effects[c], 6),
-            round(effects[c] / tot_eff, 6),
+            round(effects[c] / tot_eff, 6) if tot_eff > 0 else None,
         )
         for c in channels
     ]
-    return spark.createDataFrame(
-        rows, "channel string, removal_effect double, attribution double"
-    )
+    return spark.createDataFrame(rows, schema)

@@ -126,9 +126,14 @@ def main() -> int:
     w1, r1, j1 = run(q_spearman_corr, spark, td)
     rho0 = {r.flag: (r.n, r.rho) for r in r0}
     rho1 = {r.flag: (r.n, r.rho) for r in r1}
+    def rho_eq(a, b):  # NULL rho (degenerate group) on both sides
+        if a is None or b is None:
+            return a is None and b is None
+        return abs(a - b) <= 1e-6
+
     inv = all(
         rho1[f][0] == REPLICAS * rho0[f][0]
-        and abs(rho1[f][1] - rho0[f][1]) <= 1e-6
+        and rho_eq(rho0[f][1], rho1[f][1])
         for f in rho0
     ) and set(rho0) == set(rho1)
     ok &= inv and not nlj_growth(j0, j1)

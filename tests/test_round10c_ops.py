@@ -451,9 +451,28 @@ def test_markov_attribution_registry_properties(spark):
     from matrixinversion_spark.session import read_table
 
     rows = q_attribution_markov(spark, SF_DIR).collect()
+    # expected channels = types occurring in some journey PREFIX
+    # (truncated at first purchase) — a type appearing only after
+    # every first purchase is correctly absent from the chain
+    from pyspark.sql import functions as F2
+    from pyspark.sql.window import Window as W2
+
+    e = read_table(spark, SF_DIR, "events")
+    wu = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    wall_u = W2.partitionBy("user_id")
+    seq = e.select(
+        "user_id", "event_type", F2.row_number().over(wu).alias("rn")
+    ).select(
+        "*",
+        F2.min(
+            F2.when(F2.col("event_type") == "purchase", F2.col("rn"))
+        ).over(wall_u).alias("fp"),
+    )
     types = {
         r.event_type
-        for r in read_table(spark, SF_DIR, "events")
+        for r in seq.filter(
+            F2.col("rn") <= F2.coalesce("fp", F2.lit(1 << 62))
+        )
         .select("event_type")
         .distinct()
         .collect()
@@ -495,3 +514,101 @@ def test_ccnet_buckets_properties(spark):
             >= b["middle"].mean_logp
             >= b["tail"].mean_logp
         )
+
+
+def test_markov_oracle_parity_on_gating_channel(spark, tmp_path):
+    """Review regression: a channel whose removal ZEROES conversion
+    ('view' gates every purchase in the planted fixture) must appear
+    in the ORACLE's output too — the original inner-join oracle
+    silently dropped it and misnormalized the rest. Runs the real
+    DuckDB oracle against the planted parquet and compares engines
+    row-for-row."""
+    import datetime as dt
+
+    import duckdb
+
+    from matrixinversion_spark.relational.temporal import (
+        MARKOV_STEPS,
+        _markov_sql,
+        q_attribution_markov,
+    )
+
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def add(user, *types):
+        nonlocal eid
+        for i, ty in enumerate(types):
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=i), user, ty, 1.0)
+            )
+            eid += 1
+
+    for u in range(10):
+        add(u, "view", "purchase")
+    for u in range(10, 20):
+        add(u, "click")
+    for u in range(20, 25):
+        add(u, "click", "view", "purchase")
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    got = {
+        r.channel: (r.removal_effect, r.attribution)
+        for r in q_attribution_markov(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{sf}/events.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_markov_sql(MARKOV_STEPS)).fetchall()
+    }
+    assert set(oracle) == set(got) == {"view", "click"}
+    for c in got:
+        assert got[c][0] == pytest.approx(oracle[c][0], abs=1e-6)
+        assert got[c][1] == pytest.approx(oracle[c][1], abs=1e-6)
+
+
+def test_markov_degenerate_inputs(spark, tmp_path):
+    """No-conversion corpus -> empty result (oracle returns empty
+    for the same input); both engines agree instead of dividing by
+    zero."""
+    import datetime as dt
+
+    import duckdb
+
+    from matrixinversion_spark.relational.temporal import (
+        MARKOV_STEPS,
+        _markov_sql,
+        q_attribution_markov,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), i % 5, "view", 1.0)
+        for i in range(20)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, schema).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    assert q_attribution_markov(spark, sf).collect() == []
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{sf}/events.parquet/*.parquet'"
+    )
+    assert con.execute(_markov_sql(MARKOV_STEPS)).fetchall() == []
