@@ -61,30 +61,27 @@ from matrixinversion_spark.registry import ORACLE, QUERIES  # noqa: E402
 
 # The driver verifies a fixed-size prefix of queries() per round, so a
 # static order would leave the registry tail permanently unverified.
-# The schedule below is a round-robin with two exceptions:
+# The schedule is OLDEST-FIRST (VERDICT r10 #1 — replaced the fixed-arc
+# round-robin whose arithmetic let promotions starve a third of the
+# registry of fresh rows for six rounds):
 #   1. queries whose LATEST driver row is not hash-green (failed or
 #      errored) go first, so a fix lands a fresh driver row the very
-#      next round instead of waiting a full rotation cycle;
+#      next round instead of waiting a full drain cycle;
 #   2. queries that have NEVER had a driver row in any report (new
 #      registrations) go next, so new capabilities convert to
 #      driver-green promptly;
-#   3. everything else follows in round-robin order — each round the
-#      start offset advances by one equal arc of the registry, so in
-#      promotion-free rounds EVERY query gets a driver row at least
-#      once every ceil(n/BUDGET) rounds and green rows keep being
-#      re-verified (a later regression cannot hide behind an old
-#      green row). In rounds WITH promotions the guarantee is
-#      best-effort: promoted names consume prefix budget and can push
-#      the tail of the current arc past it, delaying those names by
-#      up to one extra cycle (r4 ADVICE — accepted: promotions are
-#      self-limiting, since a promoted name that goes green stops
-#      being promoted next round).
+#   3. everything else is sorted by the round of its NEWEST driver row,
+#      ascending (registry order breaks ties) — the stalest attestation
+#      is always the next one re-checked. This is self-advancing: the
+#      names verified this round carry the newest round stamp and sink
+#      to the back automatically, so in promotion-free rounds every
+#      name is re-attested within ceil(n/BUDGET) rounds, and unlike the
+#      arc scheme a promotion delays only the single stalest name, not
+#      a whole arc tail.
 # Only failures/absences are promoted (never demoted/hidden on green —
-# that was the flaw of the removed green-rotation), and the budget is
-# derived from the observed row count of the newest driver report
-# rather than hardcoded (ADVICE r3). All of this is computed once at
-# import so the ordering is stable for the lifetime of a verify run
-# (ADVICE r3).
+# that was the flaw of the removed green-rotation). All of this is
+# computed once at import so the ordering is stable for the lifetime
+# of a verify run (ADVICE r3).
 
 
 def _load_reports() -> list[dict]:
@@ -103,10 +100,6 @@ def _load_reports() -> list[dict]:
 
 
 _REPORTS = _load_reports()
-_ROUND_INDEX = len(_REPORTS)
-# Observed driver prefix size (50 in every report so far); floor of 25
-# guards against a truncated/corrupt newest report shrinking coverage.
-_DRIVER_PREFIX_BUDGET = max(25, len(_REPORTS[-1])) if _REPORTS else 50
 _FAILED_LAST_ROUND = (
     [
         name
@@ -116,25 +109,28 @@ _FAILED_LAST_ROUND = (
     if _REPORTS
     else []
 )
-_EVER_CHECKED = {name for rep in _REPORTS for name in rep}
+# newest round (1-based file order) in which each name has a driver row
+_LAST_CHECKED: dict[str, int] = {}
+for _i, _rep in enumerate(_REPORTS, start=1):
+    for _name in _rep:
+        _LAST_CHECKED[_name] = _i
 
 
-def _round_robin(mapping: dict) -> dict:
+def _oldest_first(mapping: dict) -> dict:
     names = list(mapping)
-    n = len(names)
-    if n == 0:
+    if not names:
         return {}
-    arcs = max(1, -(-n // _DRIVER_PREFIX_BUDGET))   # ceil(n/budget)
-    stride = -(-n // arcs)                          # ceil(n/arcs)
-    off = (_ROUND_INDEX * stride) % n
-    rotated = names[off:] + names[:off]
     failed = [k for k in _FAILED_LAST_ROUND if k in mapping]
     fresh = [
-        k for k in names if k not in _EVER_CHECKED and k not in failed
+        k for k in names if k not in _LAST_CHECKED and k not in failed
     ]
-    promoted = failed + fresh
-    head = promoted + [k for k in rotated if k not in promoted]
-    return {k: mapping[k] for k in head}
+    promoted = set(failed) | set(fresh)
+    order = {k: i for i, k in enumerate(names)}
+    rest = sorted(
+        (k for k in names if k not in promoted),
+        key=lambda k: (_LAST_CHECKED.get(k, 0), order[k]),
+    )
+    return {k: mapping[k] for k in failed + fresh + rest}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -144,7 +140,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return _round_robin(dict(QUERIES))
+    return _oldest_first(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -70,12 +70,54 @@ INVERSE_BLOCK = 1024
 INVERSE_LEAF = 1024
 
 
+def _machine_index() -> dict:
+    """Co-tenant/machine fingerprint emitted WITH the timings
+    (BENCH_NOTES round-6 machine-index protocol, VERDICT r10 #7):
+    wall-clock on this shared host swings ±25% with co-tenant load
+    and the storage stack, so each report carries the numbers that
+    adjudicate "plan moved" vs "machine moved" mechanically —
+    dgemm GFLOP/s (CPU), a direct-I/O write probe (storage), and
+    the 1-min loadavg (co-tenancy)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    idx: dict = {"loadavg_1m": round(os.getloadavg()[0], 2)}
+    try:
+        import numpy as np
+
+        n = 2048
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((n, n))
+        t0 = time.time()
+        x @ x
+        idx["dgemm_2048_gflops"] = round(
+            2 * n**3 / (time.time() - t0) / 1e9, 1
+        )
+    except Exception:
+        idx["dgemm_2048_gflops"] = None
+    try:
+        d = tempfile.mkdtemp(prefix="bench_io_")
+        t0 = time.time()
+        subprocess.run(
+            ["dd", "if=/dev/zero", f"of={d}/probe", "oflag=direct",
+             "bs=1M", "count=256"],
+            check=True, capture_output=True,
+        )
+        idx["direct_write_mbps"] = round(256 / (time.time() - t0), 0)
+        shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        idx["direct_write_mbps"] = None
+    return idx
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from matrixinversion_spark.matrix import inverse as invmod
     from matrixinversion_spark.matrix.core import BlockMatrixFrame
     from matrixinversion_spark.session import get_spark
 
+    machine = _machine_index()  # before Spark holds the cores
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
@@ -184,6 +226,13 @@ def main() -> None:
                 "aux": {
                     **aux,
                     f"la_inverse_{INVERSE_N}_jobs": inverse_jobs,
+                },
+                # host fingerprint: start-of-run CPU/storage/load
+                # probes plus end-of-run load — ±25% wall swings are
+                # machine-adjudicated IN the artifact, not in prose
+                "machine": {
+                    **machine,
+                    "loadavg_1m_end": round(os.getloadavg()[0], 2),
                 },
             }
         )

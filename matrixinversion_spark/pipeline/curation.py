@@ -86,6 +86,19 @@ _PAIRS_SQL = f"""
 _BARRIER_FALLBACK_WARNED = False
 
 
+def _rebuild_without_stats(ck: DataFrame) -> DataFrame:
+    """Rebuild a checkpointed DataFrame from its RDD so the new
+    LogicalRDD carries NO inherited statistics. Isolated from
+    ``_fresh_stats_barrier`` so tests can inject the Spark-internal
+    API moving (VERDICT r10 #2) and pin the fallback's behavior."""
+    spark = ck.sparkSession
+    jdf = ck._jdf
+    jnew = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(jnew, spark)
+
+
 def _fresh_stats_barrier(df: DataFrame) -> DataFrame:
     """localCheckpoint + STATISTICS reset — the mandatory round
     barrier for iterative join loops.
@@ -107,12 +120,7 @@ def _fresh_stats_barrier(df: DataFrame) -> DataFrame:
     the compounding — acceptable only for bounded-round loops)."""
     ck = df.localCheckpoint(eager=True)
     try:
-        spark = ck.sparkSession
-        jdf = ck._jdf
-        jnew = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        return DataFrame(jnew, spark)
+        return _rebuild_without_stats(ck)
     except Exception as exc:  # Spark-internal API drift
         global _BARRIER_FALLBACK_WARNED
         if not _BARRIER_FALLBACK_WARNED:

@@ -809,8 +809,11 @@ def link_prediction_scores(
 
     Scale shape: wedges come from ONE self-join of the symmetrized
     edge list on the middle vertex (the same shuffle key both
-    sides), degrees are a node-cardinality frame that broadcasts,
-    and the adjacency anti-join removes existing edges. The 100 TB
+    sides); the degree attach joins on that same key with NO forced
+    broadcast — AQE broadcasts a small degree frame on its own, and
+    a billion-node frame falls back to a shuffle join that reuses
+    the wedge join's exchange instead of overflowing the driver
+    (ADVICE r10). The adjacency anti-join removes existing edges. The 100 TB
     hazard is quadratic wedge fan-out at hub vertices (degree d →
     d² wedges); ``max_degree`` is the production guard — dropping
     middles above the cap bounds any task at max_degree² pairs, the
@@ -835,8 +838,14 @@ def link_prediction_scores(
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
+    # no broadcast hint: deg is node-cardinality, and a forced
+    # broadcast of billions of nodes would blow Spark's 8 GB limit
+    # at the 100 TB scale this targets (ADVICE r10). AQE picks BHJ
+    # when deg is small; otherwise this is a shuffle join keyed on
+    # the SAME column (u) as the wedge self-join below, so the
+    # exchange is reused, not added.
     mids = sym.join(
-        F.broadcast(deg), sym["u"] == deg["node"]
+        deg, sym["u"] == deg["node"]
     ).select("u", "v", "d")
     if max_degree is not None:
         mids = mids.filter(F.col("d") <= max_degree)

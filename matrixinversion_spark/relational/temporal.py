@@ -1180,6 +1180,27 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the fixed-step truncation exact as transient mass decays
     geometrically."""
     e = read_table(spark, sf_dir, "events")
+    # The chain machinery reserves 'start'/'conv'/'null'/'full' as
+    # sentinel states; a REAL channel with one of those names would
+    # silently merge into the sentinel identically in Spark and the
+    # oracle, so the hash gate could never catch it (ADVICE r10).
+    # Fail loudly instead: one column-pruned pushed-filter probe
+    # ('purchase' maps to 'conv' deliberately, so it is exempt).
+    collision = (
+        e.filter(
+            F.col("event_type").isin("start", "conv", "null", "full")
+        )
+        .select("event_type")
+        .limit(1)
+        .collect()
+    )
+    if collision:
+        raise ValueError(
+            "q_attribution_markov: event_type "
+            f"{collision[0][0]!r} collides with a reserved Markov "
+            "sentinel state ('start'/'conv'/'null'/'full') — rename "
+            "the channel or namespace the sentinels before fitting"
+        )
     wu = W.partitionBy("user_id").orderBy("ts", "event_id")
     wall_u = W.partitionBy("user_id")
     seq = e.select(

@@ -894,14 +894,21 @@ def heavy_hitters_stream(
     DISTINCT TOKEN per open window — vocabulary-sized, unbounded on
     adversarial input — while the sketch keeps ONE mergeable
     k-entry buffer per open window, rate-independent. The price is
-    the Misra-Gries contract, stated honestly: counts are
-    estimates (over-counts possible up to n/maxItemsTracked =
-    n/2k), completeness holds for true share > 1.5/k (enforced via
+    the Misra-Gries contract, stated honestly: a retained token's
+    estimate can deviate from its true count by up to
+    n/maxItemsTracked = n/(2k) IN EITHER DIRECTION (the classic
+    Misra-Gries decrement under-counts; Spark does not document an
+    over-estimate guarantee, so none is assumed — ADVICE r10), and
+    retention itself holds for true share > 1.5/k (enforced via
     phi > 1.5/k — the displacement-safe bound derived in the batch
-    ``heavy_hitters_exact`` docstring), so a window's alert
-    list can include borderline extras but never misses a true
-    > phi flood. Exact counts come from replaying the flagged
-    window through the batch ``heavy_hitters_exact``."""
+    ``heavy_hitters_exact`` docstring). The alert filter therefore
+    compares the estimate against phi*n − n/(2k), the slack that
+    makes a true > phi flood pass even when its estimate
+    under-counts by the full n/(2k) bound: the alert list can
+    include borderline extras (anything above phi − 1/k true
+    share) but never misses a true > phi flood. Exact counts come
+    from replaying the flagged window through the batch
+    ``heavy_hitters_exact``."""
     if phi <= 1.5 / k:
         raise ValueError(
             f"heavy_hitters_stream: phi={phi} <= 1.5/k={1.5 / k:g} — "
@@ -923,8 +930,13 @@ def heavy_hitters_stream(
         "n_window",
         F.explode("tk").alias("e"),
     )
+    # phi*n − n/(2k): absorb the sketch's worst-case under-count so
+    # the no-false-negative property holds without assuming Spark's
+    # estimates are upper bounds (ADVICE r10). phi > 1.5/k keeps the
+    # slack strictly positive-sized (phi − 1/(2k) > 1/k > 0).
     return e.filter(
-        F.col("e.count") > phi * F.col("n_window")
+        F.col("e.count")
+        > (phi - 1.0 / (2 * k)) * F.col("n_window")
     ).select(
         "window_start",
         F.col("e.item").alias(tok_col),

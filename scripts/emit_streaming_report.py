@@ -1,0 +1,242 @@
+"""Per-round streaming attestation artifact (VERDICT r10 #5).
+
+The streaming surface (matrixinversion_spark/streaming/ops.py) is
+pytest-verified but has no driver oracle row by harness design (the
+driver's oracle is batch DuckDB). This script gives it a per-round
+artifact like CORRECTNESS_r{N}.json: it re-runs the
+checkpoint/restart exactly-once scenario live, records the OBSERVED
+per-restart batch/input/state metrics from the StreamingQuery
+progress log, runs the full streaming pytest files, and writes the
+lot to STREAMING.md.
+
+Usage: python scripts/emit_streaming_report.py
+(never concurrently with another Spark job)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _round_number() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def run_scenario(spark) -> dict:
+    """The fault-tolerance scenario, instrumented: land half the
+    events, drain with availableNow through a checkpointed stateful
+    windowed count + a row-level sink; land the other half; restart
+    from the same checkpoint. Returns observed metrics per run."""
+    from matrixinversion_spark.session import read_table
+
+    base = tempfile.mkdtemp(prefix="stream_report_")
+    in_dir, out_dir, ckpt = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    try:
+        ev = read_table(spark, SF_DIR, "events").select(
+            "event_id", "ts"
+        )
+        # split by TIME at an hour boundary, not by id parity: the
+        # restart lands strictly NEWER data, like a real ingestion
+        # tail. (The parity split was tried first and the watermark
+        # correctly DROPPED the second half as late beyond 2 hours —
+        # the exactly-once check failed for the right reason; that
+        # behavior is pinned separately by
+        # test_watermark_semantics_state_bound_not_completeness.)
+        b = ev.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        cut = (b.lo + (b.hi - b.lo) / 2).replace(
+            minute=0, second=0, microsecond=0
+        )
+        halves = [
+            ev.filter(F.col("ts") < F.lit(cut)),
+            ev.filter(F.col("ts") >= F.lit(cut)),
+        ]
+
+        def land(df, name):
+            stage = f"{base}/stage_{name}"
+            df.coalesce(1).write.parquet(stage)
+            os.makedirs(in_dir, exist_ok=True)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            shutil.move(part, f"{in_dir}/{name}.parquet")
+
+        def run_once():
+            stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+            agg = (
+                stream.withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+            def sink(batch_df, batch_id):  # noqa: ANN001
+                batch_df.select(
+                    F.col("w.start").alias("ws"), "n"
+                ).write.mode("append").parquet(out_dir)
+
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progress = [p for p in q.recentProgress if p]
+            runs = []
+            for p in progress:
+                st = (p.get("stateOperators") or [{}])[0]
+                runs.append(
+                    {
+                        "batch_id": p.get("batchId"),
+                        "input_rows": p.get("numInputRows"),
+                        "state_rows_total": st.get("numRowsTotal"),
+                        "state_rows_updated": st.get("numRowsUpdated"),
+                    }
+                )
+            return runs
+
+        land(halves[0], "f1")
+        run1 = run_once()
+        land(halves[1], "f2")
+        run2 = run_once()
+
+        # exactly-once verification: the UPDATE-mode sink appends one
+        # row per changed window per batch, so the LAST append per
+        # window must equal the batch ground truth
+        sunk = spark.read.parquet(out_dir)
+        # the later run's rows supersede: dedup by taking max n per
+        # window is NOT valid in general; replay order is — batch ids
+        # increase across restarts, and within this scenario each
+        # window's final count is the larger append
+        final = (
+            sunk.groupBy("ws").agg(F.max("n").alias("n"))
+        )
+        truth = (
+            ev.groupBy(
+                F.window("ts", "1 hour").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        mism = (
+            final.alias("a")
+            .join(truth.alias("b"), "ws", "full")
+            .filter(
+                F.coalesce(F.col("a.n"), F.lit(-1))
+                != F.coalesce(F.col("b.n"), F.lit(-2))
+            )
+            .count()
+        )
+        n_windows = truth.count()
+        batch_ids_1 = [r["batch_id"] for r in run1]
+        batch_ids_2 = [r["batch_id"] for r in run2]
+        resumed = bool(batch_ids_2) and (
+            min(batch_ids_2) > max(batch_ids_1)
+        )
+        return {
+            "run1": run1,
+            "run2": run2,
+            "n_windows": n_windows,
+            "window_mismatches": mism,
+            "checkpoint_resumed_batch_ids": resumed,
+            "exactly_once_ok": mism == 0 and resumed,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> None:
+    from matrixinversion_spark.session import get_spark
+
+    spark = get_spark("streaming_report")
+    spark.sparkContext.setLogLevel("ERROR")
+    metrics = run_scenario(spark)
+    spark.stop()
+
+    pt = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         "tests/test_streaming.py", "tests/test_streaming_sink.py",
+         "-q", "-p", "no:cacheprovider"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    tail = (pt.stdout.strip().splitlines() or [""])[-1]
+    rnd = _round_number()
+
+    def fmt_runs(runs):
+        return "\n".join(
+            f"  - batch {r['batch_id']}: input_rows={r['input_rows']},"
+            f" state_rows_total={r['state_rows_total']},"
+            f" state_rows_updated={r['state_rows_updated']}"
+            for r in runs
+        )
+
+    body = f"""# STREAMING — round {rnd}
+
+Generated {dt.datetime.now().isoformat(timespec='seconds')} by
+`scripts/emit_streaming_report.py` (VERDICT r10 #5: the streaming
+surface's per-round artifact — the driver's DuckDB oracle cannot
+attest streaming queries, so this records the live
+checkpoint/restart exactly-once scenario's observed metrics plus
+the streaming pytest files' result).
+
+## Checkpoint/restart exactly-once scenario (live, sf={SF_DIR.rsplit('sf', 1)[-1]})
+
+File-source stream -> watermarked 1-hour windowed count ->
+foreachBatch parquet sink, checkpointed; drained with availableNow,
+restarted after the second half of `events` lands.
+
+Run 1 (first half of events):
+{fmt_runs(metrics['run1'])}
+
+Run 2 (restart from checkpoint, second half only):
+{fmt_runs(metrics['run2'])}
+
+- windows in ground truth: {metrics['n_windows']}
+- final sunk window counts vs batch ground truth mismatches: \
+{metrics['window_mismatches']}
+- restart resumed batch ids after run 1's \
+(no reprocessing): {metrics['checkpoint_resumed_batch_ids']}
+- **exactly-once: {'OK' if metrics['exactly_once_ok'] else 'FAILED'}**
+
+## Streaming pytest files
+
+`pytest tests/test_streaming.py tests/test_streaming_sink.py`:
+**{tail}** (exit {pt.returncode})
+
+Operator inventory: see `matrixinversion_spark/streaming/ops.py`
+(windowed aggs, sessionization, stream-stream inner/left/full joins,
+dedup, CDC latest-state, applyInPandasWithState running stats,
+incremental OLS, rolling z-score, drift PSI, quality-gate monitor,
+heavy hitters, WAP sink) — each with a batch-oracle twin test where
+batch semantics exist.
+"""
+    with open(os.path.join(REPO, "STREAMING.md"), "w") as f:
+        f.write(body)
+    print(body)
+    ok = metrics["exactly_once_ok"] and pt.returncode == 0
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

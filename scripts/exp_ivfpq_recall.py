@@ -44,6 +44,12 @@ Metrics per nprobe, over all NQ queries:
 Asserts: refined recall1@10 is non-decreasing in nprobe and >= 0.9
 at nprobe=4.
 
+The fixture builder (``planted_corpus``) and the measurement loop
+(``measure_recall``) are importable: ``tests/test_round11_ops.py``
+runs them at n=20k as the per-round recall@10 regression gate
+(VERDICT r10 #3 — a deliberate nprobe/codebook degradation must trip
+a test, not just this opt-in script).
+
 Usage: python scripts/exp_ivfpq_recall.py [n_vectors]
 """
 
@@ -71,7 +77,6 @@ from matrixinversion_spark.pipeline.similarity import (
 )
 from matrixinversion_spark.session import get_spark
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 DIM = 64
 C = 64          # clusters = IVF cells
 NQ = 256        # queries: all vec_id < NQ (64 centers + 192 blends)
@@ -85,6 +90,7 @@ PARTNER_EPS = 0.05
 # 2048 codewords OOM'd it (measured).
 PQ_CODEBOOK = 256
 TOP_K = 10
+REFINE = 20  # re-rank ADC top-200 with exact cosine
 
 
 def u(seed_col, j, salt):  # hash-uniform in [-1, 1]
@@ -95,14 +101,14 @@ def u(seed_col, j, salt):  # hash-uniform in [-1, 1]
     )
 
 
-def main() -> None:
-    spark = get_spark("exp_ivfpq_recall")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def planted_corpus(spark, n: int):
+    """The deterministic (hash-seeded, no RNG state) planted corpus
+    described in the module docstring, as an
+    ``(vec_id, embedding, label)`` DataFrame of n unit vectors."""
     # src: partners replay the coords of their source id; everything
     # else is its own source
     src = F.when(
-        F.col("id") >= N - NQ, F.col("id") - (N - NQ)
+        F.col("id") >= n - NQ, F.col("id") - (n - NQ)
     ).otherwise(F.col("id"))
     ca = src % C
     cb = (src + 1) % C
@@ -119,7 +125,7 @@ def main() -> None:
         )
 
     coord = lambda j: F.when(  # noqa: E731
-        F.col("id") >= N - NQ,
+        F.col("id") >= n - NQ,
         base(j) + PARTNER_EPS * u(F.col("id"), j, "p"),
     ).otherwise(base(j))
     # UNIT-NORMALIZE: the ADC stage ranks by (approximate) inner
@@ -133,7 +139,7 @@ def main() -> None:
     nrm = F.sqrt(
         F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x)
     )
-    emb = spark.range(N).select(
+    return spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.transform(raw, lambda x: (x / nrm).cast("float")).alias(
             "embedding"
@@ -141,103 +147,128 @@ def main() -> None:
         ca.cast("int").alias("label"),
     )
 
-    tmp = tempfile.mkdtemp(prefix="ivfpq_recall_")
-    try:
-        emb.write.parquet(f"{tmp}/embeddings.parquet")
-        n = _vectors(spark, tmp).persist()
-        n.count()
 
-        # exact brute-force top-10 for the NQ queries over all N
-        q = n.filter(F.col("vec_id") < NQ).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("e").alias("qe"),
-            F.col("nrm").alias("qn"),
-        )
-        cos = dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cos"), F.asc("vec_id")
-        )
+def measure_recall(
+    spark,
+    sf_dir: str,
+    n: int,
+    nprobes=(1, 2, 4),
+    pq_k: int = PQ_CODEBOOK,
+) -> dict[int, dict]:
+    """Brute-force ground truth + the per-nprobe sweep over a
+    planted corpus already written to ``sf_dir/embeddings.parquet``.
+    Returns {nprobe: {"adc": r1, "refined": r1, "overlap": ov,
+    "wall": sec}}."""
+    nn_df = _vectors(spark, sf_dir).persist()
+    nn_df.count()
+
+    # exact brute-force top-10 for the NQ queries over all n
+    q = nn_df.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    t0 = time.time()
+    exact = (
+        nn_df.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "vec_id", "rnk")
+        .collect()
+    )
+    bf_wall = time.time() - t0
+    exact_top = {}
+    true_nn = {}
+    for r in exact:
+        exact_top.setdefault(r.query_id, set()).add(r.vec_id)
+        if r.rnk == 1:
+            true_nn[r.query_id] = r.vec_id
+    print(
+        f"brute force: {len(true_nn)} queries x {n:,} vectors, "
+        f"wall={bf_wall:.1f}s"
+    )
+
+    out: dict[int, dict] = {}
+    for nprobe in nprobes:
         t0 = time.time()
-        exact = (
-            n.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id", cos.alias("cos"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= TOP_K)
-            .select("query_id", "vec_id", "rnk")
+        cand = ivfpq_topk(
+            nn_df, n_centroids=C, n_queries=NQ, nprobe=nprobe,
+            top_k=TOP_K * REFINE, pq_k=pq_k,
+        )
+        # refine: exact cosine over the bounded candidate list
+        # (TOP_K*REFINE rows per query — constant per-query work)
+        rcos = dot(F.col("qe"), F.col("e")) / (
+            F.col("qn") * F.col("nrm")
+        )
+        rw = Window.partitionBy("query_id").orderBy(
+            F.desc("rcos"), F.asc("neighbor_id")
+        )
+        refined = (
+            cand.join(
+                nn_df.select(
+                    F.col("vec_id").alias("neighbor_id"), "e", "nrm"
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "neighbor_id", "rnk",
+                rcos.alias("rcos"),
+            )
+            .withColumn("rrnk", F.row_number().over(rw))
             .collect()
         )
-        bf_wall = time.time() - t0
-        exact_top = {}
-        true_nn = {}
-        for r in exact:
-            exact_top.setdefault(r.query_id, set()).add(r.vec_id)
-            if r.rnk == 1:
-                true_nn[r.query_id] = r.vec_id
+        wall = time.time() - t0
+        adc10, ref10 = {}, {}
+        for r in refined:
+            if r.rnk <= TOP_K:
+                adc10.setdefault(r.query_id, set()).add(r.neighbor_id)
+            if r.rrnk <= TOP_K:
+                ref10.setdefault(r.query_id, set()).add(r.neighbor_id)
+        r1_adc = sum(
+            1 for qid, nn in true_nn.items() if nn in adc10.get(qid, ())
+        ) / len(true_nn)
+        r1_ref = sum(
+            1 for qid, nn in true_nn.items() if nn in ref10.get(qid, ())
+        ) / len(true_nn)
+        ov = sum(
+            len(ref10.get(qid, set()) & s) / TOP_K
+            for qid, s in exact_top.items()
+        ) / len(exact_top)
+        out[nprobe] = {
+            "adc": r1_adc, "refined": r1_ref,
+            "overlap": ov, "wall": wall,
+        }
         print(
-            f"brute force: {len(true_nn)} queries x {N:,} vectors, "
-            f"wall={bf_wall:.1f}s"
+            f"nprobe={nprobe}: adc_recall1@10={r1_adc:.3f} "
+            f"refined_recall1@10={r1_ref:.3f} "
+            f"overlap@10={ov:.3f} wall={wall:.1f}s"
         )
+    nn_df.unpersist()
+    return out
 
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    spark = get_spark("exp_ivfpq_recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="ivfpq_recall_")
+    try:
+        planted_corpus(spark, n).write.parquet(
+            f"{tmp}/embeddings.parquet"
+        )
+        res = measure_recall(spark, tmp, n)
         prev = -1.0
-        recalls = {}
-        REFINE = 20  # re-rank ADC top-200 with exact cosine
-        for nprobe in (1, 2, 4):
-            t0 = time.time()
-            cand = ivfpq_topk(
-                n, n_centroids=C, n_queries=NQ, nprobe=nprobe,
-                top_k=TOP_K * REFINE, pq_k=PQ_CODEBOOK,
-            )
-            # refine: exact cosine over the bounded candidate list
-            # (TOP_K*REFINE rows per query — constant per-query work)
-            rcos = dot(F.col("qe"), F.col("e")) / (
-                F.col("qn") * F.col("nrm")
-            )
-            rw = Window.partitionBy("query_id").orderBy(
-                F.desc("rcos"), F.asc("neighbor_id")
-            )
-            refined = (
-                cand.join(
-                    n.select(
-                        F.col("vec_id").alias("neighbor_id"), "e", "nrm"
-                    ),
-                    "neighbor_id",
-                )
-                .join(F.broadcast(q), "query_id")
-                .select(
-                    "query_id", "neighbor_id", "rnk",
-                    rcos.alias("rcos"),
-                )
-                .withColumn("rrnk", F.row_number().over(rw))
-                .collect()
-            )
-            wall = time.time() - t0
-            adc10, ref10 = {}, {}
-            for r in refined:
-                if r.rnk <= TOP_K:
-                    adc10.setdefault(r.query_id, set()).add(r.neighbor_id)
-                if r.rrnk <= TOP_K:
-                    ref10.setdefault(r.query_id, set()).add(r.neighbor_id)
-            r1_adc = sum(
-                1 for qid, nn in true_nn.items() if nn in adc10.get(qid, ())
-            ) / len(true_nn)
-            r1_ref = sum(
-                1 for qid, nn in true_nn.items() if nn in ref10.get(qid, ())
-            ) / len(true_nn)
-            ov = sum(
-                len(ref10.get(qid, set()) & s) / TOP_K
-                for qid, s in exact_top.items()
-            ) / len(exact_top)
-            recalls[nprobe] = r1_ref
-            print(
-                f"nprobe={nprobe}: adc_recall1@10={r1_adc:.3f} "
-                f"refined_recall1@10={r1_ref:.3f} "
-                f"overlap@10={ov:.3f} wall={wall:.1f}s"
-            )
-            assert r1_ref >= prev - 1e-9, \
+        for nprobe in sorted(res):
+            assert res[nprobe]["refined"] >= prev - 1e-9, \
                 "refined recall must not decrease with nprobe"
-            prev = r1_ref
-
-        ok = recalls[4] >= 0.9
+            prev = res[nprobe]["refined"]
+        ok = res[4]["refined"] >= 0.9
         print(f"ok={ok}")
         if not ok:
             sys.exit(1)

@@ -62,7 +62,14 @@ def test_spearman_registered_query_bounds(spark):
 
     out = q_spearman_corr(spark, SF_DIR).collect()
     assert len(out) == 3  # A/N/R return flags
-    for r in out:
+    # rho is NULL for a degenerate (constant-x or constant-y) group —
+    # assert that case explicitly instead of letting the comparison
+    # raise TypeError (ADVICE r10), mirroring the hypothesis test's
+    # degenerate-group handling; and require at least one real rho so
+    # an all-NULL regression can't pass vacuously.
+    non_null = [r for r in out if r.rho is not None]
+    assert non_null, "every return-flag group degenerate — unexpected"
+    for r in non_null:
         assert -1.0 <= r.rho <= 1.0
     # group sizes cover the whole table exactly once
     from matrixinversion_spark.session import read_table
@@ -232,5 +239,13 @@ def test_dsir_weight_sign_on_registry_data(spark):
     out = cur.p_dsir_select(spark, SF_DIR).collect()
     assert len(out) == cur.DSIR_TOP_K
     n_en = sum(1 for r in out if r.lang == "en")
-    # en base rate in TESTDATA is ~44%; selection must beat it
-    assert n_en > 0.44 * len(out)
+    # compute the en base rate from the table at test time instead of
+    # hardcoding the current fixture's ~0.44 (ADVICE r10): a fixture
+    # regeneration shifts the rate without a real operator regression
+    from matrixinversion_spark.session import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    base_rate = (
+        docs.filter(docs.lang == "en").count() / docs.count()
+    )
+    assert n_en > base_rate * len(out)

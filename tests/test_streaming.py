@@ -706,10 +706,12 @@ def test_heavy_hitters_stream_planted_windows(spark, tmp_path):
     """Planted per-window floods: hour 1 is flooded by 'spam'
     (50% share) over a quiet tail, hour 2 by 'bot' (40%); each
     window's alert list must contain exactly its own flood token
-    (tail tokens hold <= 4% each, far under phi=0.2). The test
-    vocabulary fits the sketch, so the estimated counts are exact
-    here; at real cardinality they are upper estimates
-    (heavy_hitters_stream docstring)."""
+    (tail tokens hold <= 4% each, far under the slacked threshold
+    phi − 1/(2k) ≈ 0.192). The test vocabulary fits the sketch, so
+    the estimated counts are exact here; at real cardinality they
+    can deviate by up to n/(2k) either way, which is exactly the
+    slack the alert filter absorbs (heavy_hitters_stream
+    docstring)."""
     import datetime as dt
 
     h1 = dt.datetime(2024, 1, 1, 10, 0, 0)
