@@ -78,6 +78,18 @@ def test_never_checked_does_not_hide_failures(monkeypatch):
     assert got == ["broken", "fresh"]
 
 
+def test_ordering_is_a_permutation_of_the_registry():
+    """Reordering must never drop or duplicate a name — the driver
+    iterates queries() as THE registry, so a lost key would silently
+    unregister an operator."""
+    e = _entry()
+    from matrixinversion_spark.registry import QUERIES
+
+    ordered = list(e.queries())
+    assert sorted(ordered) == sorted(QUERIES)
+    assert len(ordered) == len(set(ordered))
+
+
 def test_live_ordering_head_is_stalest_arc():
     """Against the real CORRECTNESS_r*.json history: the first 50
     names of queries() must all be at least as stale as any name
