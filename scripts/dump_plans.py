@@ -453,9 +453,13 @@ NOTES: dict[str, str] = {
     "q_link_prediction": (
         "Adamic-Adar link prediction: the symmetrized edge list "
         "self-joins on the middle vertex (both sides hash to the "
-        "same key — one exchange pair), degrees ride a broadcast "
-        "node-cardinality frame, and existing edges leave via a "
-        "broadcast anti-join; the edge list is pinned through the "
+        "same key — one exchange pair), the degree attach carries "
+        "NO forced broadcast (ADVICE r10: degrees are "
+        "node-cardinality — billions of nodes would blow the 8 GB "
+        "broadcast limit; AQE broadcasts when small, and the "
+        "shuffle fallback keys on the same column as the wedge "
+        "join, so its exchange is reused), existing edges leave "
+        "via an anti-join; the edge list is pinned through the "
         "stats barrier so the caller's edge pipeline derives once, "
         "not once per reference (13 -> 6 exchanges). The 100 TB "
         "hazard is hub fan-out "
