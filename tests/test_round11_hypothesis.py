@@ -222,3 +222,115 @@ def test_connected_components_matches_union_find(
         for x in grp
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# PPJoin vs brute-force all-pairs Jaccard
+# ---------------------------------------------------------------------------
+
+
+@SPARK_SETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_docs=st.integers(min_value=2, max_value=30),
+    vocab=st.integers(min_value=3, max_value=25),
+    tau=st.sampled_from([0.5, 0.7, 0.8, 0.9]),
+)
+def test_ppjoin_matches_bruteforce_jaccard(
+    spark, seed, n_docs, vocab, tau
+):
+    """The prefix-filtered exact set-similarity join must emit
+    EXACTLY the brute-force pairs with J >= tau — the prefix-filter
+    theorem plus the two in-join prunes are lossless, so any missing
+    pair is a real bug (an over-pruned boundary case), and any extra
+    pair a verification bug. Random small-vocab corpora maximize
+    boundary-exact Jaccards (e.g. 2/3, 3/4) where float pruning
+    slack matters."""
+    from matrixinversion_spark.pipeline.dedup import ppjoin_pairs
+
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n_docs):
+        k = int(rng.integers(1, min(vocab, 8) + 1))
+        toks = sorted(
+            rng.choice(vocab, size=k, replace=False).tolist()
+        )
+        docs.append((i, " ".join(f"w{t}" for t in toks)))
+    sets = {i: set(text.split()) for i, text in docs}
+    expect = {}
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            j = inter / uni
+            if j >= tau:
+                expect[(a, b)] = round(j, 6)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ppjoin_pairs(df, tau=tau).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert vs a sequential dict replay (both strategies)
+# ---------------------------------------------------------------------------
+
+
+@SPARK_SETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_target=st.integers(min_value=0, max_value=40),
+    n_source=st.integers(min_value=0, max_value=20),
+    strategy=st.sampled_from(["full_outer", "broadcast"]),
+)
+def test_merge_upsert_matches_dict_replay(
+    spark, seed, n_target, n_source, strategy
+):
+    """MERGE (update / insert / delete-when / keep) equals a plain
+    Python dict replay, for BOTH physical strategies — the
+    broadcast plan's three-join decomposition must be semantically
+    indistinguishable from the full-outer plan."""
+    from matrixinversion_spark.relational.merge import merge_upsert
+
+    rng = np.random.default_rng(seed)
+    tgt_rows = [
+        (int(k), int(v))
+        for k, v in zip(
+            rng.choice(60, size=n_target, replace=False),
+            rng.integers(-100, 100, n_target),
+        )
+    ]
+    src_rows = [
+        (int(k), int(v))
+        for k, v in zip(
+            rng.choice(60, size=n_source, replace=False),
+            rng.integers(-100, 100, n_source),
+        )
+    ]
+    target = spark.createDataFrame(tgt_rows, "k long, v long")
+    source = spark.createDataFrame(src_rows, "k long, v long")
+    out = merge_upsert(
+        target,
+        source,
+        on="k",
+        update_set={"v": F.col("t.v") + F.col("s.v")},
+        insert_values={"v": F.col("s.v")},
+        delete_when=F.col("s.v") < -50,
+        strategy=strategy,
+    )
+    got = {r.k: (r.v, r.action) for r in out.collect()}
+
+    state = dict(tgt_rows)
+    expect = {k: (v, "keep") for k, v in state.items()}
+    for k, v in src_rows:
+        if k in state:
+            if v < -50:
+                expect.pop(k)
+            else:
+                expect[k] = (state[k] + v, "update")
+        else:
+            expect[k] = (v, "insert")
+    assert got == expect
