@@ -96,8 +96,8 @@ def _machine_index() -> dict:
         )
     except Exception:
         idx["dgemm_2048_gflops"] = None
+    d = tempfile.mkdtemp(prefix="bench_io_")
     try:
-        d = tempfile.mkdtemp(prefix="bench_io_")
         t0 = time.time()
         subprocess.run(
             ["dd", "if=/dev/zero", f"of={d}/probe", "oflag=direct",
@@ -105,9 +105,10 @@ def _machine_index() -> dict:
             check=True, capture_output=True,
         )
         idx["direct_write_mbps"] = round(256 / (time.time() - t0), 0)
-        shutil.rmtree(d, ignore_errors=True)
-    except Exception:
+    except Exception:  # O_DIRECT unsupported (tmpfs), dd missing, …
         idx["direct_write_mbps"] = None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return idx
 
 

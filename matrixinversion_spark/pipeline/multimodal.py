@@ -42,7 +42,14 @@ DECODE_SCHEMA = (
 )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _pil_available() -> bool:
+    # cached: decode_image_real sits on the per-payload hot path when
+    # wired into make_decode_batches, and a find_spec path scan per
+    # image would be pure per-row overhead
     import importlib.util
 
     return importlib.util.find_spec("PIL") is not None

@@ -90,14 +90,27 @@ def test_ordering_is_a_permutation_of_the_registry():
     assert len(ordered) == len(set(ordered))
 
 
-def test_live_ordering_head_is_stalest_arc():
-    """Against the real CORRECTNESS_r*.json history: the first 50
-    names of queries() must all be at least as stale as any name
-    outside the head (the drain property the judge asked for)."""
+def test_live_ordering_rest_is_sorted_by_staleness():
+    """Against the real CORRECTNESS_r*.json history: after the
+    promoted prefix (failed names — which legitimately carry the
+    NEWEST round stamp — then never-checked names), the remaining
+    order must be non-decreasing in last-checked round. This is the
+    drain property itself, stated so it stays true even in a round
+    where a failure is promoted to the head."""
     e = _entry()
     names = list(e.queries())
     lc = e._LAST_CHECKED
-    assert len(names) >= 50
-    head_max = max(lc.get(n, 0) for n in names[:50])
-    tail_min = min(lc.get(n, 0) for n in names[50:])
-    assert head_max <= tail_min
+    promoted = set(e._FAILED_LAST_ROUND) | {
+        n for n in names if n not in lc
+    }
+    rest = [lc[n] for n in names if n not in promoted]
+    assert rest, "registry unexpectedly empty of checked names"
+    assert all(a <= b for a, b in zip(rest, rest[1:])), (
+        "non-promoted names are not ordered stalest-first"
+    )
+    # and promotions always precede the rest
+    tail_names = [n for n in names if n not in promoted]
+    first_rest = names.index(tail_names[0])
+    assert all(
+        names.index(p) < first_rest for p in promoted
+    ), "a promoted name appears after a non-promoted one"

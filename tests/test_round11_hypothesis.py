@@ -68,14 +68,15 @@ def test_asof_join_matches_pandas_merge_asof(
             {
                 "k": rng.integers(0, n_keys, n_right).astype(np.int64),
                 "ts": rng.integers(0, 40, n_right).astype(np.int64),
-                "payload": rng.integers(0, 1000, n_right).astype(
-                    np.int64
-                ),
             }
         )
         .drop_duplicates(["k", "ts"])
         .reset_index(drop=True)
     )
+    # payload globally unique so the expected matched-ts lookup below
+    # (by payload) is unambiguous — a random payload could collide
+    # within a key and flag a CORRECT asof result as wrong
+    right_pd["payload"] = np.arange(len(right_pd), dtype=np.int64) + 100
 
     left = spark.createDataFrame(left_pd)
     # explicit schema: an empty right frame (a legal as-of input —
@@ -105,11 +106,9 @@ def test_asof_join_matches_pandas_merge_asof(
             assert g_payload is None and g_ts is None
         else:
             assert g_payload == int(row.payload)
-            # matched right ts: reconstruct from the reference frame
-            m = right_pd[
-                (right_pd.k == row.k)
-                & (right_pd.payload == int(row.payload))
-            ]
+            # matched right ts: payloads are globally unique, so this
+            # reconstruction is exact
+            m = right_pd[right_pd.payload == int(row.payload)]
             assert g_ts == int(m.ts.iloc[0])
 
 
