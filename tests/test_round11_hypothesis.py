@@ -333,3 +333,52 @@ def test_merge_upsert_matches_dict_replay(
         else:
             expect[k] = (v, "insert")
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# grid_distance_join vs brute-force pair scan
+# ---------------------------------------------------------------------------
+
+
+@SPARK_SETTINGS
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_pts=st.integers(min_value=2, max_value=50),
+    r=st.integers(min_value=1, max_value=7),
+    lo=st.integers(min_value=-30, max_value=0),
+)
+def test_grid_distance_join_matches_bruteforce(
+    spark, seed, n_pts, r, lo
+):
+    """The 3x3 grid-replication join must find EXACTLY the pairs
+    with squared distance <= r² — once each. Random points over a
+    range including NEGATIVE coordinates (the floor-division cell
+    math's hot spot) and a small radius so boundary-exact distances
+    (d² == r²) occur often."""
+    from matrixinversion_spark.relational.spatial import (
+        grid_distance_join,
+    )
+
+    rng = np.random.default_rng(seed)
+    pts = [
+        (i, int(x), int(y))
+        for i, (x, y) in enumerate(
+            zip(
+                rng.integers(lo, lo + 25, n_pts),
+                rng.integers(lo, lo + 25, n_pts),
+            )
+        )
+    ]
+    expect = {}
+    for a in range(n_pts):
+        for b in range(a + 1, n_pts):
+            d2 = (pts[a][1] - pts[b][1]) ** 2 + (
+                pts[a][2] - pts[b][2]
+            ) ** 2
+            if d2 <= r * r:
+                expect[(a, b)] = d2
+    df = spark.createDataFrame(pts, "id long, xi long, yi long")
+    rows = grid_distance_join(df, r).collect()
+    got = {(r_.id_a, r_.id_b): r_.dist_sq for r_ in rows}
+    assert len(rows) == len(got)  # each unordered pair exactly once
+    assert got == expect
