@@ -8,8 +8,13 @@ the real thing a multimodal pipeline needs at 100 TB:
   alongside (never decoded during relational ops — predicate pushdown
   and column pruning keep payload bytes out of scans that don't need
   them);
-- decode / feature-extract as Arrow-batched ``mapInPandas`` (bytes in,
-  struct rows out, schema declared up front);
+- decode / feature-extract / resize / frame-sample as Arrow-batched
+  ``mapInPandas`` (bytes in, struct rows out, schema declared up
+  front): ``p_multimodal_decode`` (row per doc),
+  ``p_multimodal_resize`` (real nearest-neighbor index math over the
+  materialized source array), ``p_multimodal_frame_sample`` (uniform
+  index decimation, one row PER SAMPLED FRAME — the explode-shaped
+  UDF contract);
 - the full *pixel* codec is gated: ``decode_image_real`` decodes via
   Pillow when ``find_spec("PIL")`` resolves and raises
   ``NotImplementedError`` otherwise (no PIL/ffmpeg in this
@@ -334,4 +339,181 @@ def p_multimodal_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
     return payloads.mapInPandas(
         decode, "doc_id bigint, fmt string, width int, height int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample: the remaining multimodal plumbing verbs
+# ---------------------------------------------------------------------------
+#
+# Like p_multimodal_decode, the PIXEL SOURCE is deterministic (the
+# container has no codec, so pixels derive from payload byte length:
+# pix(r, c) = (nb*31 + 7r + 13c) mod 256 on the fake decoder's W x H
+# canvas, and video "frames" are equal slices of a derived byte
+# stream) — but the TRANSFORM is the real thing: resize materializes
+# the full source array and nearest-neighbor samples it with numpy
+# fancy indexing (exactly what a real decoded frame flows through),
+# and frame sampling does uniform index decimation + slice reduction.
+# The oracle recomputes both from doc metadata alone, so any error in
+# the index math (floor semantics, off-by-one at the last row/column,
+# empty-frame handling) hash-fails.
+
+RESIZE_W = 32
+RESIZE_H = 32
+FRAME_SAMPLE_K = 4
+
+
+def resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: nearest-neighbor resize to RESIZE_W x
+    RESIZE_H. The mean is an EXACT double (sum / 2**10), so no
+    rounding is needed for cross-engine parity."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            nb = len(payload)
+            w = nb % 640 + 1
+            h = (nb // 640) % 480 + 1
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            img = (nb * 31 + 7 * r + 13 * c) % 256
+            ri = (np.arange(RESIZE_H, dtype=np.int64) * h) // RESIZE_H
+            ci = (np.arange(RESIZE_W, dtype=np.int64) * w) // RESIZE_W
+            out = img[np.ix_(ri, ci)]          # the actual resize
+            s = int(out.sum())
+            rows.append(
+                (doc_id, RESIZE_W, RESIZE_H, s,
+                 s / float(RESIZE_W * RESIZE_H))
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "out_w", "out_h", "sum_px", "mean_px"],
+        )
+
+
+_RESIZE_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS nb,
+           octet_length(encode(text)) % 640 + 1 AS w,
+           (octet_length(encode(text)) // 640) % 480 + 1 AS h
+    FROM documents),
+px AS (
+    SELECT d.doc_id,
+           (d.nb*31 + 7*((i.i*d.h)//{RESIZE_H})
+                    + 13*((j.j*d.w)//{RESIZE_W})) % 256 AS p
+    FROM d,
+         generate_series(0, {RESIZE_H - 1}) AS i(i),
+         generate_series(0, {RESIZE_W - 1}) AS j(j))
+SELECT doc_id,
+       CAST({RESIZE_W} AS INTEGER) AS out_w,
+       CAST({RESIZE_H} AS INTEGER) AS out_h,
+       CAST(sum(p) AS BIGINT) AS sum_px,
+       sum(p) / {float(RESIZE_W * RESIZE_H)} AS mean_px
+FROM px GROUP BY doc_id
+"""
+
+
+@query("p_multimodal_resize", oracle=_RESIZE_SQL)
+def p_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: binary in, fixed-size thumbnail stats
+    out, via Arrow-batched mapInPandas + numpy nearest-neighbor
+    fancy indexing over the materialized source array — the batch
+    shape, schema, and index math of a production thumbnailer, with
+    the deterministic derived-pixel source standing in for the
+    decoder (same contract as ``p_multimodal_decode``). The oracle
+    replays the sampled-pixel arithmetic from doc metadata, so floor
+    semantics and edge-row selection are hash-checked."""
+    d = with_payload(read_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        resize_batches,
+        schema=(
+            "doc_id bigint, out_w int, out_h int, "
+            "sum_px bigint, mean_px double"
+        ),
+    )
+
+
+def frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: uniform frame decimation over a byte
+    stream split into the fake decoder's n_frames equal slices —
+    one OUTPUT ROW PER SAMPLED FRAME (the explode-shaped UDF a video
+    pipeline needs, vs the row-per-doc decode/resize shape)."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            nb = len(payload)
+            nf = nb % 7 + 1
+            fs = nb // nf
+            stream = (
+                nb * 17 + np.arange(nb, dtype=np.int64) * 11
+            ) % 256
+            for t in range(FRAME_SAMPLE_K):
+                f = (t * nf) // FRAME_SAMPLE_K
+                a = f * fs
+                seg = stream[a:a + fs]
+                rows.append((doc_id, t, f, a, int(seg.sum())))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "t", "frame_idx", "byte_offset", "sig"],
+        )
+
+
+# DuckDB's generate_series rejects lateral column bounds, so the
+# per-frame byte sum uses the modular period instead: 11 is
+# invertible mod 256, so ANY 256 consecutive stream bytes
+# (nb*17 + 11b) mod 256 hit each residue exactly once and sum to
+# 255*256/2 = 32640; only the fs % 256 remainder needs an explicit
+# (constant-bound) series.
+_FRAME_SAMPLE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, octet_length(encode(text)) AS nb
+    FROM documents),
+f AS (
+    SELECT d.doc_id, t.t, d.nb,
+           (t.t * (d.nb % 7 + 1)) // {FRAME_SAMPLE_K} AS frame_idx,
+           d.nb // (d.nb % 7 + 1) AS fs
+    FROM d, generate_series(0, {FRAME_SAMPLE_K - 1}) AS t(t))
+SELECT f.doc_id,
+       CAST(f.t AS BIGINT) AS t,
+       CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       CAST(f.frame_idx * f.fs AS BIGINT) AS byte_offset,
+       CAST(
+         (f.fs // 256) * 32640
+         + COALESCE(sum(CASE WHEN g.i < f.fs % 256 THEN
+             (f.nb*17
+              + (f.frame_idx*f.fs + (f.fs//256)*256 + g.i)*11) % 256
+           END), 0)
+         AS BIGINT) AS sig
+FROM f CROSS JOIN generate_series(0, 255) AS g(i)
+GROUP BY f.doc_id, f.t, f.frame_idx, f.fs, f.nb
+"""
+
+
+@query("p_multimodal_frame_sample", oracle=_FRAME_SAMPLE_SQL)
+def p_multimodal_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per uniformly
+    sampled frame (index decimation ``(t*n_frames)//K`` — the
+    standard ffmpeg-style stride), each carrying its byte offset and
+    a slice-reduction signature. Exercises the explode-shaped
+    mapInPandas contract (rows out > rows in) that a real
+    frame-extractor UDF has; empty frames (payload shorter than
+    n_frames) reduce to sig 0 on both engines rather than dropping
+    the row."""
+    d = with_payload(read_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        frame_sample_batches,
+        schema=(
+            "doc_id bigint, t bigint, frame_idx bigint, "
+            "byte_offset bigint, sig bigint"
+        ),
     )

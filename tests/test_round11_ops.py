@@ -249,6 +249,78 @@ def test_decode_pipeline_real_with_pil(spark):
         assert (gw, gh, nf) == (w, h, 1)
 
 
+def test_resize_nearest_neighbor_hand_computed(spark):
+    """3-byte payload: the fake canvas is 4x1 (w=nb%640+1=4, h=1);
+    every one of the 32x32 thumbnail pixels maps back to row 0 and
+    column (j*4)//32 — hand-compute the expected sum from the
+    derived-pixel formula pix = (nb*31 + 7r + 13c) % 256."""
+    from matrixinversion_spark.pipeline.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        resize_batches,
+    )
+
+    nb = 3
+    df = spark.createDataFrame(
+        [(7, bytearray(b"abc"))], "doc_id long, payload binary"
+    )
+    [row] = df.mapInPandas(
+        resize_batches,
+        schema=(
+            "doc_id bigint, out_w int, out_h int, "
+            "sum_px bigint, mean_px double"
+        ),
+    ).collect()
+    expect = sum(
+        (nb * 31 + 7 * 0 + 13 * ((j * 4) // RESIZE_W)) % 256
+        for _i in range(RESIZE_H)
+        for j in range(RESIZE_W)
+    )
+    assert (row.out_w, row.out_h) == (RESIZE_W, RESIZE_H)
+    assert row.sum_px == expect
+    assert row.mean_px == expect / 1024.0  # exact: /2**10
+
+
+def test_frame_sample_shapes_and_empty_frames(spark):
+    """One row per (doc, t) — the explode contract — including
+    byte-less frames: a 2-byte payload has n_frames=3 > n_bytes, so
+    fs=0 and every sampled frame reduces to sig 0 instead of
+    dropping; a longer payload's signatures match a direct python
+    replay of the derived stream."""
+    from matrixinversion_spark.pipeline.multimodal import (
+        FRAME_SAMPLE_K,
+        frame_sample_batches,
+    )
+
+    payloads = {1: b"xy", 2: bytes(range(200)) * 3}  # nb=2, nb=600
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    rows = df.mapInPandas(
+        frame_sample_batches,
+        schema=(
+            "doc_id bigint, t bigint, frame_idx bigint, "
+            "byte_offset bigint, sig bigint"
+        ),
+    ).collect()
+    assert len(rows) == FRAME_SAMPLE_K * len(payloads)
+    got = {(r.doc_id, r.t): r for r in rows}
+    for doc_id, p in payloads.items():
+        nb = len(p)
+        nf = nb % 7 + 1
+        fs = nb // nf
+        stream = [(nb * 17 + b * 11) % 256 for b in range(nb)]
+        for t in range(FRAME_SAMPLE_K):
+            f = (t * nf) // FRAME_SAMPLE_K
+            r = got[(doc_id, t)]
+            assert r.frame_idx == f
+            assert r.byte_offset == f * fs
+            assert r.sig == sum(stream[f * fs:(f + 1) * fs])
+    # the 2-byte doc: nf=3, fs=0 -> all sigs 0
+    assert all(got[(1, t)].sig == 0 for t in range(FRAME_SAMPLE_K))
+
+
 def test_decode_image_real_declares_env_gap():
     from matrixinversion_spark.pipeline.multimodal import (
         _pil_available,
