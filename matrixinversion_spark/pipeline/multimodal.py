@@ -517,3 +517,76 @@ def p_multimodal_frame_sample(
             "byte_offset bigint, sig bigint"
         ),
     )
+
+
+FEATURE_PREFIX_BYTES = 256
+FEATURE_BINS = 16
+
+
+def feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: 16-bin byte histogram over the payload's
+    first ``FEATURE_PREFIX_BYTES`` REAL bytes (vectorized numpy
+    bincount per payload). Emits only non-empty bins, one row each —
+    sparse-feature shape."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            prefix = np.frombuffer(
+                bytes(payload)[:FEATURE_PREFIX_BYTES], dtype=np.uint8
+            )
+            if len(prefix) == 0:
+                continue
+            counts = np.bincount(
+                prefix >> 4, minlength=FEATURE_BINS
+            )
+            for b in np.nonzero(counts)[0]:
+                rows.append((doc_id, int(b), int(counts[b])))
+        yield pd.DataFrame(rows, columns=["doc_id", "bin", "cnt"])
+
+
+# byte i of the blob is hex digits [2i+1, 2i+2] of hex(blob) — this
+# oracle reads the SAME real payload bytes the Spark side does (the
+# one multimodal query whose verification is content-addressed, not
+# metadata-derived); the prefix bound keeps the constant-range
+# generate_series honest (DuckDB rejects column bounds).
+_FEATURES_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           hex(encode(text)) AS hx,
+           least(octet_length(encode(text)),
+                 {FEATURE_PREFIX_BYTES}) AS np
+    FROM documents),
+b AS (
+    SELECT d.doc_id,
+           CAST(('0x' || substring(d.hx, 2*g.i + 1, 2)) AS INTEGER)
+               AS byte
+    FROM d, generate_series(0, {FEATURE_PREFIX_BYTES - 1}) AS g(i)
+    WHERE g.i < d.np)
+SELECT doc_id,
+       CAST(byte // {FEATURE_BINS} AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1, 2
+"""
+
+
+@query("p_multimodal_features", oracle=_FEATURES_SQL)
+def p_multimodal_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-based feature extraction over binary payloads: a
+    16-bin histogram of the first 256 REAL payload bytes per
+    document (numpy bincount inside Arrow-batched mapInPandas,
+    sparse rows out). Unlike the metadata-derived decode/resize
+    twins, the oracle here re-reads the SAME bytes through DuckDB
+    hex extraction — any Arrow byte-mangling (encoding, truncation,
+    signedness) hash-fails. The bounded prefix is the production
+    shape too: header features don't require scanning a 4 GB video
+    payload."""
+    d = with_payload(read_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        feature_batches, schema="doc_id bigint, bin bigint, cnt bigint"
+    )

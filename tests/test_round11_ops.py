@@ -321,6 +321,40 @@ def test_frame_sample_shapes_and_empty_frames(spark):
     assert all(got[(1, t)].sig == 0 for t in range(FRAME_SAMPLE_K))
 
 
+def test_feature_histogram_planted_bytes(spark):
+    """Content-addressed: two payloads with the same LENGTH but
+    different bytes must produce different histograms (the property
+    the metadata-derived ops can't have), empty payloads emit no
+    rows, and bins beyond byte 255 of a long payload are ignored."""
+    from matrixinversion_spark.pipeline.multimodal import (
+        FEATURE_PREFIX_BYTES,
+        feature_batches,
+    )
+
+    p_low = bytes([0x00] * 4 + [0x1F] * 4)        # bins 0 (x4), 1 (x4)
+    p_high = bytes([0xF0] * 8)                     # bin 15 (x8)
+    p_long = bytes([0x20]) * (FEATURE_PREFIX_BYTES + 50)  # bin 2 x256
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(p_low)),
+            (2, bytearray(p_high)),
+            (3, bytearray(b"")),
+            (4, bytearray(p_long)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = df.mapInPandas(
+        feature_batches, schema="doc_id bigint, bin bigint, cnt bigint"
+    ).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.doc_id, {})[r.bin] = r.cnt
+    assert got[1] == {0: 4, 1: 4}
+    assert got[2] == {15: 8}
+    assert 3 not in got                       # empty payload: no rows
+    assert got[4] == {2: FEATURE_PREFIX_BYTES}  # prefix-bounded
+
+
 def test_decode_image_real_declares_env_gap():
     from matrixinversion_spark.pipeline.multimodal import (
         _pil_available,
