@@ -587,6 +587,16 @@ def p_multimodal_features(
     shape too: header features don't require scanning a 4 GB video
     payload."""
     d = with_payload(read_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", "payload").mapInPandas(
+    # slice the prefix JVM-SIDE: Arrow then ships <=256 bytes per
+    # doc to the Python workers instead of the whole payload — at
+    # 100 TB this is the difference between a metadata-sized and a
+    # corpus-sized executor->worker transfer (the numpy [:256] slice
+    # stays as a defensive no-op)
+    return d.select(
+        "doc_id",
+        F.col("payload")
+        .substr(F.lit(1), F.lit(FEATURE_PREFIX_BYTES))
+        .alias("payload"),
+    ).mapInPandas(
         feature_batches, schema="doc_id bigint, bin bigint, cnt bigint"
     )
