@@ -27,7 +27,11 @@ the real thing a multimodal pipeline needs at 100 TB:
   GIF logical-screen, and JPEG SOFn dimensions straight from payload
   bytes (public file formats, pure Python — no image library), and
   ``p_multimodal_header_decode`` runs it over synthesized valid
-  headers with an independent SQL oracle.
+  headers with an independent SQL oracle; ``parse_wav_header`` is the
+  audio twin (RIFF/WAVE chunk walk → ``p_multimodal_audio_meta``);
+- ``p_multimodal_features`` is content-addressed: a byte histogram
+  over a JVM-side-sliced 256-byte prefix, oracle-verified against
+  DuckDB reading the SAME bytes via hex extraction.
 """
 
 from __future__ import annotations
@@ -599,4 +603,146 @@ def p_multimodal_features(
         .alias("payload"),
     ).mapInPandas(
         feature_batches, schema="doc_id bigint, bin bigint, cnt bigint"
+    )
+
+
+def parse_wav_header(data: bytes) -> tuple[int, int, int, int]:
+    """Extract (channels, sample_rate, bits_per_sample, data_bytes)
+    from real WAV bytes — the audio twin of ``parse_image_header``
+    (RIFF/WAVE container, public format, pure Python):
+
+    - bytes 0-3 "RIFF", 8-11 "WAVE" (RIFF spec);
+    - chunks follow as [4-byte id][4-byte LE size][payload]; the
+      "fmt " chunk carries channels (LE uint16 at +2), sample rate
+      (LE uint32 at +4), bits per sample (LE uint16 at +14)
+      (WAVEFORMAT, MS RIFF spec / RFC 2361);
+    - the "data" chunk's size field is the PCM byte count.
+
+    Raises ``ValueError`` on truncated or non-WAV payloads.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt = None
+    data_bytes = None
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        size = int.from_bytes(data[i + 4:i + 8], "little")
+        body = data[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
+            fmt = (
+                int.from_bytes(body[2:4], "little"),
+                int.from_bytes(body[4:8], "little"),
+                int.from_bytes(body[14:16], "little"),
+            )
+        elif cid == b"data":
+            data_bytes = size
+        # chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + size + (size & 1)
+    if fmt is None or data_bytes is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    return (*fmt, data_bytes)
+
+
+def synth_wav_header(
+    channels: int, sample_rate: int, bits: int, data_bytes: int
+) -> bytes:
+    """Minimal VALID WAV header (test/oracle synthesis — round-trips
+    through :func:`parse_wav_header`)."""
+    block = channels * bits // 8
+    fmt = (
+        (1).to_bytes(2, "little")              # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + data_bytes.to_bytes(4, "little")
+    )
+    return b"RIFF" + (len(body) + data_bytes).to_bytes(4, "little") + body
+
+
+_AUDIO_META_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+            ELSE 44100 END AS BIGINT) AS sample_rate,
+       CAST(CASE doc_id % 2 WHEN 0 THEN 16 ELSE 8 END AS BIGINT)
+           AS bits,
+       CAST((doc_id % 1000 + 1) * 64 AS BIGINT) AS data_bytes,
+       round((doc_id % 1000 + 1) * 64
+             / ((doc_id % 2 + 1)
+                * (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   ELSE 44100 END)
+                * (CASE doc_id % 2 WHEN 0 THEN 16 ELSE 8 END) / 8.0),
+             6) AS duration_s
+FROM documents
+"""
+
+
+@query("p_multimodal_audio_meta", oracle=_AUDIO_META_SQL)
+def p_multimodal_audio_meta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL WAV header decode over binary payloads — the audio
+    member of the multimodal family. Stage 1 synthesizes a valid
+    RIFF/WAVE header per document (parameters derived from doc_id);
+    stage 2 is the production path: Arrow-batched mapInPandas
+    calling ``parse_wav_header`` on raw bytes and deriving the PCM
+    duration. The oracle recomputes everything from doc_id alone, so
+    little-endian field offsets, chunk walking (incl. the odd-size
+    pad byte), and the duration arithmetic are hash-checked."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rates = (8000, 16000, 44100)
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        synth_wav_header(
+                            int(i) % 2 + 1,
+                            rates[int(i) % 3],
+                            16 if int(i) % 2 == 0 else 8,
+                            (int(i) % 1000 + 1) * 64,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [parse_wav_header(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "channels": [m[0] for m in meta],
+                    "sample_rate": [m[1] for m in meta],
+                    "bits": [m[2] for m in meta],
+                    "data_bytes": [m[3] for m in meta],
+                    "duration_s": [
+                        round(
+                            m[3] / (m[0] * m[1] * m[2] / 8.0), 6
+                        )
+                        for m in meta
+                    ],
+                }
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        (
+            "doc_id bigint, channels bigint, sample_rate bigint, "
+            "bits bigint, data_bytes bigint, duration_s double"
+        ),
     )

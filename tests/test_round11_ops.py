@@ -355,6 +355,43 @@ def test_feature_histogram_planted_bytes(spark):
     assert got[4] == {2: FEATURE_PREFIX_BYTES}  # prefix-bounded
 
 
+def test_wav_header_roundtrip_and_chunk_walking():
+    """parse_wav_header reads real RIFF bytes: synth round-trips,
+    an odd-sized extra chunk before fmt exercises the word-alignment
+    pad byte, and non-WAV / truncated payloads raise."""
+    from matrixinversion_spark.pipeline.multimodal import (
+        parse_wav_header,
+        synth_wav_header,
+    )
+
+    for ch, sr, bits, nb in [
+        (1, 8000, 8, 64), (2, 44100, 16, 12800), (2, 16000, 8, 1)
+    ]:
+        assert parse_wav_header(synth_wav_header(ch, sr, bits, nb)) \
+            == (ch, sr, bits, nb)
+
+    # hand-build: RIFF + odd-size junk chunk (pad byte!) + fmt + data
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (22050).to_bytes(4, "little")
+        + (22050 * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # pad
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + (999).to_bytes(4, "little")
+    )
+    raw = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert parse_wav_header(raw) == (2, 22050, 16, 999)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav_header(b"OggS\x00\x00")
+    with pytest.raises(ValueError, match="missing"):
+        parse_wav_header(b"RIFF\x04\x00\x00\x00WAVE")
+
+
 def test_decode_image_real_declares_env_gap():
     from matrixinversion_spark.pipeline.multimodal import (
         _pil_available,
