@@ -96,8 +96,12 @@ def _machine_index() -> dict:
         )
     except Exception:
         idx["dgemm_2048_gflops"] = None
-    d = tempfile.mkdtemp(prefix="bench_io_")
+    idx["direct_write_mbps"] = None
+    d = None
     try:
+        # mkdtemp inside the guard: a full/read-only TMPDIR must
+        # degrade this optional probe to None, not kill the bench
+        d = tempfile.mkdtemp(prefix="bench_io_")
         t0 = time.time()
         subprocess.run(
             ["dd", "if=/dev/zero", f"of={d}/probe", "oflag=direct",
@@ -106,9 +110,10 @@ def _machine_index() -> dict:
         )
         idx["direct_write_mbps"] = round(256 / (time.time() - t0), 0)
     except Exception:  # O_DIRECT unsupported (tmpfs), dd missing, …
-        idx["direct_write_mbps"] = None
+        pass
     finally:
-        shutil.rmtree(d, ignore_errors=True)
+        if d is not None:
+            shutil.rmtree(d, ignore_errors=True)
     return idx
 
 

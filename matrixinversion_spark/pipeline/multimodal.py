@@ -36,6 +36,7 @@ the real thing a multimodal pipeline needs at 100 TB:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -49,9 +50,6 @@ from matrixinversion_spark.session import read_table
 DECODE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width int, height int, n_frames int"
 )
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=1)

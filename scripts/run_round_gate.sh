@@ -17,7 +17,7 @@ echo "=== 1/5 pytest (default tier)"
 python -m pytest tests/ -q -p no:cacheprovider
 echo "=== 2/5 pytest -m slow"
 sh scripts/run_slow_tier.sh
-echo "=== 3/5 driver-strict oracle gate (262 queries, ~8 min)"
+echo "=== 3/5 driver-strict oracle gate (all registered queries, ~8 min)"
 python scripts/check_correctness.py --driver /root/testdata/sf0.01
 echo "=== 4/5 streaming attestation (STREAMING.md)"
 python scripts/emit_streaming_report.py

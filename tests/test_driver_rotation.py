@@ -100,7 +100,10 @@ def test_live_ordering_rest_is_sorted_by_staleness():
     e = _entry()
     names = list(e.queries())
     lc = e._LAST_CHECKED
-    promoted = set(e._FAILED_LAST_ROUND) | {
+    # intersect with the live registry, mirroring _oldest_first's own
+    # filter — a failed name deregistered since the last report must
+    # not crash the index() loop below
+    promoted = (set(e._FAILED_LAST_ROUND) & set(names)) | {
         n for n in names if n not in lc
     }
     rest = [lc[n] for n in names if n not in promoted]
