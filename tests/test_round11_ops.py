@@ -355,6 +355,29 @@ def test_feature_histogram_planted_bytes(spark):
     assert got[4] == {2: FEATURE_PREFIX_BYTES}  # prefix-bounded
 
 
+def test_features_prefix_sliced_jvm_side(spark):
+    """Plan pin for the scale claim: the 256-byte prefix slice must
+    appear as a JVM-side Project (whole-stage codegen) FEEDING the
+    Python map — not inside it — so Arrow ships at most 256 bytes
+    per document. Removing the substr would silently reintroduce
+    corpus-sized executor->worker transfer."""
+    from matrixinversion_spark.pipeline.multimodal import (
+        p_multimodal_features,
+    )
+
+    df = p_multimodal_features(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "substr" in plan, (
+        "feature prefix slice no longer in the physical plan — "
+        "full payloads are crossing the Arrow boundary"
+    )
+    assert plan.index("substr") > plan.index("MapInPandas"), (
+        "substr is not upstream of the Python map (physical plans "
+        "print top-down, so the producing Project appears AFTER the "
+        "MapInPandas node that consumes it)"
+    )
+
+
 def test_wav_header_roundtrip_and_chunk_walking():
     """parse_wav_header reads real RIFF bytes: synth round-trips,
     an odd-sized extra chunk before fmt exercises the word-alignment
