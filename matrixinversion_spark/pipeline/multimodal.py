@@ -523,6 +523,12 @@ def p_multimodal_frame_sample(
 
 FEATURE_PREFIX_BYTES = 256
 FEATURE_BINS = 16
+# bin = byte // _BIN_WIDTH on BOTH engines (ADVICE r11: the old
+# Spark `>> 4` / SQL `// FEATURE_BINS` pair agreed only because
+# FEATURE_BINS happened to equal 256 // FEATURE_BINS; deriving both
+# sides from the same expression keeps them in lockstep if the bin
+# count changes)
+_BIN_WIDTH = 256 // FEATURE_BINS
 
 
 def feature_batches(
@@ -543,7 +549,7 @@ def feature_batches(
             if len(prefix) == 0:
                 continue
             counts = np.bincount(
-                prefix >> 4, minlength=FEATURE_BINS
+                prefix // _BIN_WIDTH, minlength=FEATURE_BINS
             )
             for b in np.nonzero(counts)[0]:
                 rows.append((doc_id, int(b), int(counts[b])))
@@ -569,7 +575,7 @@ b AS (
     FROM d, generate_series(0, {FEATURE_PREFIX_BYTES - 1}) AS g(i)
     WHERE g.i < d.np)
 SELECT doc_id,
-       CAST(byte // {FEATURE_BINS} AS BIGINT) AS bin,
+       CAST(byte // {_BIN_WIDTH} AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS cnt
 FROM b GROUP BY 1, 2
 """

@@ -91,7 +91,9 @@ def run_scenario(spark) -> dict:
 
             def sink(batch_df, batch_id):  # noqa: ANN001
                 batch_df.select(
-                    F.col("w.start").alias("ws"), "n"
+                    F.col("w.start").alias("ws"),
+                    "n",
+                    F.lit(batch_id).alias("batch_id"),
                 ).write.mode("append").parquet(out_dir)
 
             q = (
@@ -123,14 +125,24 @@ def run_scenario(spark) -> dict:
 
         # exactly-once verification: the UPDATE-mode sink appends one
         # row per changed window per batch, so the LAST append per
-        # window must equal the batch ground truth
+        # window must equal the batch ground truth. Last-write-wins by
+        # the recorded batch_id (ADVICE r11): batch ids increase
+        # across the checkpoint restart, so the row with the highest
+        # batch_id per window is the stream's final word for ANY
+        # aggregate — max(n) was valid only because a windowed count
+        # is monotone across batches.
         sunk = spark.read.parquet(out_dir)
-        # the later run's rows supersede: dedup by taking max n per
-        # window is NOT valid in general; replay order is — batch ids
-        # increase across restarts, and within this scenario each
-        # window's final count is the larger append
+        from pyspark.sql import Window as W
+
         final = (
-            sunk.groupBy("ws").agg(F.max("n").alias("n"))
+            sunk.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("ws").orderBy(F.desc("batch_id"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("ws", "n")
         )
         truth = (
             ev.groupBy(

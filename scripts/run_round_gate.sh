@@ -18,7 +18,9 @@ python -m pytest tests/ -q -p no:cacheprovider
 echo "=== 2/5 pytest -m slow"
 sh scripts/run_slow_tier.sh
 echo "=== 3/5 driver-strict oracle gate (all registered queries, ~8 min)"
-python scripts/check_correctness.py --driver /root/testdata/sf0.01
+# same SPARK_GRAFT_SF_DIR override emit_streaming_report.py honors —
+# a non-default fixture dir must not split the gate across datasets
+python scripts/check_correctness.py --driver "${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}"
 echo "=== 4/5 streaming attestation (STREAMING.md)"
 python scripts/emit_streaming_report.py
 echo "=== 5/5 bench"
