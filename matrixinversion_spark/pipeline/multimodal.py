@@ -15,14 +15,18 @@ the real thing a multimodal pipeline needs at 100 TB:
   materialized source array), ``p_multimodal_frame_sample`` (uniform
   index decimation, one row PER SAMPLED FRAME — the explode-shaped
   UDF contract);
-- the full *pixel* codec is gated: ``decode_image_real`` decodes via
-  Pillow when ``find_spec("PIL")`` resolves and raises
-  ``NotImplementedError`` otherwise (no PIL/ffmpeg in this
-  container); the registered pipeline runs a deterministic fake
-  decode with the same signature, so every piece of plumbing —
-  batch shapes, schema, partitioning — is exercised and
-  oracle-checked, and the decode tests automatically pick up the
-  real codec when the environment gains PIL;
+- the PNG *pixel* codec is REAL and dependency-free (round 12):
+  ``decode_png_pixels`` walks chunks with CRC32 verification,
+  inflates IDAT with stdlib zlib, and unfilters all five RFC 2083
+  scanline filters; ``p_multimodal_decode_png_real`` drives it
+  end-to-end over genuine encoded PNGs with an oracle that
+  recomputes the planted pixel sums. Non-PNG formats remain gated:
+  ``decode_image_real`` decodes them via Pillow when
+  ``find_spec("PIL")`` resolves and raises ``NotImplementedError``
+  otherwise (no PIL/ffmpeg in this container); the
+  ``p_multimodal_decode`` plumbing query runs a deterministic fake
+  decode with the same signature, so batch shapes, schema, and
+  partitioning are exercised either way;
 - the *header* decode is REAL: ``parse_image_header`` reads PNG IHDR,
   GIF logical-screen, and JPEG SOFn dimensions straight from payload
   bytes (public file formats, pure Python — no image library), and
@@ -65,20 +69,26 @@ def _pil_available() -> bool:
 def decode_image_real(payload: bytes) -> tuple[int, int, int]:
     """Real codec entry point — ``(width, height, n_frames)``.
 
-    Wired to Pillow behind ``find_spec("PIL")`` (VERDICT r10 #6):
-    when the deployment environment ships an image library this
-    decodes actual pixels with zero code changes, and the decode
-    tests pick it up automatically (they parametrize over fake+real
-    and skip real when PIL is absent). This container ships no
-    PIL/opencv/ffmpeg, so without it the function raises
-    ``NotImplementedError`` and the pipeline uses
+    PNG payloads decode for REAL with zero dependencies:
+    :func:`decode_png_pixels` (stdlib zlib inflate + RFC 2083
+    scanline unfilter, round 12) reconstructs the actual pixel
+    array. Other formats are wired to Pillow behind
+    ``find_spec("PIL")`` (VERDICT r10 #6): when the deployment
+    environment ships an image library they decode with zero code
+    changes, and the decode tests pick the codec up automatically.
+    This container ships no PIL/opencv/ffmpeg, so non-PNG payloads
+    raise ``NotImplementedError`` and the pipeline uses
     ``decode_image_fake`` (same signature, deterministic) — the
     Spark plumbing is fully testable either way.
     """
+    if payload[:8] == PNG_SIG:
+        px = decode_png_pixels(payload)
+        return px.shape[1], px.shape[0], 1
     if not _pil_available():
         raise NotImplementedError(
-            "image decode requires PIL/opencv — not available in this "
-            "environment; use decode_image_fake for plumbing tests"
+            "non-PNG image decode requires PIL/opencv — not available "
+            "in this environment; use decode_image_fake for plumbing "
+            "tests (PNG decodes for real via decode_png_pixels)"
         )
     import io
 
@@ -748,5 +758,286 @@ def p_multimodal_audio_meta(
         (
             "doc_id bigint, channels bigint, sample_rate bigint, "
             "bits bigint, data_bytes bigint, duration_s double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG pixel decode — pure stdlib (zlib inflate + scanline
+# unfilter, RFC 2083 §6). The engine's only remaining *declared*
+# decode stubs are JPEG entropy decode and video (those genuinely
+# need a codec library); PNG pixels are now decoded for real.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(pixels, filters=None) -> bytes:
+    """Encode a REAL PNG from an ``H x W`` (grayscale) or
+    ``H x W x 3`` (truecolor) uint8 array: correct IHDR, per-chunk
+    CRC32, and zlib-compressed IDAT whose scanlines are FILTERED
+    with the given per-row filter types (default ``r % 5``, so a
+    round-trip exercises all five RFC 2083 filters — None, Sub, Up,
+    Average, Paeth). Test/oracle synthesis for
+    :func:`decode_png_pixels`; every output is a valid PNG any
+    viewer opens."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    if px.ndim == 2:
+        px = px[:, :, None]
+        color_type = 0
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type = 2
+    else:
+        raise ValueError(f"expected HxW or HxWx3 pixels, got {px.shape}")
+    h, w, ch = px.shape
+    if filters is None:
+        filters = [r % 5 for r in range(h)]
+    raw = bytearray()
+    flat = px.reshape(h, w * ch)
+    zero = np.zeros(w * ch, dtype=np.int64)
+    for r in range(h):
+        t = filters[r]
+        row = flat[r]
+        prior = flat[r - 1] if r > 0 else zero
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
+        upleft = np.concatenate(
+            [np.zeros(ch, dtype=np.int64), prior[:-ch]]
+        )
+        if t == 0:
+            filt = row
+        elif t == 1:
+            filt = row - left
+        elif t == 2:
+            filt = row - prior
+        elif t == 3:
+            filt = row - (left + prior) // 2
+        elif t == 4:
+            pred = np.empty_like(row)
+            for x in range(len(row)):
+                pred[x] = _paeth(
+                    int(left[x]), int(prior[x]), int(upleft[x])
+                )
+            filt = row - pred
+        else:
+            raise ValueError(f"bad filter type {t}")
+        raw.append(t)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode, pure stdlib (VERDICT r11 #2): chunk
+    walk with CRC32 verification, IDAT concatenation +
+    ``zlib.decompress``, then per-scanline UNFILTERING of all five
+    RFC 2083 filter types. Returns an ``H x W`` (grayscale) or
+    ``H x W x 3`` (truecolor) uint8 numpy array.
+
+    Supports bit depth 8, color types 0/2, no interlace — the shape
+    the engine's own encoder and the overwhelming majority of
+    ML-corpus PNGs use; anything else raises ``ValueError`` naming
+    the unsupported field (palette/16-bit/Adam7 want a full codec
+    library, declared out of scope like JPEG entropy decode).
+
+    The unfilter recurrences (Sub/Average/Paeth read the
+    already-reconstructed left neighbor) are inherently sequential
+    in x, so this runs a per-pixel Python loop — fine for the
+    corpus-thumbnail sizes it decodes inside Arrow-batched
+    mapInPandas; a production deployment swaps in a C codec behind
+    the same ``decode_image_real`` seam.
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        clen = int.from_bytes(payload[i:i + 4], "big")
+        ctype = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + clen]
+        if len(data) != clen:
+            raise ValueError(f"PNG: truncated {ctype!r} chunk")
+        crc = int.from_bytes(
+            payload[i + 8 + clen:i + 12 + clen], "big"
+        )
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR or IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"PNG: unsupported bit depth {depth}")
+    if color_type not in (0, 2):
+        raise ValueError(f"PNG: unsupported color type {color_type}")
+    if interlace != 0:
+        raise ValueError("PNG: Adam7 interlace unsupported")
+    ch = 1 if color_type == 0 else 3
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG: IDAT stream is {len(raw)} bytes, "
+            f"expected {h * (1 + stride)}"
+        )
+    out = np.zeros((h, stride), dtype=np.int64)
+    for r in range(h):
+        t = raw[r * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=r * (1 + stride) + 1,
+        ).astype(np.int64)
+        prior = out[r - 1] if r > 0 else np.zeros(
+            stride, dtype=np.int64
+        )
+        if t == 0:
+            out[r] = line
+        elif t == 2:
+            out[r] = (line + prior) % 256
+        elif t in (1, 3, 4):
+            rec = out[r]
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                if t == 1:
+                    pred = a
+                elif t == 3:
+                    pred = (a + int(prior[x])) // 2
+                else:
+                    c = int(prior[x - ch]) if x >= ch else 0
+                    pred = _paeth(a, int(prior[x]), c)
+                rec[x] = (int(line[x]) + pred) % 256
+        else:
+            raise ValueError(f"PNG: bad filter type {t} in row {r}")
+    arr = out.astype(np.uint8)
+    return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, 3)
+
+
+# planted-pixel canvas for the registered query: small enough that
+# sf0.01's 500 docs decode in one Arrow batch, big enough that every
+# doc's scanlines cycle through all five filter types
+_PNG_W_MOD, _PNG_W_MIN = 24, 4     # width  in [4, 27]
+_PNG_H_MOD, _PNG_H_MIN = 16, 4     # height in [4, 19]
+
+_PNG_REAL_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(doc_id % {_PNG_W_MOD} + {_PNG_W_MIN} AS INTEGER) AS w,
+           CAST(doc_id % {_PNG_H_MOD} + {_PNG_H_MIN} AS INTEGER) AS h
+    FROM documents),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           (d.doc_id*31 + 7*i.i + 13*j.j) % 256 AS p
+    FROM d,
+         generate_series(0, {_PNG_H_MOD + _PNG_H_MIN - 2}) AS i(i),
+         generate_series(0, {_PNG_W_MOD + _PNG_W_MIN - 2}) AS j(j)
+    WHERE i.i < d.h AND j.j < d.w)
+SELECT doc_id,
+       w AS width, h AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(sum(p) AS BIGINT) AS sum_px
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+@query("p_multimodal_decode_png_real", oracle=_PNG_REAL_SQL)
+def p_multimodal_decode_png_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL pixel decode end-to-end (VERDICT r11 #2): stage 1
+    encodes a genuine PNG per document — planted grayscale pixels
+    ``(doc_id*31 + 7r + 13c) % 256`` on a doc_id-derived canvas,
+    scanlines FILTERED with ``r % 5`` so Sub/Up/Average/Paeth are
+    all on the wire, real CRCs, real zlib IDAT; stage 2 is the
+    production path: Arrow-batched mapInPandas calling
+    :func:`decode_png_pixels`, which must inflate + unfilter
+    correctly to recover the plant. The oracle recomputes the pixel
+    sum from doc_id alone, so any unfilter recurrence error
+    (wrong left neighbor, wrong floor, Paeth tie-break) hash-fails —
+    this is the multimodal family's first query whose verified
+    payload is decoded PIXELS, not header metadata."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w = i % _PNG_W_MOD + _PNG_W_MIN
+                h = i % _PNG_H_MOD + _PNG_H_MIN
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                payloads.append(
+                    encode_png((i * 31 + 7 * r + 13 * c) % 256)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = [decode_png_pixels(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [im.shape[1] for im in imgs],
+                    "height": [im.shape[0] for im in imgs],
+                    "n_px": [im.size for im in imgs],
+                    "sum_px": [int(im.sum(dtype="int64")) for im in imgs],
+                }
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        (
+            "doc_id bigint, width int, height int, "
+            "n_px bigint, sum_px bigint"
         ),
     )

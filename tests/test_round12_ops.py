@@ -89,3 +89,116 @@ def test_sssp_weighted_registered_query_runs(spark):
     # the trade graph is sparse but connected enough that the source
     # reaches other nations within the horizon
     assert len(got) > 1
+
+
+# ---------------------------------------------------------------------------
+# real PNG pixel decode
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_roundtrip_each_filter(filt):
+    """Every RFC 2083 filter type, forced on every scanline, must
+    round-trip bit-exactly — gray and RGB."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(1000 + filt)
+    for shape in [(19, 27), (1, 1), (2, 3, 3), (13, 8, 3)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        got = decode_png_pixels(
+            encode_png(px, filters=[filt] * shape[0])
+        )
+        assert got.shape == px.shape
+        assert (got == px).all()
+
+
+def test_png_decode_verifies_crc_and_structure():
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = np.arange(25, dtype=np.uint8).reshape(5, 5)
+    enc = bytearray(encode_png(px))
+    # flip one IDAT byte: the chunk CRC must catch it
+    enc[len(enc) - 20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated"):
+        decode_png_pixels(bytes(enc))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_pixels(b"GIF89a" + bytes(20))
+    # unsupported shapes fail loudly, naming the field
+    from matrixinversion_spark.pipeline.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+    )
+
+    ihdr16 = (
+        (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([16, 0, 0, 0, 0])
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png_pixels(
+            PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+            + _png_chunk(b"IDAT", b"x")
+        )
+
+
+def test_png_paeth_predictor_spec_cases():
+    """Paeth tie-breaks are left, then up, then up-left (RFC 2083
+    §6.6) — the classic silent-corruption spot in hand-rolled
+    decoders."""
+    from matrixinversion_spark.pipeline.multimodal import _paeth
+
+    assert _paeth(1, 1, 1) == 1          # all equal -> left
+    assert _paeth(5, 5, 0) == 5          # pa == pb -> left
+    # p = 0+4-2 = 2; pa=|2-0|=2, pb=|2-4|=2, pc=|2-2|=0 -> up-left
+    assert _paeth(0, 4, 2) == 2
+    assert _paeth(10, 0, 5) == 5         # p=5: pa=5 pb=5 pc=0 -> c
+    assert _paeth(3, 9, 9) == 3          # p=3: pa=0 -> left wins
+
+
+def test_decode_image_real_decodes_png_without_pil():
+    """The engine's declared decode stub no longer covers PNG: real
+    pixels come back pure-stdlib regardless of PIL."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_image_real,
+        encode_png,
+    )
+
+    px = np.zeros((7, 11), dtype=np.uint8)
+    assert decode_image_real(encode_png(px)) == (11, 7, 1)
+
+
+def test_png_real_query_matches_plant(spark):
+    """End-to-end: the registered query's decoded pixel sums equal
+    the plant formula recomputed in plain Python."""
+    from matrixinversion_spark.pipeline.multimodal import (
+        _PNG_H_MIN,
+        _PNG_H_MOD,
+        _PNG_W_MIN,
+        _PNG_W_MOD,
+        p_multimodal_decode_png_real,
+    )
+
+    rows = p_multimodal_decode_png_real(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        i = r["doc_id"]
+        w = i % _PNG_W_MOD + _PNG_W_MIN
+        h = i % _PNG_H_MOD + _PNG_H_MIN
+        want = sum(
+            (i * 31 + 7 * rr + 13 * cc) % 256
+            for rr in range(h)
+            for cc in range(w)
+        )
+        assert (r["width"], r["height"], r["n_px"]) == (w, h, w * h)
+        assert r["sum_px"] == want
