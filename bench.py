@@ -12,6 +12,15 @@ rounded to our block grid).
 
 Every query is materialized with the noop sink — full execution, no
 driver collect bottleneck in the timing.
+
+Two-sample protocol (round 12): the headline sweep runs
+``SPARK_GRAFT_BENCH_SAMPLES`` times (default 2), cross-call caches
+cleared between samples so each one measures the same cold plans.
+The headline "queries" numbers are per-query MINs across samples;
+the "samples" key carries every sample's raw timings and its own
+machine fingerprint, so a wall-clock swing between rounds is
+adjudicated inside the artifact (min-of-2 under different loadavgs)
+instead of in BENCH_NOTES prose.
 """
 
 from __future__ import annotations
@@ -153,12 +162,59 @@ def main() -> None:
         ids = tracker.getJobIdsForGroup(None)
         return max(ids) if ids else -1
 
+    # two-sample protocol (VERDICT r11 #3): the whole headline sweep
+    # runs SAMPLES times back-to-back, each sample prefixed with its
+    # own machine fingerprint; the reported per-query number is the
+    # MIN across samples (the machine-noise floor), and the artifact
+    # carries every sample's raw timings + fingerprint so a wall
+    # swing is adjudicated inside BENCH_r{N}.json itself — r11's
+    # "+6.6%, proven noise only by prose in BENCH_NOTES" gap. Job
+    # fingerprints come from sample 1 (they are plan-deterministic;
+    # a cross-sample delta would mean nondeterministic planning and
+    # is asserted against below).
+    n_samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "2")))
+    samples: list[dict] = []
+    for s in range(n_samples):
+        if s:
+            # drop cross-call persisted state (the shared minhash
+            # signature cache memoizes driver-side, so unpersist via
+            # its own API, not just catalog clearCache) so every
+            # sample measures the same cold plan a single sweep
+            # measured in prior rounds — otherwise sample 2 is
+            # cache-warm, its job fingerprint shrinks, and
+            # min-across-samples conflates machine noise with cache
+            # reuse
+            from matrixinversion_spark.pipeline.dedup import (
+                clear_signature_cache,
+            )
+
+            clear_signature_cache()
+            spark.catalog.clearCache()
+        s_machine = _machine_index() if s else machine
+        s_timings: dict[str, float] = {}
+        for name in HEADLINE:
+            j0 = _max_job_id()
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            s_timings[name] = round(time.time() - t0, 3)
+            n_jobs = _max_job_id() - j0
+            if s == 0:
+                aux[f"{name}_jobs"] = n_jobs
+            elif aux[f"{name}_jobs"] != n_jobs:
+                # nondeterministic planning is a finding, not noise —
+                # surface it in the artifact rather than dying
+                aux[f"{name}_jobs_sample{s + 1}"] = n_jobs
+        samples.append(
+            {
+                "total_sec": round(sum(s_timings.values()), 3),
+                "queries": s_timings,
+                "machine": s_machine,
+            }
+        )
     for name in HEADLINE:
-        j0 = _max_job_id()
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        aux[f"{name}_jobs"] = _max_job_id() - j0
+        timings[name] = min(sm["queries"][name] for sm in samples)
 
     # the reference's actual workload: dense matrix inversion at its
     # demonstrated scale (N=2048; `Matrix/run.csh` pipeline O19).
@@ -240,6 +296,11 @@ def main() -> None:
                     **machine,
                     "loadavg_1m_end": round(os.getloadavg()[0], 2),
                 },
+                # per-sample raw headline timings + fingerprints (the
+                # headline numbers in "queries" are per-query MINs
+                # across these; the matrix pipeline below them is its
+                # own internal median-of-3)
+                "samples": samples,
             }
         )
     )
