@@ -202,3 +202,66 @@ def test_png_real_query_matches_plant(spark):
         )
         assert (r["width"], r["height"], r["n_px"]) == (w, h, w * h)
         assert r["sum_px"] == want
+
+
+# ---------------------------------------------------------------------------
+# public-API stats barrier
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_barrier_mode_is_correct_and_public_only(
+    spark, monkeypatch
+):
+    """SPARK_GRAFT_BARRIER=parquet routes every barrier through the
+    public write/read round-trip — the internal JVM API must never
+    be touched, and iterative operators stay correct."""
+    from matrixinversion_spark.pipeline import curation
+
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "parquet")
+
+    def boom(_):
+        raise AssertionError(
+            "internal API reached in parquet barrier mode"
+        )
+
+    monkeypatch.setattr(curation, "_rebuild_without_stats", boom)
+
+    # barrier preserves content + schema through the round-trip
+    df = spark.createDataFrame(
+        [(1, "a", [1.5, 2.5]), (2, None, [])],
+        "id bigint, s string, v array<double>",
+    )
+    got = curation._fresh_stats_barrier(df)
+    assert sorted(
+        (r["id"], r["s"], tuple(r["v"])) for r in got.collect()
+    ) == [(1, "a", (1.5, 2.5)), (2, None, ())]
+
+    # an iterative operator (3 barriered rounds/loop) stays exact:
+    # weighted SSSP on the planted detour graph
+    from matrixinversion_spark.relational.mining import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1)],
+        "src bigint, dst bigint, cost bigint",
+    )
+    res = {
+        r["node"]: r["cost"]
+        for r in sssp_weighted(edges, source=0, rounds=4).collect()
+    }
+    assert res == {0: 0, 1: 3, 2: 1, 3: 2}
+
+    # connected components (barrier-per-round consumer) on a chain
+    from matrixinversion_spark.pipeline.curation import (
+        connected_components,
+    )
+
+    # connected_components wants a SYMMETRIC edge list
+    fwd = [(i, i + 1) for i in range(9)] + [(20, 21)]
+    chain = spark.createDataFrame(
+        fwd + [(v, u) for u, v in fwd],
+        "u bigint, v bigint",
+    )
+    labels, _ = connected_components(chain)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert all(got[i] == 0 for i in range(10))
+    assert got[20] == got[21] == 20
