@@ -265,3 +265,106 @@ def test_parquet_barrier_mode_is_correct_and_public_only(
     got = {r["doc_id"]: r["label"] for r in labels.collect()}
     assert all(got[i] == 0 for i in range(10))
     assert got[20] == got[21] == 20
+
+
+# ---------------------------------------------------------------------------
+# session-window streaming differential (VERDICT r11 #7)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_session_window_matches_batch_sessionizer(
+    spark, tmp_path
+):
+    """Planted event stream with gaps straddling the 30-min boundary
+    (1799 s merges, 1801 s splits; exactly-1800 s deliberately absent
+    — the one input where native session windows' half-open merge and
+    the batch sessionizer's inclusive merge legitimately disagree,
+    documented in relational/analytics.py). The native
+    ``F.session_window`` streaming twin must produce the SAME
+    sessions as the batch gaps-and-islands sessionizer
+    (q_events_sessionize's lag+cumsum logic) replayed on the same
+    frame."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window as W
+
+    from matrixinversion_spark.streaming import ops as sops
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def ev(eid, user, offset_s, value):
+        return (eid, t0 + dt.timedelta(seconds=offset_s), user,
+                "click", float(value))
+
+    rows = [
+        # user 1: [0, 10, 1809] one session (gaps 10, 1799),
+        # then 1801 s later a second session of two
+        ev(1, 1, 0, 1.0),
+        ev(2, 1, 10, 2.0),
+        ev(3, 1, 1809, 3.0),
+        ev(4, 1, 3610, 4.0),
+        ev(5, 1, 3620, 5.0),
+        # user 2: singleton, then a far-away pair
+        ev(6, 2, 100, 10.0),
+        ev(7, 2, 9000, 11.0),
+        ev(8, 2, 9001, 12.0),
+        # user 3: interleaved with the others, one long session
+        ev(9, 3, 50, 0.5),
+        ev(10, 3, 1849, 0.25),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    in_dir = str(tmp_path / "planted_events")
+    df.coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    sops.run_to_memory(sops.sessionized(stream), "planted_sessions")
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in spark.sql(
+            "SELECT * FROM planted_sessions"
+        ).collect()
+    }
+
+    # batch twin: the same lag+cumsum gaps-and-islands logic as
+    # q_events_sessionize, keyed by first-event ts for the join
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev))
+           > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    batch = (
+        df.select(
+            "user_id", "ts", "value",
+            F.sum(new_sess).over(wsum).alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    # the plant itself: user 1 has exactly two sessions (the 1799 s
+    # gap merged, the 1801 s gap split)
+    assert sorted(
+        v[0] for (u, _), v in want.items() if u == 1
+    ) == [2, 3]
