@@ -368,3 +368,47 @@ def test_streaming_session_window_matches_batch_sessionizer(
     assert sorted(
         v[0] for (u, _), v in want.items() if u == 1
     ) == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# PNG codec fuzz (pure-Python, no Spark round-trip — generous budget)
+# ---------------------------------------------------------------------------
+
+
+def test_png_codec_fuzz_roundtrip():
+    """Randomized round-trip: arbitrary dims, random per-row filter
+    choices, gray and RGB — decode(encode(px)) must be bit-exact.
+    (hypothesis-style coverage, plain rng loop: the property space is
+    cheap enough to sample densely without Spark in the loop.)"""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        ch = int(rng.choice([1, 3]))
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        # adversarial fills alongside uniform noise: constants and
+        # gradients make Average/Paeth predictors exact (filtered
+        # bytes all zero -> maximal zlib compression), ramps hit the
+        # mod-256 wraparound in the unfilter recurrences
+        kind = trial % 4
+        if kind == 0:
+            px = rng.integers(0, 256, size=shape)
+        elif kind == 1:
+            px = np.full(shape, int(rng.integers(0, 256)))
+        elif kind == 2:
+            px = (np.arange(np.prod(shape)).reshape(shape) * 7) % 256
+        else:
+            px = np.zeros(shape, dtype=np.int64)
+            px[..., ::2] = 255
+        px = px.astype(np.uint8)
+        filters = [int(f) for f in rng.integers(0, 5, size=h)]
+        got = decode_png_pixels(encode_png(px, filters=filters))
+        assert got.shape == px.shape, (trial, shape, filters)
+        assert (got == px).all(), (trial, shape, filters)
