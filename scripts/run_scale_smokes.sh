@@ -22,7 +22,7 @@ for s in exp_skyline_scale exp_minhash_scale exp_ann_scale \
          exp_lpa_scale exp_lsh_megabucket exp_cdc_spans_scale \
          exp_semdedup_pq_scale exp_line_dedup_scale \
          exp_domain_quota_scale exp_heavy_hitters_scale \
-         exp_linkpred_scale; do
+         exp_linkpred_scale exp_sssp_scale; do
     echo "=== $s"
     # capture output so the script's exit code is NOT lost in a pipe
     # (plain sh has no pipefail: 'python | grep' returns grep's 0 and
