@@ -69,26 +69,32 @@ def _pil_available() -> bool:
 def decode_image_real(payload: bytes) -> tuple[int, int, int]:
     """Real codec entry point — ``(width, height, n_frames)``.
 
-    PNG payloads decode for REAL with zero dependencies:
+    PNG and GIF payloads decode for REAL with zero dependencies:
     :func:`decode_png_pixels` (stdlib zlib inflate + RFC 2083
-    scanline unfilter, round 12) reconstructs the actual pixel
-    array. Other formats are wired to Pillow behind
-    ``find_spec("PIL")`` (VERDICT r10 #6): when the deployment
-    environment ships an image library they decode with zero code
-    changes, and the decode tests pick the codec up automatically.
-    This container ships no PIL/opencv/ffmpeg, so non-PNG payloads
-    raise ``NotImplementedError`` and the pipeline uses
+    scanline unfilter) and :func:`decode_gif_pixels` (full
+    variable-width LZW + deinterlace), both round 12, reconstruct
+    the actual pixel arrays. Remaining formats are wired to Pillow
+    behind ``find_spec("PIL")`` (VERDICT r10 #6): when the
+    deployment environment ships an image library they decode with
+    zero code changes, and the decode tests pick the codec up
+    automatically. This container ships no PIL/opencv/ffmpeg, so
+    those payloads (JPEG entropy decode, video) raise
+    ``NotImplementedError`` and the pipeline uses
     ``decode_image_fake`` (same signature, deterministic) — the
     Spark plumbing is fully testable either way.
     """
     if payload[:8] == PNG_SIG:
         px = decode_png_pixels(payload)
         return px.shape[1], px.shape[0], 1
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        px = decode_gif_pixels(payload)
+        return px.shape[1], px.shape[0], 1
     if not _pil_available():
         raise NotImplementedError(
-            "non-PNG image decode requires PIL/opencv — not available "
-            "in this environment; use decode_image_fake for plumbing "
-            "tests (PNG decodes for real via decode_png_pixels)"
+            "non-PNG/GIF image decode requires PIL/opencv — not "
+            "available in this environment; use decode_image_fake for "
+            "plumbing tests (PNG/GIF decode for real via "
+            "decode_png_pixels/decode_gif_pixels)"
         )
     import io
 
@@ -1039,5 +1045,357 @@ def p_multimodal_decode_png_real(
         (
             "doc_id bigint, width int, height int, "
             "n_px bigint, sum_px bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF pixel decode — pure stdlib (variable-width LZW per the
+# GIF89a spec §22 + appendix F, incl. code-width bumps, CLEAR/EOI,
+# the cScSc first-code pattern, and Adam-less 4-pass deinterlace).
+# With PNG (above) this leaves JPEG entropy decode + video as the
+# engine's only declared codec stubs.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (greedy longest-match, dictionary
+    rebuilt on CLEAR at the 4096-code ceiling) — the synthesis twin
+    of :func:`_lzw_decode`, so round-trips exercise dictionary
+    growth and every code-width bump for real."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq: tuple[int, ...] = ()
+    for px in indices:
+        px = int(px)
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        # widen AFTER assigning: the decoder bumps when its next
+        # assignable code crosses the width boundary
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int):
+    """GIF-flavor LZW decoder: variable code width starting at
+    ``min_code_size + 1``, CLEAR resets the table, EOI terminates,
+    and the first-use code (cScSc pattern) resolves to
+    ``prev + prev[0]``. Returns exactly ``n_expected`` indices or
+    raises ``ValueError``."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream ran out before EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF: first code {code} out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)      # the cScSc special case
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF: LZW code {code} beyond table")
+        out.extend(entry)
+        if len(out) > n_expected:
+            raise ValueError(
+                f"GIF: LZW produced {len(out)} > {n_expected} pixels"
+            )
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) != n_expected:
+        raise ValueError(
+            f"GIF: LZW produced {len(out)} of {n_expected} pixels"
+        )
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> list[int]:
+    """Row order of a GIF89a interlaced image (appendix E)."""
+    return [
+        r for start, step in _GIF_INTERLACE_PASSES
+        for r in range(start, h, step)
+    ]
+
+
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+    """Encode a REAL single-frame GIF89a from an ``H x W`` palette-
+    index array plus an ``N x 3`` palette: logical screen descriptor
+    with a power-of-two global color table, image descriptor
+    (optionally interlaced), genuinely LZW-compressed pixel data in
+    255-byte sub-blocks, trailer. Synthesis twin of
+    :func:`decode_gif_pixels`; outputs open in any viewer."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.int64)
+    pal = np.asarray(palette, dtype=np.int64)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("expected HxW indices and Nx3 palette")
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("index exceeds palette")
+    h, w = idx.shape
+    gct_bits = max(1, (max(len(pal), 2) - 1).bit_length())
+    gct_size = 1 << gct_bits
+    pal_bytes = bytearray()
+    for k in range(gct_size):
+        pal_bytes.extend(
+            bytes(int(v) for v in pal[k]) if k < len(pal)
+            else b"\x00\x00\x00"
+        )
+    rows = _interlace_order(h) if interlace else range(h)
+    flat = idx[list(rows)].reshape(-1)
+    min_code = max(2, gct_bits)
+    lzw = _lzw_encode(flat, min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (gct_bits - 1), 0, 0])   # GCT flag + size
+        + bytes(pal_bytes)
+        + b"\x2c"                                 # image descriptor
+        + bytes(4)                                # left/top = 0
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0])
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x3b"                                 # trailer
+    )
+
+
+def decode_gif_pixels(payload: bytes):
+    """REAL GIF pixel decode, pure stdlib (round 12): header +
+    logical screen descriptor, global/local color table, extension-
+    block skipping, sub-block reassembly, full variable-width LZW
+    decompression, 4-pass deinterlace when flagged. Returns the
+    first frame as an ``H x W x 3`` uint8 RGB array (palette
+    applied). Raises ``ValueError`` naming the defect for truncated
+    or non-GIF payloads."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated logical screen descriptor")
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("GIF: truncated image descriptor")
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            flags = payload[pos + 9]
+            pos += 10
+            if flags & 0x80:  # local color table wins
+                n = 2 << (flags & 0x07)
+                palette = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF: no color table for frame")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunk = payload[pos + 1:pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("GIF: truncated data sub-block")
+                data.extend(chunk)
+                pos += 1 + ln
+            idx = np.array(
+                _lzw_decode(bytes(data), min_code, w * h),
+                dtype=np.int64,
+            )
+            if idx.max(initial=0) >= len(palette):
+                raise ValueError("GIF: pixel index beyond color table")
+            img = idx.reshape(h, w)
+            if flags & 0x40:  # deinterlace
+                out = np.empty_like(img)
+                out[_interlace_order(h)] = img
+                img = out
+            return palette[img].astype(np.uint8)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b:02x} at {pos}")
+    raise ValueError("GIF: no image frame found")
+
+
+# plant for the registered query: 8-color palette and index pattern
+# both derived from doc_id, canvas small enough for one Arrow batch
+_GIF_PAL_N = 8
+_GIF_W_MOD, _GIF_W_MIN = 13, 2    # width  in [2, 14]
+_GIF_H_MOD, _GIF_H_MIN = 9, 2     # height in [2, 10]
+
+_GIF_REAL_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(doc_id % {_GIF_W_MOD} + {_GIF_W_MIN} AS INTEGER) AS w,
+           CAST(doc_id % {_GIF_H_MOD} + {_GIF_H_MIN} AS INTEGER) AS h
+    FROM documents),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           (d.doc_id + 3*i.i + 5*j.j) % {_GIF_PAL_N} AS k
+    FROM d,
+         generate_series(0, {_GIF_H_MOD + _GIF_H_MIN - 2}) AS i(i),
+         generate_series(0, {_GIF_W_MOD + _GIF_W_MIN - 2}) AS j(j)
+    WHERE i.i < d.h AND j.j < d.w)
+SELECT doc_id,
+       w AS width, h AS height,
+       CAST(sum((k * 11) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((k * 23) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((k * 37) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+"""
+
+
+@query("p_multimodal_decode_gif_real", oracle=_GIF_REAL_SQL)
+def p_multimodal_decode_gif_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL GIF pixel decode end-to-end: stage 1 encodes a genuine
+    GIF89a per document (planted palette indices
+    ``(doc_id + 3r + 5c) % 8`` under palette
+    ``k -> (11k, 23k, 37k) % 256``, genuinely LZW-compressed, every
+    third doc interlaced so the 4-pass row order is on the wire);
+    stage 2 is the production path: Arrow-batched mapInPandas
+    calling :func:`decode_gif_pixels`, whose per-channel pixel sums
+    the oracle recomputes from doc_id alone. Any LZW table-growth,
+    code-width, sub-block-reassembly, palette-lookup, or
+    deinterlace error hash-fails."""
+    import numpy as np
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    pal = [
+        ((k * 11) % 256, (k * 23) % 256, (k * 37) % 256)
+        for k in range(_GIF_PAL_N)
+    ]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w = i % _GIF_W_MOD + _GIF_W_MIN
+                h = i % _GIF_H_MOD + _GIF_H_MIN
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                payloads.append(
+                    encode_gif(
+                        (i + 3 * r + 5 * c) % _GIF_PAL_N,
+                        pal,
+                        interlace=(i % 3 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = decode_gif_pixels(bytes(p)).astype(np.int64)
+                rows.append(
+                    (doc_id, rgb.shape[1], rgb.shape[0],
+                     int(rgb[:, :, 0].sum()),
+                     int(rgb[:, :, 1].sum()),
+                     int(rgb[:, :, 2].sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        (
+            "doc_id bigint, width int, height int, "
+            "sum_r bigint, sum_g bigint, sum_b bigint"
         ),
     )

@@ -416,8 +416,9 @@ def test_wav_header_roundtrip_and_chunk_walking():
 
 
 def test_decode_image_real_declares_env_gap():
-    """Round 12 shrank the gap: PNG decodes for real (pure stdlib),
-    so only NON-PNG formats still require PIL."""
+    """Round 12 shrank the gap: PNG and GIF decode for real (pure
+    stdlib), so only the remaining formats (JPEG entropy decode,
+    video) still require PIL."""
     from matrixinversion_spark.pipeline.multimodal import (
         _pil_available,
         decode_image_real,
@@ -427,4 +428,4 @@ def test_decode_image_real_declares_env_gap():
     if _pil_available():
         pytest.skip("PIL present — covered by the real-path test")
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image_real(synth_image_header("gif", 3, 3))
+        decode_image_real(synth_image_header("jpeg", 3, 3))

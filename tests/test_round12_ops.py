@@ -412,3 +412,116 @@ def test_png_codec_fuzz_roundtrip():
         got = decode_png_pixels(encode_png(px, filters=filters))
         assert got.shape == px.shape, (trial, shape, filters)
         assert (got == px).all(), (trial, shape, filters)
+
+
+# ---------------------------------------------------------------------------
+# real GIF pixel decode (LZW)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip(interlace):
+    """Random palettes and index patterns round-trip bit-exactly,
+    interlaced and sequential."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11 + interlace)
+    for npal in (2, 8, 256):
+        pal = [
+            tuple(int(v) for v in rng.integers(0, 256, 3))
+            for _ in range(npal)
+        ]
+        for shape in [(1, 1), (5, 7), (16, 16), (23, 41)]:
+            idx = rng.integers(0, npal, size=shape)
+            got = decode_gif_pixels(
+                encode_gif(idx, pal, interlace=interlace)
+            )
+            want = np.array(pal, dtype=np.uint8)[idx]
+            assert (got == want).all(), (npal, shape, interlace)
+
+
+def test_gif_lzw_dictionary_stress():
+    """Inputs that force table growth to the 4096 ceiling (CLEAR
+    mid-stream), maximal-run cScSc chains, and every code-width
+    bump from 3 to 12 bits."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    pal = [(k, k, k) for k in range(8)]
+    want_pal = np.array(pal, dtype=np.uint8)
+    # constant image: chains grow 1 px per code — the fastest route
+    # to the table ceiling (100*100 = 10000 px >> 4096 codes)
+    idx = np.zeros((100, 100), dtype=int)
+    assert (
+        decode_gif_pixels(encode_gif(idx, pal)) == want_pal[idx]
+    ).all()
+    # tiled ramp: periodic structure = dense dictionary reuse
+    idx = (np.arange(64 * 512).reshape(64, 512) * 3) % 8
+    assert (
+        decode_gif_pixels(encode_gif(idx, pal)) == want_pal[idx]
+    ).all()
+
+
+def test_gif_decode_rejects_bad_payloads():
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_pixels(b"\x89PNG\r\n\x1a\n" + bytes(20))
+    enc = encode_gif(np.zeros((4, 4), dtype=int), [(0, 0, 0)])
+    with pytest.raises(ValueError, match="truncated|ran out|unknown"):
+        decode_gif_pixels(enc[:20])
+
+
+def test_decode_image_real_decodes_gif_without_pil():
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_image_real,
+        encode_gif,
+    )
+
+    idx = np.zeros((3, 9), dtype=int)
+    assert decode_image_real(
+        encode_gif(idx, [(1, 2, 3)])
+    ) == (9, 3, 1)
+
+
+def test_gif_real_query_matches_plant(spark):
+    from matrixinversion_spark.pipeline.multimodal import (
+        _GIF_H_MIN,
+        _GIF_H_MOD,
+        _GIF_PAL_N,
+        _GIF_W_MIN,
+        _GIF_W_MOD,
+        p_multimodal_decode_gif_real,
+    )
+
+    rows = p_multimodal_decode_gif_real(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:40]:
+        i = r["doc_id"]
+        w = i % _GIF_W_MOD + _GIF_W_MIN
+        h = i % _GIF_H_MOD + _GIF_H_MIN
+        ks = [
+            (i + 3 * rr + 5 * cc) % _GIF_PAL_N
+            for rr in range(h)
+            for cc in range(w)
+        ]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == sum((k * 11) % 256 for k in ks)
+        assert r["sum_g"] == sum((k * 23) % 256 for k in ks)
+        assert r["sum_b"] == sum((k * 37) % 256 for k in ks)
