@@ -1399,3 +1399,138 @@ def p_multimodal_decode_gif_real(
             "sum_r bigint, sum_g bigint, sum_b bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV PCM sample decode — the audio pixels. parse_wav_header
+# (above) reads metadata; this decodes the actual int16 samples from
+# the data chunk, completing audio alongside the PNG/GIF pixel
+# decoders. 16-bit PCM is integer-exact, so the oracle replays the
+# planted waveform arithmetic verbatim.
+# ---------------------------------------------------------------------------
+
+
+def synth_wav(samples, channels: int = 1,
+              sample_rate: int = 16000) -> bytes:
+    """Real single-channel-interleaved WAV: the header from
+    :func:`synth_wav_header` followed by the actual little-endian
+    int16 PCM bytes (not just a size field) — round-trips through
+    :func:`decode_wav_samples` and plays in any audio tool."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    return synth_wav_header(
+        channels, sample_rate, 16, len(pcm)
+    ) + pcm
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL PCM decode: RIFF chunk walk to the ``data`` chunk, then
+    ``np.frombuffer`` of its body as little-endian int16 (the only
+    PCM width the synth emits; others reject loudly). Returns a 1-D
+    int numpy array of samples. The chunk walk mirrors
+    :func:`parse_wav_header` including the odd-size pad byte."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    bits = None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            if bits is None:
+                raise ValueError("WAV: data chunk before fmt")
+            if bits != 16:
+                raise ValueError(
+                    f"WAV: only 16-bit PCM supported, got {bits}"
+                )
+            if len(body) != size:
+                raise ValueError("WAV: truncated data chunk")
+            return np.frombuffer(body, dtype="<i2").astype(np.int64)
+        i += 8 + size + (size & 1)
+    raise ValueError("WAV: missing fmt or data chunk")
+
+
+_PCM_N_MOD, _PCM_N_MIN = 300, 10     # samples per doc in [10, 309]
+
+_AUDIO_PCM_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(doc_id % {_PCM_N_MOD} + {_PCM_N_MIN} AS BIGINT) AS n
+    FROM documents),
+s AS (
+    SELECT d.doc_id, d.n,
+           (d.doc_id*13 + t.t*97) % 4001 - 2000 AS v
+    FROM d, generate_series(0, {_PCM_N_MOD + _PCM_N_MIN - 2}) AS t(t)
+    WHERE t.t < d.n)
+SELECT doc_id,
+       n AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(v) AS BIGINT) AS peak
+FROM s GROUP BY doc_id, n
+"""
+
+
+@query("p_multimodal_audio_pcm", oracle=_AUDIO_PCM_SQL)
+def p_multimodal_audio_pcm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL PCM sample decode end-to-end: stage 1 synthesizes a
+    genuine WAV per document — planted int16 waveform
+    ``(doc_id*13 + 97t) % 4001 - 2000`` packed as little-endian
+    bytes behind a correct RIFF header; stage 2 is the production
+    path: Arrow-batched mapInPandas calling
+    :func:`decode_wav_samples` and reducing the recovered samples to
+    the loudness statistics an audio-curation pipeline gates on
+    (energy, peak). Integer PCM makes every statistic exact, so the
+    oracle replays the waveform arithmetic and any endianness,
+    offset, or signedness error in the decode hash-fails."""
+    import numpy as np
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = i % _PCM_N_MOD + _PCM_N_MIN
+                t = np.arange(n, dtype=np.int64)
+                payloads.append(
+                    synth_wav((i * 13 + t * 97) % 4001 - 2000)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                v = decode_wav_samples(bytes(p))
+                rows.append(
+                    (doc_id, len(v), int(np.abs(v).sum()),
+                     int((v * v).sum()), int(v.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_abs", "sum_sq", "peak",
+                ],
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        (
+            "doc_id bigint, n_samples bigint, sum_abs bigint, "
+            "sum_sq bigint, peak bigint"
+        ),
+    )

@@ -525,3 +525,64 @@ def test_gif_real_query_matches_plant(spark):
         assert r["sum_r"] == sum((k * 11) % 256 for k in ks)
         assert r["sum_g"] == sum((k * 23) % 256 for k in ks)
         assert r["sum_b"] == sum((k * 37) % 256 for k in ks)
+
+
+# ---------------------------------------------------------------------------
+# real WAV PCM sample decode
+# ---------------------------------------------------------------------------
+
+
+def test_wav_pcm_roundtrip_and_header_consistency():
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_wav_samples,
+        parse_wav_header,
+        synth_wav,
+    )
+
+    rng = np.random.default_rng(17)
+    for n in (1, 7, 309, 4096):
+        s = rng.integers(-32768, 32768, size=n).astype(np.int64)
+        wav = synth_wav(s, channels=1, sample_rate=22050)
+        got = decode_wav_samples(wav)
+        assert (got == s).all()
+        ch, rate, bits, nbytes = parse_wav_header(wav)
+        assert (ch, rate, bits, nbytes) == (1, 22050, 16, 2 * n)
+    # negative extremes survive the signed round-trip
+    s = np.array([-32768, 32767, 0, -1], dtype=np.int64)
+    assert (decode_wav_samples(synth_wav(s)) == s).all()
+
+
+def test_wav_pcm_decode_rejects():
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_wav_samples,
+        synth_wav,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_samples(b"OggS" + bytes(20))
+    wav = bytearray(synth_wav(np.array([1, 2, 3])))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav_samples(bytes(wav[:-2]))
+
+
+def test_audio_pcm_query_matches_plant(spark):
+    from matrixinversion_spark.pipeline.multimodal import (
+        _PCM_N_MIN,
+        _PCM_N_MOD,
+        p_multimodal_audio_pcm,
+    )
+
+    rows = p_multimodal_audio_pcm(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:40]:
+        i = r["doc_id"]
+        n = i % _PCM_N_MOD + _PCM_N_MIN
+        vs = [(i * 13 + t * 97) % 4001 - 2000 for t in range(n)]
+        assert r["n_samples"] == n
+        assert r["sum_abs"] == sum(abs(v) for v in vs)
+        assert r["sum_sq"] == sum(v * v for v in vs)
+        assert r["peak"] == max(vs)
