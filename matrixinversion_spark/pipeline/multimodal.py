@@ -1534,3 +1534,171 @@ def p_multimodal_audio_pcm(
             "sum_sq bigint, peak bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL MP4 container parse — the video member of the header-decode
+# family (ISO/IEC 14496-12 box walk: ftyp/moov/mvhd/trak, 32- and
+# 64-bit box sizes, size-0 to-end boxes). FRAME decode still needs a
+# codec library and stays declared; container metadata (duration,
+# timescale, track count) is what a corpus-curation gate actually
+# filters on, and it parses pure-Python.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def synth_mp4(timescale: int, duration: int, n_tracks: int) -> bytes:
+    """Minimal VALID MP4: ftyp, then moov holding an mvhd v0 fullbox
+    (spec field offsets) and ``n_tracks`` trak boxes. Round-trips
+    through :func:`parse_mp4_meta`."""
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes(4)                                   # version 0 + flags
+        + bytes(8)                                 # creation/modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + bytes(80),                               # rate..next_track_ID
+    )
+    traks = b"".join(
+        _mp4_box(b"trak", _mp4_box(b"tkhd", bytes(84)))
+        for _ in range(n_tracks)
+    )
+    return (
+        _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+        + _mp4_box(b"moov", mvhd + traks)
+    )
+
+
+def _walk_mp4_boxes(data: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for each ISO-BMFF box
+    in ``data[start:end]`` — 32-bit sizes, 64-bit largesize
+    (size == 1), and to-end boxes (size == 0) per 14496-12 §4.2."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i:i + 4], "big")
+        btype = data[i + 4:i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("MP4: truncated largesize box")
+            size = int.from_bytes(data[i + 8:i + 16], "big")
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < body - i or i + size > end:
+            raise ValueError(
+                f"MP4: box {btype!r} size {size} overruns container"
+            )
+        yield btype, body, i + size
+        i += size
+
+
+def parse_mp4_meta(payload: bytes) -> tuple[int, int, int]:
+    """Extract ``(timescale, duration, n_tracks)`` from real MP4
+    bytes: top-level box walk to ``moov``, then its children —
+    ``mvhd`` carries timescale/duration (v0 at offsets 12/16, v1 at
+    20/24 with 64-bit duration), ``trak`` boxes are counted. Raises
+    ``ValueError`` for non-MP4 or structurally broken payloads."""
+    top = list(_walk_mp4_boxes(payload, 0, len(payload)))
+    if not any(t == b"ftyp" for t, _, _ in top):
+        raise ValueError("MP4: no ftyp box")
+    for btype, body, bend in top:
+        if btype != b"moov":
+            continue
+        timescale = duration = None
+        n_tracks = 0
+        for ctype, cbody, cend in _walk_mp4_boxes(payload, body, bend):
+            if ctype == b"mvhd":
+                version = payload[cbody]
+                if version == 0:
+                    timescale = int.from_bytes(
+                        payload[cbody + 12:cbody + 16], "big"
+                    )
+                    duration = int.from_bytes(
+                        payload[cbody + 16:cbody + 20], "big"
+                    )
+                elif version == 1:
+                    timescale = int.from_bytes(
+                        payload[cbody + 20:cbody + 24], "big"
+                    )
+                    duration = int.from_bytes(
+                        payload[cbody + 24:cbody + 32], "big"
+                    )
+                else:
+                    raise ValueError(
+                        f"MP4: unknown mvhd version {version}"
+                    )
+            elif ctype == b"trak":
+                n_tracks += 1
+        if timescale is None:
+            raise ValueError("MP4: moov has no mvhd")
+        return timescale, duration, n_tracks
+    raise ValueError("MP4: no moov box")
+
+
+_VIDEO_META_SQL = """
+SELECT doc_id,
+       CAST((doc_id % 3 + 1) * 1000 AS BIGINT) AS timescale,
+       CAST((doc_id % 500 + 1) * 600 AS BIGINT) AS duration,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks
+FROM documents
+"""
+
+
+@query("p_multimodal_video_meta", oracle=_VIDEO_META_SQL)
+def p_multimodal_video_meta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL MP4 container parse over binary payloads — the video
+    member of the header-decode family (PNG/GIF/JPEG images, WAV
+    audio, now ISO-BMFF video). Stage 1 synthesizes a valid MP4 per
+    document (timescale/duration/track count derived from doc_id);
+    stage 2 is the production path: Arrow-batched mapInPandas
+    calling :func:`parse_mp4_meta` on raw bytes. The oracle
+    recomputes the plant from doc_id alone, so box-size walking
+    (incl. nested moov children), mvhd field offsets, and trak
+    counting are hash-checked. Frame decode remains the declared
+    codec gap; duration/track gating is the curation decision this
+    metadata actually drives."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        synth_mp4(
+                            (int(i) % 3 + 1) * 1000,
+                            (int(i) % 500 + 1) * 600,
+                            int(i) % 3 + 1,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [parse_mp4_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "timescale": [m[0] for m in meta],
+                    "duration": [m[1] for m in meta],
+                    "n_tracks": [m[2] for m in meta],
+                }
+            )
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        (
+            "doc_id bigint, timescale bigint, duration bigint, "
+            "n_tracks bigint"
+        ),
+    )

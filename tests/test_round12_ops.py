@@ -586,3 +586,69 @@ def test_audio_pcm_query_matches_plant(spark):
         assert r["sum_abs"] == sum(abs(v) for v in vs)
         assert r["sum_sq"] == sum(v * v for v in vs)
         assert r["peak"] == max(vs)
+
+
+# ---------------------------------------------------------------------------
+# real MP4 container parse
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_roundtrip_and_64bit_boxes():
+    from matrixinversion_spark.pipeline.multimodal import (
+        _mp4_box,
+        parse_mp4_meta,
+        synth_mp4,
+    )
+
+    for ts, dur, nt in [(1000, 600, 1), (3000, 300000, 3),
+                        (2000, 1, 2), (90000, 0, 1)]:
+        assert parse_mp4_meta(synth_mp4(ts, dur, nt)) == (ts, dur, nt)
+    # v1 mvhd (64-bit duration) inside a largesize (size==1) moov
+    mvhd_v1 = _mp4_box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + bytes(16)
+        + (48000).to_bytes(4, "big")
+        + (2**33).to_bytes(8, "big") + bytes(80),
+    )
+    body = mvhd_v1 + _mp4_box(b"trak", b"")
+    moov = (
+        (1).to_bytes(4, "big") + b"moov"
+        + (16 + len(body)).to_bytes(8, "big") + body
+    )
+    payload = _mp4_box(b"ftyp", b"isom") + moov
+    assert parse_mp4_meta(payload) == (48000, 2**33, 1)
+
+
+def test_mp4_rejects_structural_breakage():
+    from matrixinversion_spark.pipeline.multimodal import (
+        _mp4_box,
+        parse_mp4_meta,
+        synth_mp4,
+    )
+
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4_meta(_mp4_box(b"free", b""))
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4_meta(b"\xff\xff\xff\xffxxxx")
+    with pytest.raises(ValueError, match="no mvhd"):
+        parse_mp4_meta(
+            _mp4_box(b"ftyp", b"isom") + _mp4_box(b"moov", b"")
+        )
+    # truncating the tail breaks the box walk loudly
+    enc = synth_mp4(1000, 600, 2)
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        parse_mp4_meta(enc[:-10])
+
+
+def test_video_meta_query_matches_plant(spark):
+    from matrixinversion_spark.pipeline.multimodal import (
+        p_multimodal_video_meta,
+    )
+
+    rows = p_multimodal_video_meta(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:40]:
+        i = r["doc_id"]
+        assert r["timescale"] == (i % 3 + 1) * 1000
+        assert r["duration"] == (i % 500 + 1) * 600
+        assert r["n_tracks"] == i % 3 + 1
