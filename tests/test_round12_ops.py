@@ -469,6 +469,15 @@ def test_gif_lzw_dictionary_stress():
     assert (
         decode_gif_pixels(encode_gif(idx, pal)) == want_pal[idx]
     ).all()
+    # 120k random pixels: the dictionary crosses the 4096-code
+    # ceiling ~9 times (counted offline), so MID-STREAM CLEAR +
+    # width reset round-trips are genuinely on the wire — the
+    # structured cases above never reach the ceiling
+    rng = np.random.default_rng(99)
+    idx = rng.integers(0, 8, size=(300, 400))
+    assert (
+        decode_gif_pixels(encode_gif(idx, pal)) == want_pal[idx]
+    ).all()
 
 
 def test_gif_decode_rejects_bad_payloads():
