@@ -661,3 +661,49 @@ def test_video_meta_query_matches_plant(spark):
         assert r["timescale"] == (i % 3 + 1) * 1000
         assert r["duration"] == (i % 500 + 1) * 600
         assert r["n_tracks"] == i % 3 + 1
+
+
+# ---------------------------------------------------------------------------
+# SSSP hypothesis differential (random graphs, random horizons)
+# ---------------------------------------------------------------------------
+
+
+def test_sssp_weighted_fuzz_random_graphs(spark):
+    """Randomized differential: arbitrary digraphs (parallel edges,
+    self-loops, cycles, unreachable nodes) vs an independent pure-
+    Python bounded relaxation — same conventions as the round-11
+    fuzz suite (few distributed examples, dense local coverage)."""
+    import numpy as np
+
+    from matrixinversion_spark.relational.mining import sssp_weighted
+
+    rng = np.random.default_rng(123)
+    for trial in range(5):
+        n_nodes = int(rng.integers(2, 12))
+        n_edges = int(rng.integers(1, 40))
+        rounds = int(rng.integers(1, 6))
+        raw = [
+            (int(rng.integers(0, n_nodes)),
+             int(rng.integers(0, n_nodes)),
+             int(rng.integers(1, 20)))
+            for _ in range(n_edges)
+        ]
+        best = {0: 0}
+        frontier = {0: 0}
+        for _ in range(rounds):
+            # relax from best-so-far of EVERY node, matching the
+            # operator's contract (min over walks of <= k edges)
+            snapshot = dict(best)
+            for s, d, c in raw:
+                if s in snapshot:
+                    cand = snapshot[s] + c
+                    if cand < best.get(d, 1 << 60):
+                        best[d] = cand
+        edges = spark.createDataFrame(
+            raw, "src bigint, dst bigint, cost bigint"
+        )
+        got = {
+            r["node"]: r["cost"]
+            for r in sssp_weighted(edges, 0, rounds=rounds).collect()
+        }
+        assert got == best, (trial, raw, rounds)
