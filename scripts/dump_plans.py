@@ -113,6 +113,16 @@ NOTES: dict[str, str] = {
         "from synthesis through header decode; only (doc_id, dims) "
         "rows ever move."
     ),
+    "p_multimodal_decode_png_real": (
+        "Same exchange-free two-stage mapInPandas shape as the header "
+        "decode, but stage 2 is a REAL codec (zlib inflate + scanline "
+        "unfilter) — the plan to check is that the decoded pixel "
+        "arrays never leave the Python worker: only the 5-column "
+        "stats row crosses Arrow back. At 100 TB of images this is "
+        "the decode-at-the-data pattern (codec CPU scales with "
+        "executors; the shuffle volume is metadata-sized regardless "
+        "of payload bytes)."
+    ),
     "p_decontaminate": (
         "The benchmark shingle set broadcasts (an eval suite is tiny "
         "at any corpus scale); the training side joins map-side — the "
