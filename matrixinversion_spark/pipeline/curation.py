@@ -101,21 +101,36 @@ def _parquet_barrier(df: DataFrame) -> DataFrame:
     ``localCheckpoint`` (measured delta in BENCH_NOTES round 12);
     select it with ``SPARK_GRAFT_BARRIER=parquet`` when the
     ``internalCreateDataFrame`` primary route is unavailable or
-    untrusted on a new Spark version. Scratch dirs accumulate for
-    the life of the process (each round's output must stay readable
-    while downstream plans reference it) and are removed at exit —
-    the same lifetime contract as ``sparkContext.setCheckpointDir``
-    state."""
-    global _BARRIER_TMP_ROOT, _BARRIER_TMP_SEQ
-    if _BARRIER_TMP_ROOT is None:
-        import atexit
-        import shutil
-        import tempfile
+    untrusted on a new Spark version.
 
-        _BARRIER_TMP_ROOT = tempfile.mkdtemp(prefix="mi_barrier_")
-        atexit.register(
-            shutil.rmtree, _BARRIER_TMP_ROOT, ignore_errors=True
-        )
+    Scratch location: ``SPARK_GRAFT_BARRIER_DIR`` when set — on a
+    multi-node cluster it MUST point at shared storage (HDFS/S3A/...,
+    like a checkpoint dir: executors write the part files, the
+    driver plans the read-back, so a driver-local path would lose
+    them); lifetime there is caller-managed, exactly the
+    ``setCheckpointDir`` contract. Without the env var it falls back
+    to a driver-local tempdir — correct ONLY in local mode — removed
+    at interpreter exit. Scratch subdirs accumulate for the life of
+    the process either way: each round's output must stay readable
+    while downstream plans reference it."""
+    global _BARRIER_TMP_ROOT, _BARRIER_TMP_SEQ
+    import os as _os
+
+    if _BARRIER_TMP_ROOT is None:
+        shared = _os.environ.get("SPARK_GRAFT_BARRIER_DIR")
+        if shared:
+            _BARRIER_TMP_ROOT = (
+                f"{shared.rstrip('/')}/mi_barrier_{_os.getpid()}"
+            )
+        else:
+            import atexit
+            import shutil
+            import tempfile
+
+            _BARRIER_TMP_ROOT = tempfile.mkdtemp(prefix="mi_barrier_")
+            atexit.register(
+                shutil.rmtree, _BARRIER_TMP_ROOT, ignore_errors=True
+            )
     _BARRIER_TMP_SEQ += 1
     path = f"{_BARRIER_TMP_ROOT}/b{_BARRIER_TMP_SEQ}"
     df.write.parquet(path)

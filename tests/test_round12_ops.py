@@ -689,7 +689,6 @@ def test_sssp_weighted_fuzz_random_graphs(spark):
             for _ in range(n_edges)
         ]
         best = {0: 0}
-        frontier = {0: 0}
         for _ in range(rounds):
             # relax from best-so-far of EVERY node, matching the
             # operator's contract (min over walks of <= k edges)
@@ -707,3 +706,103 @@ def test_sssp_weighted_fuzz_random_graphs(spark):
             for r in sssp_weighted(edges, 0, rounds=rounds).collect()
         }
         assert got == best, (trial, raw, rounds)
+
+
+def test_gif_lzw_eoi_width_bump_regression():
+    """Reviewer-found encoder bug (round 12): the decoder appends a
+    table entry for the TAIL data code and bumps its width when that
+    append lands on 1 << width, so EOI must be written at the bumped
+    width. 5% of random 2-color images hit the boundary with a
+    byte-aligned stream end and failed before the fix."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    want_pal = np.array(pal2, dtype=np.uint8)
+    # the exact minimal failing case from the review
+    idx = np.array(
+        [[0, 1, 1, 0, 1], [1, 0, 1, 1, 0],
+         [0, 0, 1, 0, 1], [1, 1, 0, 0, 0]]
+    )
+    assert (
+        decode_gif_pixels(encode_gif(idx, pal2)) == want_pal[idx]
+    ).all()
+    # the whole failing class: small random 2-color images sample
+    # the EOI-at-width-boundary alignment densely
+    rng = np.random.default_rng(0)
+    for _ in range(2000):
+        h, w = int(rng.integers(1, 8)), int(rng.integers(1, 8))
+        idx = rng.integers(0, 2, size=(h, w))
+        got = decode_gif_pixels(encode_gif(idx, pal2))
+        assert (got == want_pal[idx]).all(), (h, w)
+
+
+def test_gif_frame_count_and_pil_fallback_contract():
+    """count_gif_frames walks descriptors without decoding;
+    decode_image_real reports the REAL frame count for animated
+    GIFs and keeps ValueError (not NotImplementedError) for broken
+    payloads when no PIL exists to fall back to."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        _pil_available,
+        count_gif_frames,
+        decode_image_real,
+        encode_gif,
+    )
+
+    one = encode_gif(np.zeros((3, 4), dtype=int),
+                     [(0, 0, 0), (9, 9, 9)])
+    assert count_gif_frames(one) == 1
+    # splice the image block twice more before the trailer: a real
+    # 3-frame animation as far as block structure is concerned
+    img_block = one[one.index(b"\x2c"):-1]
+    three = one[:-1] + img_block + img_block + b"\x3b"
+    assert count_gif_frames(three) == 3
+    assert decode_image_real(three) == (4, 3, 3)
+    if not _pil_available():
+        # unsupported PNG subtype with no PIL: the stdlib error
+        # surfaces as-is (a PIL-equipped deployment falls back)
+        from matrixinversion_spark.pipeline.multimodal import (
+            PNG_SIG,
+            _png_chunk,
+        )
+
+        rgba_ihdr = (
+            (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0])
+        )
+        with pytest.raises(ValueError, match="color type"):
+            decode_image_real(
+                PNG_SIG + _png_chunk(b"IHDR", rgba_ihdr)
+                + _png_chunk(b"IDAT", b"x")
+            )
+
+
+def test_parquet_barrier_honors_shared_dir(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_BARRIER_DIR routes scratch output under the
+    shared location (the multi-node contract) instead of a
+    driver-local mkdtemp."""
+    import os
+
+    from matrixinversion_spark.pipeline import curation
+
+    shared = str(tmp_path / "shared_barrier")
+    os.makedirs(shared)
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER", "parquet")
+    monkeypatch.setenv("SPARK_GRAFT_BARRIER_DIR", shared)
+    monkeypatch.setattr(curation, "_BARRIER_TMP_ROOT", None)
+    monkeypatch.setattr(curation, "_BARRIER_TMP_SEQ", 0)
+    try:
+        df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+        got = curation._fresh_stats_barrier(df).collect()
+        assert [(r["id"], r["s"]) for r in got] == [(1, "x")]
+        subdirs = os.listdir(shared)
+        assert len(subdirs) == 1 and subdirs[0].startswith("mi_barrier_")
+    finally:
+        monkeypatch.setattr(curation, "_BARRIER_TMP_ROOT", None)
+        monkeypatch.setattr(curation, "_BARRIER_TMP_SEQ", 0)
