@@ -815,10 +815,13 @@ def encode_png(pixels, filters=None) -> bytes:
     if px.ndim == 2:
         px = px[:, :, None]
         color_type = 0
-    elif px.ndim == 3 and px.shape[2] == 3:
-        color_type = 2
+    elif px.ndim == 3 and px.shape[2] in (2, 3, 4):
+        # 2 = gray+alpha (type 4), 3 = RGB (2), 4 = RGBA (6)
+        color_type = {2: 4, 3: 2, 4: 6}[px.shape[2]]
     else:
-        raise ValueError(f"expected HxW or HxWx3 pixels, got {px.shape}")
+        raise ValueError(
+            f"expected HxW or HxWx{{2,3,4}} pixels, got {px.shape}"
+        )
     h, w, ch = px.shape
     if filters is None:
         filters = [r % 5 for r in range(h)]
@@ -905,6 +908,7 @@ def decode_png_pixels(payload: bytes):
         raise ValueError("not a PNG payload")
     i = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while i + 8 <= len(payload):
         clen = int.from_bytes(payload[i:i + 4], "big")
@@ -919,6 +923,8 @@ def decode_png_pixels(payload: bytes):
             raise ValueError(f"PNG: CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -931,12 +937,24 @@ def decode_png_pixels(payload: bytes):
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
     if depth != 8:
         raise ValueError(f"PNG: unsupported bit depth {depth}")
-    if color_type not in (0, 2):
+    # every 8-bit color type: 0 gray, 2 RGB, 3 palette (PLTE lookup),
+    # 4 gray+alpha, 6 RGBA — the full real-world set; the scala/
+    # hadoop UI assets in this very container are types 3/4/6
+    if color_type not in (0, 2, 3, 4, 6):
         raise ValueError(f"PNG: unsupported color type {color_type}")
     if interlace != 0:
         raise ValueError("PNG: Adam7 interlace unsupported")
-    ch = 1 if color_type == 0 else 3
-    raw = zlib.decompress(bytes(idat))
+    if color_type == 3 and plte is None:
+        raise ValueError("PNG: palette image missing PLTE chunk")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # per-chunk CRCs pass yet the deflate stream is broken —
+        # surface it under the decoder's documented ValueError
+        # contract (callers' PIL fallback and batch error handling
+        # key on it)
+        raise ValueError(f"PNG: IDAT inflate failed ({exc})") from exc
     stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError(
@@ -972,7 +990,16 @@ def decode_png_pixels(payload: bytes):
         else:
             raise ValueError(f"PNG: bad filter type {t} in row {r}")
     arr = out.astype(np.uint8)
-    return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, 3)
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) % 3:
+            raise ValueError("PNG: PLTE length not a multiple of 3")
+        pal = pal.reshape(-1, 3)
+        idx = arr.reshape(h, w)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG: palette index beyond PLTE")
+        return pal[idx]
+    return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, ch)
 
 
 # planted-pixel canvas for the registered query: small enough that

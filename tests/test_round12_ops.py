@@ -766,17 +766,29 @@ def test_gif_frame_count_and_pil_fallback_contract():
     assert decode_image_real(three) == (4, 3, 3)
     if not _pil_available():
         # unsupported PNG subtype with no PIL: the stdlib error
-        # surfaces as-is (a PIL-equipped deployment falls back)
+        # surfaces as-is (a PIL-equipped deployment falls back).
+        # RGBA decodes for real now, so 16-bit depth is the
+        # remaining unsupported example; broken deflate data is
+        # also normalized to the ValueError contract.
         from matrixinversion_spark.pipeline.multimodal import (
             PNG_SIG,
             _png_chunk,
         )
 
+        ihdr16 = (
+            (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
+            + bytes([16, 6, 0, 0, 0])
+        )
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_image_real(
+                PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+                + _png_chunk(b"IDAT", b"x")
+            )
         rgba_ihdr = (
             (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
             + bytes([8, 6, 0, 0, 0])
         )
-        with pytest.raises(ValueError, match="color type"):
+        with pytest.raises(ValueError, match="inflate"):
             decode_image_real(
                 PNG_SIG + _png_chunk(b"IHDR", rgba_ihdr)
                 + _png_chunk(b"IDAT", b"x")
@@ -806,3 +818,70 @@ def test_parquet_barrier_honors_shared_dir(spark, monkeypatch, tmp_path):
     finally:
         monkeypatch.setattr(curation, "_BARRIER_TMP_ROOT", None)
         monkeypatch.setattr(curation, "_BARRIER_TMP_SEQ", 0)
+
+
+def test_png_all_color_types_roundtrip():
+    """Gray+alpha (type 4) and RGBA (type 6) joined the encoder's
+    repertoire when the decoder grew full color-type support."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    for chs in (2, 4):
+        for shape in [(1, 1, chs), (9, 13, chs), (20, 6, chs)]:
+            px = rng.integers(0, 256, size=shape).astype(np.uint8)
+            got = decode_png_pixels(encode_png(px))
+            assert got.shape == px.shape and (got == px).all()
+
+
+def test_codecs_decode_third_party_assets():
+    """INDEPENDENT validation: decode every PNG/GIF asset shipped
+    inside this container's Spark/Hadoop/Scala jars — files produced
+    by real-world encoders, not our synthesis twins. Covers palette
+    (PLTE lookup), RGBA, gray+alpha PNGs and an 8-frame animated
+    GIF; a decoder bug that our round-trips mutually cancel would
+    fail here."""
+    import glob
+    import os
+    import zipfile
+
+    import pyspark
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        count_gif_frames,
+        decode_gif_pixels,
+        decode_png_pixels,
+        parse_image_header,
+    )
+
+    base = os.path.dirname(pyspark.__file__)
+    decoded = 0
+    animated_seen = False
+    for jar in sorted(glob.glob(f"{base}/jars/*.jar")):
+        try:
+            z = zipfile.ZipFile(jar)
+        except Exception:
+            continue
+        for n in z.namelist():
+            if not n.lower().endswith((".png", ".gif")):
+                continue
+            data = z.read(n)
+            fmt, w, h = parse_image_header(data)
+            if fmt == "png":
+                px = decode_png_pixels(data)
+            else:
+                px = decode_gif_pixels(data)
+                nf = count_gif_frames(data)
+                animated_seen = animated_seen or nf > 1
+            assert px.shape[0] == h and px.shape[1] == w, n
+            decoded += 1
+    if decoded < 5:
+        pytest.skip(f"only {decoded} image assets in this env's jars")
+    # the known population: 25 PNGs (types 3/4/6) + 4 GIFs incl. the
+    # hadoop busy.gif animation — every one must decode
+    assert decoded >= 20
+    assert animated_seen
