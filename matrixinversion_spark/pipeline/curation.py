@@ -86,7 +86,10 @@ _PAIRS_SQL = f"""
 _BARRIER_FALLBACK_WARNED = False
 
 # per-process parquet-barrier scratch root (public-API barrier mode);
-# created lazily, removed at interpreter exit
+# resolved lazily on the first barrier call (SPARK_GRAFT_BARRIER_DIR
+# is read once per process). Local-tempdir default is removed at
+# interpreter exit; a shared-dir root is caller-managed, like
+# checkpoint dirs.
 _BARRIER_TMP_ROOT: str | None = None
 _BARRIER_TMP_SEQ = 0
 
@@ -119,8 +122,15 @@ def _parquet_barrier(df: DataFrame) -> DataFrame:
     if _BARRIER_TMP_ROOT is None:
         shared = _os.environ.get("SPARK_GRAFT_BARRIER_DIR")
         if shared:
+            import uuid
+
+            # pid alone collides across cluster hosts sharing the
+            # storage (and across pid reuse after a crashed run left
+            # dirs behind) — the uuid component makes the root
+            # unique the same way Spark's own checkpoint dirs are
             _BARRIER_TMP_ROOT = (
-                f"{shared.rstrip('/')}/mi_barrier_{_os.getpid()}"
+                f"{shared.rstrip('/')}/mi_barrier_{_os.getpid()}_"
+                f"{uuid.uuid4().hex[:8]}"
             )
         else:
             import atexit

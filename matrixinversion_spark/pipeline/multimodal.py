@@ -73,11 +73,15 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
     :func:`decode_png_pixels` (stdlib zlib inflate + RFC 2083
     scanline unfilter) and :func:`decode_gif_pixels` (full
     variable-width LZW + deinterlace), both round 12, reconstruct
-    the actual pixel arrays, and GIF frame counts come from a real
-    descriptor walk (:func:`count_gif_frames`). Subtypes the stdlib
-    decoders reject (palette/16-bit/Adam7 PNG) FALL BACK to Pillow
-    when it is installed — a PIL-equipped deployment must never lose
-    a payload round 11 could decode — and remaining formats (JPEG
+    the actual pixel arrays (all five 8-bit PNG color types incl.
+    palette), and GIF frame counts come from a real descriptor walk
+    (:func:`count_gif_frames`, best-effort past a decodable first
+    frame). Structurally valid payloads using UNIMPLEMENTED features
+    (16-bit PNG, Adam7) fall back to Pillow when installed —
+    :class:`UnsupportedImageError` — while CORRUPTION (CRC mismatch,
+    truncation, broken deflate) stays loud even with PIL present: a
+    lazy ``Image.open`` would report dimensions for a payload the
+    strict decoder just proved broken. Remaining formats (JPEG
     entropy decode, video frames) stay wired to Pillow behind
     ``find_spec("PIL")`` (VERDICT r10 #6). This container ships no
     PIL/opencv/ffmpeg, so those payloads raise
@@ -89,17 +93,27 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
         try:
             px = decode_png_pixels(payload)
             return px.shape[1], px.shape[0], 1
-        except ValueError:
+        except UnsupportedImageError:
             if not _pil_available():
                 raise
-            # palette/16-bit/Adam7 — PIL covers what stdlib doesn't
+            # 16-bit/Adam7 — PIL covers what stdlib doesn't.
+            # Plain ValueError (CRC mismatch, truncation, broken
+            # deflate) propagates even WITH PIL: a lazy Image.open
+            # reads only the header and would report dimensions for
+            # a corrupt payload the strict decoder just rejected.
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        # corruption propagates (same stance as PNG); dims are the
+        # LOGICAL SCREEN like parse_image_header and PIL report —
+        # an optimized animation's first frame can be a sub-rect
+        decode_gif_pixels(payload)
+        _, w, h = parse_image_header(payload)
         try:
-            px = decode_gif_pixels(payload)
-            return px.shape[1], px.shape[0], count_gif_frames(payload)
+            nf = count_gif_frames(payload)
         except ValueError:
-            if not _pil_available():
-                raise
+            # first frame decoded but later blocks are truncated —
+            # keep the payload, report what is provably there
+            nf = 1
+        return w, h, nf
     if not _pil_available():
         raise NotImplementedError(
             "non-PNG/GIF image decode requires PIL/opencv — not "
@@ -799,8 +813,9 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(pixels, filters=None) -> bytes:
-    """Encode a REAL PNG from an ``H x W`` (grayscale) or
-    ``H x W x 3`` (truecolor) uint8 array: correct IHDR, per-chunk
+    """Encode a REAL PNG from an ``H x W`` (grayscale),
+    ``H x W x 2`` (gray+alpha), ``H x W x 3`` (truecolor), or
+    ``H x W x 4`` (RGBA) uint8 array: correct IHDR, per-chunk
     CRC32, and zlib-compressed IDAT whose scanlines are FILTERED
     with the given per-row filter types (default ``r % 5``, so a
     round-trip exercises all five RFC 2083 filters — None, Sub, Up,
@@ -880,18 +895,31 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+class UnsupportedImageError(ValueError):
+    """A structurally VALID image using a feature this codec does
+    not implement (16-bit PNG, Adam7 interlace, unknown color type).
+    Distinct from plain ``ValueError`` (corruption: CRC mismatch,
+    truncation, broken deflate) so ``decode_image_real`` can fall
+    back to PIL for the former while keeping the latter loud — a
+    lazy ``Image.open`` would happily report dimensions for a
+    corrupt payload."""
+
+
 def decode_png_pixels(payload: bytes):
     """REAL PNG pixel decode, pure stdlib (VERDICT r11 #2): chunk
     walk with CRC32 verification, IDAT concatenation +
     ``zlib.decompress``, then per-scanline UNFILTERING of all five
-    RFC 2083 filter types. Returns an ``H x W`` (grayscale) or
-    ``H x W x 3`` (truecolor) uint8 numpy array.
+    RFC 2083 filter types. Returns ``H x W`` (grayscale),
+    ``H x W x 2`` (gray+alpha), ``H x W x 3`` (truecolor — palette
+    images come back PLTE-applied), or ``H x W x 4`` (RGBA) uint8
+    numpy arrays.
 
-    Supports bit depth 8, color types 0/2, no interlace — the shape
-    the engine's own encoder and the overwhelming majority of
-    ML-corpus PNGs use; anything else raises ``ValueError`` naming
-    the unsupported field (palette/16-bit/Adam7 want a full codec
-    library, declared out of scope like JPEG entropy decode).
+    Supports bit depth 8 in ALL five color types (0 gray, 2 RGB,
+    3 palette, 4 gray+alpha, 6 RGBA) — validated against the 25
+    third-party PNG assets inside this container's Spark/Hadoop/
+    Scala jars; 16-bit and Adam7 interlace raise
+    :class:`UnsupportedImageError` naming the field, corruption
+    raises plain ``ValueError``.
 
     The unfilter recurrences (Sub/Average/Paeth read the
     already-reconstructed left neighbor) are inherently sequential
@@ -936,14 +964,18 @@ def decode_png_pixels(payload: bytes):
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
     if depth != 8:
-        raise ValueError(f"PNG: unsupported bit depth {depth}")
+        raise UnsupportedImageError(
+            f"PNG: unsupported bit depth {depth}"
+        )
     # every 8-bit color type: 0 gray, 2 RGB, 3 palette (PLTE lookup),
     # 4 gray+alpha, 6 RGBA — the full real-world set; the scala/
     # hadoop UI assets in this very container are types 3/4/6
     if color_type not in (0, 2, 3, 4, 6):
-        raise ValueError(f"PNG: unsupported color type {color_type}")
+        raise UnsupportedImageError(
+            f"PNG: unsupported color type {color_type}"
+        )
     if interlace != 0:
-        raise ValueError("PNG: Adam7 interlace unsupported")
+        raise UnsupportedImageError("PNG: Adam7 interlace unsupported")
     if color_type == 3 and plte is None:
         raise ValueError("PNG: palette image missing PLTE chunk")
     ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
@@ -1328,9 +1360,12 @@ def decode_gif_pixels(payload: bytes):
     logical screen descriptor, global/local color table, extension-
     block skipping, sub-block reassembly, full variable-width LZW
     decompression, 4-pass deinterlace when flagged. Returns the
-    first frame as an ``H x W x 3`` uint8 RGB array (palette
-    applied). Raises ``ValueError`` naming the defect for truncated
-    or non-GIF payloads."""
+    FIRST frame as an ``H x W x 3`` uint8 RGB array (palette
+    applied) at the frame descriptor's own rectangle — for an
+    optimized animation that can be a sub-rect of the logical
+    screen, which is why ``decode_image_real`` reports screen dims
+    from the header instead. Raises ``ValueError`` naming the
+    defect for truncated or non-GIF payloads."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):

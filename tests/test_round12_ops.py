@@ -861,6 +861,7 @@ def test_codecs_decode_third_party_assets():
     base = os.path.dirname(pyspark.__file__)
     decoded = 0
     animated_seen = False
+    busy_seen = False
     for jar in sorted(glob.glob(f"{base}/jars/*.jar")):
         try:
             z = zipfile.ZipFile(jar)
@@ -877,11 +878,18 @@ def test_codecs_decode_third_party_assets():
                 px = decode_gif_pixels(data)
                 nf = count_gif_frames(data)
                 animated_seen = animated_seen or nf > 1
+                busy_seen = busy_seen or n.endswith("busy.gif")
             assert px.shape[0] == h and px.shape[1] == w, n
             decoded += 1
     if decoded < 5:
         pytest.skip(f"only {decoded} image assets in this env's jars")
-    # the known population: 25 PNGs (types 3/4/6) + 4 GIFs incl. the
-    # hadoop busy.gif animation — every one must decode
-    assert decoded >= 20
-    assert animated_seen
+    # every asset found must have decoded (a failure raised above);
+    # this container ships 29 (25 PNGs of types 3/4/6 + 4 GIFs), but
+    # the assertion tracks only what the skip gate guarantees — a
+    # pared-down Spark distribution with fewer assets must not fail
+    # on population counts
+    assert decoded >= 5
+    if busy_seen:
+        # hadoop's busy.gif is a real 8-frame animation — when it is
+        # present the frame walk must have seen multi-frame
+        assert animated_seen
