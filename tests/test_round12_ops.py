@@ -868,17 +868,25 @@ def test_codecs_decode_third_party_assets():
         except Exception:
             continue
         for n in z.namelist():
-            if not n.lower().endswith((".png", ".gif")):
+            if not n.lower().endswith((".png", ".gif", ".jpg",
+                                       ".jpeg")):
                 continue
             data = z.read(n)
             fmt, w, h = parse_image_header(data)
             if fmt == "png":
                 px = decode_png_pixels(data)
-            else:
+            elif fmt == "gif":
                 px = decode_gif_pixels(data)
                 nf = count_gif_frames(data)
                 animated_seen = animated_seen or nf > 1
                 busy_seen = busy_seen or n.endswith("busy.gif")
+            else:
+                # JPEG: pixel decode is the declared codec gap, but
+                # the SOFn header walk is real — third-party files
+                # must parse to sane dimensions
+                assert fmt == "jpeg" and w > 0 and h > 0, n
+                decoded += 1
+                continue
             assert px.shape[0] == h and px.shape[1] == w, n
             decoded += 1
     if decoded < 5:
