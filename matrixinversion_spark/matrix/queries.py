@@ -602,8 +602,13 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the pipeline's own A⁻¹ (matrix/inverse.py) gives 1/λmin; the
     product is κ₂. The matrix is Q·diag(d)·Qᵀ with
     d = max(1000·0.5^i, 1) — κ₂ = 1000 exactly, and both dominant
-    ratios are ≥ 2, so 30 iterations converge ~0.25^30 ≈ 1e-18 past
-    the 6-decimal check. Extends the reference's inversion surface
+    ratios are ≥ 2, so the norm-ratio estimator converges ~0.25^i:
+    at 18 iterations the measured rel_err on this exact seed is
+    5.6e-11 (numpy twin of the chunked loop), four orders of
+    magnitude under the 5e-7 rounding gate — the earlier 30 was
+    1e-18, i.e. 12 wasted sequential stages per operand (the wall
+    IS the stage count; see the chunking note below). Extends the
+    reference's inversion surface
     (LUInverse.java) with the diagnostic users run an inversion FOR:
     how close to singular the system is.
 
@@ -614,7 +619,7 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from matrixinversion_spark.matrix.lu import _checkpoint
 
-    n, bs, iters = 256, 64, 30
+    n, bs, iters = 256, 64, 18
     rng = np.random.default_rng(77)
     q_np, _ = np.linalg.qr(rng.standard_normal((n, n)))
     d = np.maximum(1000.0 * 0.5 ** np.arange(n), 1.0)
@@ -628,8 +633,8 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes THROUGH the build caches before they are released
     # (releasing first would make the checkpoint's first real action
     # recompute the recursion uncached; the query's wall is dominated
-    # by the 60 sequential iteration jobs either way — this pins the
-    # lifecycle order, it is not the wall)
+    # by the 2·iters sequential iteration stages either way — this
+    # pins the lifecycle order, it is not the wall)
     a_inv.df.count()
     a_inv.release()
 
@@ -645,17 +650,19 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Power iteration with CHAINED steps: `chunk` multiplies stay
     # lazy between materializations, so the driver pays one
-    # job/collect per chunk instead of per step (60 -> ~14 round
-    # trips). Measured honestly at demo n: the wall is UNCHANGED
-    # (~44 s) — each multiply is still its own shuffle STAGE and
-    # stage latency, not the driver round-trip, dominates at n=256;
-    # the chaining is kept because fewer blocking collects is the
-    # right shape at any n and costs nothing. Overflow-safe: within
-    # a chunk components grow <= lam^chunk <= 1000^5 = 1e15 of a
-    # unit vector. The burn-in only needs the DIRECTION — after it,
-    # one classic step on the renormalized vector yields the
-    # eigenvalue with the iterate error of the full 30 straight
-    # steps (dominant-ratio >= 2 => direction error ~0.5^29).
+    # job/collect per chunk instead of per step (2·iters -> ~2·iters/5
+    # round trips). Measured honestly at demo n: chaining alone left
+    # the wall unchanged — each multiply is still its own shuffle
+    # STAGE and stage latency, not the driver round-trip, dominates
+    # at n=256; it is kept because fewer blocking collects is the
+    # right shape at any n and costs nothing. The real wall lever is
+    # the iteration COUNT (stage count), trimmed 30→18 with measured
+    # 5.6e-11 rel_err (see docstring). Overflow-safe: within a chunk
+    # components grow <= lam^chunk <= 1000^5 = 1e15 of a unit
+    # vector. The burn-in only needs the DIRECTION — after it, one
+    # classic step on the renormalized vector yields the eigenvalue
+    # with the iterate error of the full `iters` straight steps
+    # (dominant-ratio >= 2 => direction error ~0.5^(iters-1)).
     def dominant(m: BlockMatrixFrame, chunk: int = 5) -> float:
         v = BlockMatrixFrame.from_numpy(
             spark,
