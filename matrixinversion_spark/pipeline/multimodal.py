@@ -15,12 +15,16 @@ the real thing a multimodal pipeline needs at 100 TB:
   materialized source array), ``p_multimodal_frame_sample`` (uniform
   index decimation, one row PER SAMPLED FRAME — the explode-shaped
   UDF contract);
-- the PNG *pixel* codec is REAL and dependency-free (round 12):
-  ``decode_png_pixels`` walks chunks with CRC32 verification,
-  inflates IDAT with stdlib zlib, and unfilters all five RFC 2083
-  scanline filters; ``p_multimodal_decode_png_real`` drives it
-  end-to-end over genuine encoded PNGs with an oracle that
-  recomputes the planted pixel sums. Non-PNG formats remain gated:
+- the PNG, GIF and baseline-JPEG *pixel* codecs are REAL and
+  dependency-free (round 12): ``decode_png_pixels`` walks chunks
+  with CRC32 verification, inflates IDAT with stdlib zlib, and
+  unfilters all five RFC 2083 scanline filters;
+  ``decode_gif_pixels`` implements variable-width LZW;
+  ``decode_jpeg_pixels`` implements T.81 sequential Huffman entropy
+  decode + IDCT. ``p_multimodal_decode_{png,gif,jpeg}_real`` drive
+  them end-to-end over genuine encoded files with oracles that
+  recompute the planted pixel sums. Formats beyond those (and
+  JPEG's progressive/arithmetic tiers) remain gated:
   ``decode_image_real`` decodes them via Pillow when
   ``find_spec("PIL")`` resolves and raises ``NotImplementedError``
   otherwise (no PIL/ffmpeg in this container); the
@@ -69,22 +73,25 @@ def _pil_available() -> bool:
 def decode_image_real(payload: bytes) -> tuple[int, int, int]:
     """Real codec entry point — ``(width, height, n_frames)``.
 
-    PNG and GIF payloads decode for REAL with zero dependencies:
-    :func:`decode_png_pixels` (stdlib zlib inflate + RFC 2083
-    scanline unfilter) and :func:`decode_gif_pixels` (full
-    variable-width LZW + deinterlace), both round 12, reconstruct
-    the actual pixel arrays (all five 8-bit PNG color types incl.
-    palette), and GIF frame counts come from a real descriptor walk
+    PNG, GIF and baseline JPEG payloads decode for REAL with zero
+    dependencies: :func:`decode_png_pixels` (stdlib zlib inflate +
+    RFC 2083 scanline unfilter), :func:`decode_gif_pixels` (full
+    variable-width LZW + deinterlace) and :func:`decode_jpeg_pixels`
+    (T.81 sequential: Huffman entropy decode, dequant, IDCT, chroma
+    upsample, YCbCr→RGB) reconstruct the actual pixel arrays, and
+    GIF frame counts come from a real descriptor walk
     (:func:`count_gif_frames`, best-effort past a decodable first
     frame). Structurally valid payloads using UNIMPLEMENTED features
-    (16-bit PNG, Adam7) fall back to Pillow when installed —
+    (16-bit PNG, Adam7, progressive/arithmetic/12-bit/CMYK JPEG)
+    fall back to Pillow when installed —
     :class:`UnsupportedImageError` — while CORRUPTION (CRC mismatch,
-    truncation, broken deflate) stays loud even with PIL present: a
-    lazy ``Image.open`` would report dimensions for a payload the
-    strict decoder just proved broken. Remaining formats (JPEG
-    entropy decode, video frames) stay wired to Pillow behind
+    truncation, broken deflate, a scan ending mid-block) stays loud
+    even with PIL present: a lazy ``Image.open`` would report
+    dimensions for a payload the strict decoder just proved broken.
+    The remaining format (video FRAMES — :func:`parse_mp4_meta`
+    reads container metadata for real) stays wired to Pillow behind
     ``find_spec("PIL")`` (VERDICT r10 #6). This container ships no
-    PIL/opencv/ffmpeg, so those payloads raise
+    PIL/opencv/ffmpeg, so such payloads raise
     ``NotImplementedError`` and the pipeline uses
     ``decode_image_fake`` (same signature, deterministic) — the
     Spark plumbing is fully testable either way.
@@ -114,12 +121,24 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
             # keep the payload, report what is provably there
             nf = 1
         return w, h, nf
+    elif payload[:2] == b"\xff\xd8":
+        try:
+            px = decode_jpeg_pixels(payload)
+            return px.shape[1], px.shape[0], 1
+        except UnsupportedImageError:
+            if not _pil_available():
+                raise
+            # progressive (SOF2) / arithmetic / 12-bit / CMYK — PIL
+            # covers what the baseline decoder doesn't; corruption
+            # (plain ValueError) propagates even WITH PIL, same
+            # stance as PNG/GIF
     if not _pil_available():
         raise NotImplementedError(
-            "non-PNG/GIF image decode requires PIL/opencv — not "
+            "non-PNG/GIF/JPEG image decode requires PIL/opencv — not "
             "available in this environment; use decode_image_fake for "
-            "plumbing tests (PNG/GIF decode for real via "
-            "decode_png_pixels/decode_gif_pixels)"
+            "plumbing tests (PNG/GIF/baseline-JPEG decode for real "
+            "via decode_png_pixels/decode_gif_pixels/"
+            "decode_jpeg_pixels)"
         )
     import io
 
@@ -795,9 +814,10 @@ def p_multimodal_audio_meta(
 
 # ---------------------------------------------------------------------------
 # REAL PNG pixel decode — pure stdlib (zlib inflate + scanline
-# unfilter, RFC 2083 §6). The engine's only remaining *declared*
-# decode stubs are JPEG entropy decode and video (those genuinely
-# need a codec library); PNG pixels are now decoded for real.
+# unfilter, RFC 2083 §6). With the GIF and baseline-JPEG codecs
+# below, the engine's only remaining *declared* decode stub is video
+# FRAMES (container metadata parses for real via parse_mp4_meta;
+# frame decode genuinely needs a codec library).
 # ---------------------------------------------------------------------------
 
 
@@ -1123,8 +1143,8 @@ def p_multimodal_decode_png_real(
 # REAL GIF pixel decode — pure stdlib (variable-width LZW per the
 # GIF89a spec §22 + appendix F, incl. code-width bumps, CLEAR/EOI,
 # the cScSc first-code pattern, and Adam-less 4-pass deinterlace).
-# With PNG (above) this leaves JPEG entropy decode + video as the
-# engine's only declared codec stubs.
+# With PNG (above) and baseline JPEG (below) this leaves video frame
+# decode as the engine's only declared codec stub.
 # ---------------------------------------------------------------------------
 
 
@@ -1526,6 +1546,739 @@ def p_multimodal_decode_gif_real(
         (
             "doc_id bigint, width int, height int, "
             "sum_r bigint, sum_g bigint, sum_b bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec — pure numpy (ITU T.81 sequential DCT:
+# FDCT/IDCT, canonical Huffman, zigzag, byte stuffing, restart
+# markers, 4:4:4 / 4:2:0 chroma). Encoder + decoder are
+# SELF-CONSISTENT by construction (the decoder reads the tables the
+# encoder wrote into DQT/DHT), and the decoder is additionally
+# validated against third-party baseline JPEGs from this container's
+# Hadoop jars. Progressive (SOF2) / arithmetic / hierarchical /
+# 12-bit raise UnsupportedImageError (PIL-fallback tier, same
+# contract as 16-bit PNG); corruption stays plain ValueError.
+#
+# JPEG is lossy IN GENERAL, but the registered query plants images
+# that are SOLID per 8x8 block with a quant table whose DC entry is
+# 8: the only nonzero coefficient is DC = 8*(v-128), quantized by 8
+# to exactly v-128, so decode is bit-exact and the DuckDB oracle can
+# replay the plant — while the bitstream still exercises real
+# Huffman DC differential coding across blocks. The AC/color/
+# subsampling paths are covered by round-trip-tolerance pytests.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K (ITU T.81, public) Huffman table definitions. Exact
+# Annex-K fidelity is NOT load-bearing for round-trip correctness —
+# the encoder writes these into DHT and the decoder reads them back,
+# so any consistent (BITS, HUFFVAL) pair works — but using the
+# standard tables keeps our bitstreams decodable by any JPEG reader.
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Flat quant tables with EVERY entry 8. The DC entry of 8 is
+# load-bearing for the registered query's bit-exactness (see the
+# section comment); flat AC keeps round-trip error uniformly small
+# for the tolerance pytests.
+_JPEG_QTAB_LUMA = [8] * 64
+_JPEG_QTAB_CHROMA = [8] * 64
+
+
+@functools.lru_cache(maxsize=1)
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    c[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return c  # orthogonal: S = C @ x @ C.T, x = C.T @ S @ C
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, len)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF -> 0xFF 0x00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _jpeg_marker(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _encode_block(
+    writer, zz, pred: int, dc_codes, ac_codes
+) -> int:
+    """Huffman-encode one zigzagged, quantized block; returns the
+    new DC predictor."""
+    dc = int(zz[0])
+    diff = dc - pred
+    mag = abs(diff)
+    s = mag.bit_length()
+    code, length = dc_codes[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        mag = abs(v)
+        s = mag.bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _plane_blocks(plane, q):
+    """FDCT + quantize every 8x8 block of an 8-padded float plane;
+    returns int zigzag arrays indexed [by][bx]."""
+    import numpy as np
+
+    c = _jpeg_dct_matrix()
+    h, w = plane.shape
+    shifted = plane - 128.0
+    blocks = shifted.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ij,abjk,lk->abil", c, blocks, c)
+    qarr = np.empty((64,))
+    for zpos, rpos in enumerate(_JPEG_ZIGZAG):
+        qarr[rpos] = q[zpos]
+    quant = coefs / qarr.reshape(8, 8)
+    quant = np.sign(quant) * np.floor(np.abs(quant) + 0.5)
+    flat = quant.reshape(h // 8, w // 8, 64)
+    return flat[:, :, _JPEG_ZIGZAG].astype(np.int64)
+
+
+def _pad_edge(plane, mh: int, mw: int):
+    """Edge-replicate a plane up to multiples of (mh, mw)."""
+    import numpy as np
+
+    h, w = plane.shape
+    ph = (mh - h % mh) % mh
+    pw = (mw - w % mw) % mw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(pixels, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """REAL baseline JPEG encode. ``pixels`` is a 2-D uint8 array
+    (grayscale, one component) or an (h, w, 3) uint8 RGB array
+    (JFIF YCbCr, ``subsampling`` '444' or '420'). Emits
+    SOI/APP0/DQT/SOF0/DHT/SOS with the Annex K Huffman tables and
+    flat quant tables (DC step 8 — see the section comment).
+    ``restart_interval`` > 0 emits DRI plus byte-aligned RSTn
+    markers every that-many MCUs (T.81 E.1.4) — real-world encoder
+    output uses these, so the decoder's resync path needs a
+    first-party bitstream source to be testable against."""
+    import numpy as np
+
+    pixels = np.asarray(pixels)
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("JPEG: empty image")
+    color = pixels.ndim == 3
+    if color:
+        rgb = pixels.astype(np.float64)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+             + 0.114 * rgb[..., 2])
+        cb = (128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1]
+              + 0.5 * rgb[..., 2])
+        cr = (128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1]
+              - 0.081312 * rgb[..., 2])
+        if subsampling == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            y = _pad_edge(y, 16, 16)
+            cb = _pad_edge(cb, 2, 2)
+            cr = _pad_edge(cr, 2, 2)
+            cb = cb.reshape(cb.shape[0] // 2, 2,
+                            cb.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2,
+                            cr.shape[1] // 2, 2).mean(axis=(1, 3))
+            cb = _pad_edge(cb, 8, 8)
+            cr = _pad_edge(cr, 8, 8)
+        elif subsampling == "444":
+            samp = [(1, 1), (1, 1), (1, 1)]
+            y = _pad_edge(y, 8, 8)
+            cb = _pad_edge(cb, 8, 8)
+            cr = _pad_edge(cr, 8, 8)
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+    else:
+        samp = [(1, 1)]
+        planes = [_pad_edge(pixels.astype(np.float64), 8, 8)]
+        qids = [0]
+
+    qtabs = [_JPEG_QTAB_LUMA, _JPEG_QTAB_CHROMA]
+    zz_blocks = [
+        _plane_blocks(p, qtabs[qids[ci]]) for ci, p in enumerate(planes)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jpeg_marker(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    out += _jpeg_marker(0xDB, bytes([0x00]) + bytes(_JPEG_QTAB_LUMA))
+    if color:
+        out += _jpeg_marker(
+            0xDB, bytes([0x01]) + bytes(_JPEG_QTAB_CHROMA)
+        )
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(planes))
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, qids[ci]])
+    out += _jpeg_marker(0xC0, bytes(sof))
+    tables = [
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ]
+    if color:
+        tables += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_id, bits, vals in tables:
+        out += _jpeg_marker(
+            0xC4, bytes([tc_id]) + bytes(bits) + bytes(vals)
+        )
+    if restart_interval:
+        out += _jpeg_marker(
+            0xDD, restart_interval.to_bytes(2, "big")
+        )
+    sos = bytearray([len(planes)])
+    for ci in range(len(planes)):
+        hid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (hid << 4) | hid])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_marker(0xDA, bytes(sos))
+
+    dc_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    writer = _JpegBitWriter()
+    hmax = max(hs for hs, _ in samp)
+    vmax = max(vs for _, vs in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    preds = [0] * len(planes)
+    rst = 0
+    for mcu in range(mcus_y * mcus_x):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()  # pad to byte boundary with 1s
+            writer.out += bytes([0xFF, 0xD0 + rst % 8])
+            rst += 1
+            preds = [0] * len(planes)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (hs, vs) in enumerate(samp):
+            dct = dc_l if ci == 0 else dc_c
+            act = ac_l if ci == 0 else ac_c
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = zz_blocks[ci][my * vs + by][mx * hs + bx]
+                    preds[ci] = _encode_block(
+                        writer, zz, preds[ci], dct, act
+                    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment; handles
+    0xFF 0x00 stuffing, stops at any real marker (the MCU loop
+    consumes RSTn explicitly via :meth:`sync_restart`)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d, p = self.d, self.pos
+        if p >= len(d):
+            raise ValueError("JPEG: truncated entropy-coded data")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                raise ValueError("JPEG: truncated entropy-coded data")
+            if d[p + 1] == 0x00:
+                self.pos = p + 2
+            else:
+                raise ValueError(
+                    "JPEG: entropy-coded data ended at marker "
+                    f"0xFF{d[p + 1]:02X} mid-block (truncated scan)"
+                )
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        bit = (self.acc >> self.n) & 1
+        self.acc &= (1 << self.n) - 1
+        return bit
+
+    def read_bits(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, expected: int) -> None:
+        """Byte-align and consume the RSTn marker (T.81 E.2.4)."""
+        self.acc = 0
+        self.n = 0
+        d, p = self.d, self.pos
+        if p + 2 > len(d) or d[p] != 0xFF or not (
+            0xD0 <= d[p + 1] <= 0xD7
+        ):
+            raise ValueError("JPEG: expected restart marker")
+        if d[p + 1] - 0xD0 != expected:
+            raise ValueError("JPEG: restart marker out of sequence")
+        self.pos = p + 2
+
+
+def _read_huff_symbol(reader: _JpegBitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """REAL baseline JPEG pixel decode, pure numpy: marker walk,
+    canonical-Huffman entropy decode (with 0xFF00 unstuffing and
+    RSTn restarts), dequant, de-zigzag, float IDCT, level shift,
+    chroma upsample (pixel replication) and JFIF YCbCr->RGB.
+    Returns uint8 (h, w) for one component or (h, w, 3) RGB for
+    three. SOF0/SOF1 only — progressive (SOF2), arithmetic,
+    hierarchical, lossless, 12-bit and CMYK raise
+    :class:`UnsupportedImageError`; corruption raises ValueError."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: missing SOI")
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    i = 2
+    scan = None
+    while True:
+        if i + 2 > len(payload):
+            raise ValueError("JPEG: truncated before SOS")
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        m = payload[i + 1]
+        if m == 0xFF:  # fill byte
+            i += 1
+            continue
+        if m == 0xD9:
+            raise ValueError("JPEG: EOI before SOS")
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > len(payload):
+            raise ValueError("JPEG: truncated segment header")
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        body = payload[i + 4:i + 2 + seg_len]
+        if seg_len < 2 or len(body) != seg_len - 2:
+            raise ValueError("JPEG: truncated segment")
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                j += 1
+                if pq == 0:
+                    qtabs[tq] = list(body[j:j + 64])
+                    j += 64
+                elif pq == 1:
+                    qtabs[tq] = [
+                        int.from_bytes(body[j + 2 * k:j + 2 * k + 2],
+                                       "big")
+                        for k in range(64)
+                    ]
+                    j += 128
+                else:
+                    raise ValueError("JPEG: bad DQT precision")
+                if len(qtabs[tq]) != 64:
+                    raise ValueError("JPEG: truncated DQT")
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1:j + 17])
+                n_vals = sum(bits)
+                vals = list(body[j + 17:j + 17 + n_vals])
+                if len(vals) != n_vals:
+                    raise ValueError("JPEG: truncated DHT")
+                codes = _huff_codes(bits, vals)
+                htabs[(tc, th)] = {
+                    (length, code): sym
+                    for sym, (code, length) in codes.items()
+                }
+                j += 17 + n_vals
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            prec = body[0]
+            if prec != 8:
+                raise UnsupportedImageError(
+                    f"JPEG: {prec}-bit precision not supported"
+                )
+            fh = int.from_bytes(body[1:3], "big")
+            fw = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise UnsupportedImageError(
+                    f"JPEG: {nc}-component images not supported"
+                )
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if fh == 0 or fw == 0:
+                raise ValueError("JPEG: zero frame dimension")
+            sof = (fh, fw, comps)
+        elif m == 0xC2:
+            raise UnsupportedImageError(
+                "JPEG: progressive (SOF2) not supported"
+            )
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise UnsupportedImageError(
+                f"JPEG: SOF{m - 0xC0} coding process not supported"
+            )
+        elif m == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif m == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for k in range(ns):
+                cs, tdta = body[1 + 2 * k], body[2 + 2 * k]
+                scan.append((cs, tdta >> 4, tdta & 0xF))
+            i = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if sof is None:
+        raise ValueError("JPEG: SOS before SOF")
+    fh, fw, comps = sof
+    if len(scan) != len(comps):
+        raise UnsupportedImageError(
+            "JPEG: non-interleaved multi-scan not supported"
+        )
+
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    cmat = _jpeg_dct_matrix()
+    # raster position -> zigzag position (inverse of _JPEG_ZIGZAG,
+    # which maps zigzag position -> raster position)
+    dezig = np.argsort(_JPEG_ZIGZAG)
+    planes = []
+    tables = []
+    for k, (cid, hs, vs, tq) in enumerate(comps):
+        scid, td, ta = scan[k]
+        if scid != cid:
+            raise ValueError("JPEG: scan/frame component mismatch")
+        if tq not in qtabs:
+            raise ValueError("JPEG: missing quant table")
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError("JPEG: missing Huffman table")
+        q = np.array(qtabs[tq], dtype=np.float64)
+        planes.append(
+            np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs))
+        )
+        tables.append((htabs[(0, td)], htabs[(1, ta)], q))
+
+    reader = _JpegBitReader(payload, i)
+    preds = [0] * len(comps)
+    rst_count = 0
+    zz = np.zeros(64)
+    n_mcu = mcus_x * mcus_y
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.sync_restart(rst_count % 8)
+            rst_count += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (cid, hs, vs, tq) in enumerate(comps):
+            dct, act, q = tables[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    zz[:] = 0.0
+                    s = _read_huff_symbol(reader, dct)
+                    if s > 11:
+                        raise ValueError("JPEG: bad DC category")
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    preds[ci] += diff
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _read_huff_symbol(reader, act)
+                        r, sz = rs >> 4, rs & 0xF
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG: AC run overflow")
+                        zz[k] = _extend(reader.read_bits(sz), sz)
+                        k += 1
+                    coef = (zz * q)[dezig].reshape(8, 8)
+                    blk = cmat.T @ coef @ cmat + 128.0
+                    r0 = (my * vs + by) * 8
+                    c0 = (mx * hs + bx) * 8
+                    planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
+    out_planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            if hmax % hs or vmax % vs:
+                raise UnsupportedImageError(
+                    "JPEG: fractional chroma sampling not supported"
+                )
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        out_planes.append(np.clip(p[:fh, :fw], 0.0, 255.0))
+    if len(out_planes) == 1:
+        return np.floor(out_planes[0] + 0.5).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.floor(ch + 0.5), 0, 255) for ch in (r, g, b)],
+        axis=-1,
+    )
+    return rgb.astype(np.uint8)
+
+
+_JPEG_BW_MOD, _JPEG_BH_MOD = 5, 3   # blocks per side: 1..5 x 1..3
+
+_JPEG_REAL_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           doc_id % {_JPEG_BW_MOD} + 1 AS nbx,
+           doc_id % {_JPEG_BH_MOD} + 1 AS nby
+    FROM documents),
+b AS (
+    SELECT d.doc_id, d.nbx, d.nby, bi.i AS bi, bj.j AS bj,
+           (d.doc_id*31 + 17*(bi.i*d.nbx + bj.j)) % 256 AS v
+    FROM d,
+         generate_series(0, {_JPEG_BH_MOD - 1}) AS bi(i),
+         generate_series(0, {_JPEG_BW_MOD - 1}) AS bj(j)
+    WHERE bi.i < d.nby AND bj.j < d.nbx)
+SELECT doc_id,
+       CAST(nbx * 8 AS INTEGER) AS width,
+       CAST(nby * 8 AS INTEGER) AS height,
+       CAST(nbx * nby * 64 AS BIGINT) AS n_px,
+       CAST(sum(64 * v) AS BIGINT) AS sum_px,
+       CAST(sum(v * (6656*bi + 3584*bj + 4480)) AS BIGINT)
+           AS sum_px_weighted
+FROM b GROUP BY doc_id, nbx, nby
+"""
+
+
+@query("p_multimodal_decode_jpeg_real", oracle=_JPEG_REAL_SQL)
+def p_multimodal_decode_jpeg_real(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL JPEG pixel decode end-to-end, completing the image
+    modality next to the PNG/GIF twins: stage 1 encodes a genuine
+    baseline JPEG per document — a doc_id-derived grid of 8x8 blocks,
+    each SOLID at ``(doc_id*31 + 17*block) % 256``, through the full
+    FDCT/quantize/Huffman pipeline; stage 2 is the production path
+    (Arrow-batched mapInPandas calling :func:`decode_jpeg_pixels`).
+    Solid blocks under the DC-step-8 quant table round-trip
+    BIT-EXACTLY (DC = 8·(v−128) quantizes by 8 to exactly v−128;
+    every AC is zero before quantization), so the DuckDB oracle
+    replays the plant with integer arithmetic — while the bitstream
+    still exercises real Huffman coding with nontrivial DC diffs
+    across blocks. ``sum_px_weighted`` weights each pixel by
+    ``13·row + 7·col`` (per solid block this folds to the closed
+    form in the SQL), so a decoder that places blocks at the wrong
+    position hash-fails even when the plain sum collides. The lossy
+    AC/color/subsampling paths are pinned by round-trip-tolerance
+    pytests and by decoding the container's third-party Hadoop-jar
+    JPEGs."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nbx = i % _JPEG_BW_MOD + 1
+                nby = i % _JPEG_BH_MOD + 1
+                b = np.arange(nby * nbx, dtype=np.int64).reshape(
+                    nby, nbx
+                )
+                v = (i * 31 + 17 * b) % 256
+                img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+                payloads.append(encode_jpeg(img.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "width": [], "height": [], "n_px": [],
+                "sum_px": [], "sum_px_weighted": [],
+            }
+            for p in pdf["payload"]:
+                px = decode_jpeg_pixels(bytes(p)).astype(np.int64)
+                h, w = px.shape
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(px.size)
+                out["sum_px"].append(int(px.sum()))
+                out["sum_px_weighted"].append(
+                    int(((13 * r + 7 * c) * px).sum())
+                )
+            yield pd.DataFrame(out)
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        (
+            "doc_id bigint, width int, height int, n_px bigint, "
+            "sum_px bigint, sum_px_weighted bigint"
         ),
     )
 

@@ -416,16 +416,34 @@ def test_wav_header_roundtrip_and_chunk_walking():
 
 
 def test_decode_image_real_declares_env_gap():
-    """Round 12 shrank the gap: PNG and GIF decode for real (pure
-    stdlib), so only the remaining formats (JPEG entropy decode,
-    video) still require PIL."""
+    """Round 12 shrank the gap twice: PNG, GIF and baseline JPEG all
+    decode for real (pure Python), so the PIL gate now covers only
+    formats outside those codecs (and JPEG's progressive tier, which
+    raises UnsupportedImageError for the fallback)."""
     from matrixinversion_spark.pipeline.multimodal import (
+        UnsupportedImageError,
         _pil_available,
         decode_image_real,
-        synth_image_header,
     )
 
     if _pil_available():
         pytest.skip("PIL present — covered by the real-path test")
+    # unknown format (BMP magic) -> the declared env gap
     with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image_real(b"BM" + bytes(30))
+    # structurally valid but unimplemented JPEG tier (progressive)
+    prog = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + (11).to_bytes(2, "big")
+        + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(UnsupportedImageError, match="progressive"):
+        decode_image_real(prog)
+    # a bare header with no scan is CORRUPTION now, not a gap
+    from matrixinversion_spark.pipeline.multimodal import (
+        synth_image_header,
+    )
+
+    with pytest.raises(ValueError, match="truncated"):
         decode_image_real(synth_image_header("jpeg", 3, 3))

@@ -881,12 +881,23 @@ def test_codecs_decode_third_party_assets():
                 animated_seen = animated_seen or nf > 1
                 busy_seen = busy_seen or n.endswith("busy.gif")
             else:
-                # JPEG: pixel decode is the declared codec gap, but
-                # the SOFn header walk is real — third-party files
-                # must parse to sane dimensions
+                # JPEG: baseline pixel decode is real too (Huffman +
+                # IDCT); a progressive third-party asset would be the
+                # declared Unsupported tier, header-parse only
                 assert fmt == "jpeg" and w > 0 and h > 0, n
-                decoded += 1
-                continue
+                from matrixinversion_spark.pipeline.multimodal import (
+                    UnsupportedImageError,
+                    decode_jpeg_pixels,
+                )
+
+                try:
+                    px = decode_jpeg_pixels(data)
+                except UnsupportedImageError:
+                    decoded += 1
+                    continue
+                assert px.shape[:2] == (h, w) and px.dtype.name == (
+                    "uint8"
+                ), n
             assert px.shape[0] == h and px.shape[1] == w, n
             decoded += 1
     if decoded < 5:
@@ -901,3 +912,238 @@ def test_codecs_decode_third_party_assets():
         # hadoop's busy.gif is a real 8-frame animation — when it is
         # present the frame walk must have seen multi-frame
         assert animated_seen
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec (encode_jpeg / decode_jpeg_pixels)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_blocks_bit_exact():
+    """The registered query's exactness claim, isolated: images that
+    are solid per 8x8 block round-trip BIT-EXACTLY under the
+    DC-step-8 quant table (DC = 8*(v-128) quantizes by 8 with zero
+    remainder; every AC is zero before quantization), with and
+    without restart markers."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(25):
+        nbx, nby = int(rng.integers(1, 6)), int(rng.integers(1, 4))
+        v = rng.integers(0, 256, size=(nby, nbx))
+        img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1).astype(
+            np.uint8
+        )
+        ri = int(rng.integers(0, 4))  # 0 = no restarts
+        dec = decode_jpeg_pixels(encode_jpeg(img, restart_interval=ri))
+        assert dec.shape == img.shape
+        assert (dec == img).all(), trial
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """Lossy-path pins with fixed seeds: worst-case pixel error for
+    adversarial white-noise images stays within the flat-quant error
+    budget (gray and 4:4:4 color), 4:2:0 is near-exact on solid
+    color (chroma constant -> subsampling lossless) and small on
+    smooth gradients. Pure noise under 4:2:0 is deliberately NOT
+    pinned tightly — 2x2 chroma box-averaging discards per-pixel
+    chroma by design."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(8):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg(img))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+    for _ in range(6):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg(img, subsampling="444"))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 26
+    for _ in range(6):
+        col = rng.integers(0, 256, size=3)
+        img = np.broadcast_to(col, (17, 23, 3)).astype(np.uint8).copy()
+        dec = decode_jpeg_pixels(encode_jpeg(img, subsampling="420"))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+    x = np.linspace(0, 255, 40)
+    img = np.stack(
+        [
+            np.add.outer(x, x) / 2,
+            np.add.outer(x[::-1], x) / 2,
+            np.tile(x, (40, 1)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(img, subsampling="420"))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: restarted streams carry the DRI marker, decode to
+    the IDENTICAL pixels as the unrestarted encoding of the same
+    image (restarts change framing, not coefficients), and an
+    out-of-sequence RST index is corruption, not a resync."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(23, 37, 3)).astype(np.uint8)
+    plain = decode_jpeg_pixels(encode_jpeg(img))
+    for ri in (1, 2, 7):
+        enc = encode_jpeg(img, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert bytes([0xFF, 0xD0]) in enc
+        assert (decode_jpeg_pixels(enc) == plain).all()
+    enc = bytearray(encode_jpeg(img, restart_interval=2))
+    k = enc.index(bytes([0xFF, 0xD0]))
+    enc[k + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg_pixels(bytes(enc))
+
+
+def test_jpeg_rejects_and_unsupported_tiers():
+    """Corruption stays plain ValueError; structurally valid but
+    unimplemented coding processes are UnsupportedImageError (the
+    PIL-fallback contract shared with 16-bit/Adam7 PNG)."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        UnsupportedImageError,
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_pixels(b"\x89PNG" + bytes(20))
+    with pytest.raises(ValueError, match="EOI before SOS"):
+        decode_jpeg_pixels(b"\xff\xd8\xff\xd9")
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = encode_jpeg(img)
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg_pixels(enc[:-4])
+
+    def sof(marker: int, precision: int = 8, nc: int = 1) -> bytes:
+        body = (
+            bytes([precision])
+            + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+            + bytes([nc])
+            + b"".join(bytes([c + 1, 0x11, 0]) for c in range(nc))
+        )
+        return (
+            b"\xff\xd8"
+            + bytes([0xFF, marker])
+            + (len(body) + 2).to_bytes(2, "big")
+            + body
+        )
+
+    with pytest.raises(UnsupportedImageError, match="progressive"):
+        decode_jpeg_pixels(sof(0xC2))
+    with pytest.raises(UnsupportedImageError, match="12-bit"):
+        decode_jpeg_pixels(sof(0xC0, precision=12))
+    with pytest.raises(UnsupportedImageError, match="component"):
+        decode_jpeg_pixels(sof(0xC0, nc=4))
+    with pytest.raises(UnsupportedImageError, match="SOF"):
+        decode_jpeg_pixels(sof(0xC3))  # lossless sequential
+
+
+def test_jpeg_codec_fuzz_roundtrip():
+    """Seeded sweep across dims (incl. sub-8x8 and non-multiples),
+    subsampling, and restart intervals: solid-per-block images stay
+    bit-exact, everything else stays within the pinned error budget
+    and SHAPE is always preserved."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    for trial in range(40):
+        h, w = int(rng.integers(1, 45)), int(rng.integers(1, 45))
+        color = bool(rng.integers(0, 2))
+        ri = int(rng.integers(0, 4))
+        sub = "420" if color and rng.integers(0, 2) else "444"
+        if rng.integers(0, 2) and not color:
+            # solid-per-block plant rounded up to full blocks
+            nby, nbx = (h + 7) // 8, (w + 7) // 8
+            v = rng.integers(0, 256, size=(nby, nbx))
+            img = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)[
+                : nby * 8, : nbx * 8
+            ].astype(np.uint8)
+            dec = decode_jpeg_pixels(
+                encode_jpeg(img, restart_interval=ri)
+            )
+            assert (dec == img).all(), trial
+            continue
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        dec = decode_jpeg_pixels(
+            encode_jpeg(img, subsampling=sub, restart_interval=ri)
+        )
+        assert dec.shape == img.shape, trial
+        if not color:
+            assert (
+                np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+            ), trial
+
+
+def test_decode_image_real_decodes_jpeg_without_pil():
+    """decode_image_real routes baseline JPEG through the pure
+    decoder — real dimensions come back with no PIL in the
+    environment."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_image_real,
+        encode_jpeg,
+    )
+
+    img = np.arange(21 * 13, dtype=np.int64).reshape(21, 13) % 256
+    w, h, nf = decode_image_real(encode_jpeg(img.astype(np.uint8)))
+    assert (w, h, nf) == (13, 21, 1)
+
+
+def test_jpeg_real_query_matches_plant(spark):
+    """End-to-end: the registered query's decoded pixel sums equal
+    the plant formula recomputed in plain Python (both checksums,
+    including the position-weighted one)."""
+    from matrixinversion_spark.pipeline.multimodal import (
+        _JPEG_BH_MOD,
+        _JPEG_BW_MOD,
+        p_multimodal_decode_jpeg_real,
+    )
+
+    rows = p_multimodal_decode_jpeg_real(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        i = r["doc_id"]
+        nbx = i % _JPEG_BW_MOD + 1
+        nby = i % _JPEG_BH_MOD + 1
+        want_sum = want_weighted = 0
+        for bi in range(nby):
+            for bj in range(nbx):
+                v = (i * 31 + 17 * (bi * nbx + bj)) % 256
+                want_sum += 64 * v
+                want_weighted += v * (6656 * bi + 3584 * bj + 4480)
+        assert (r["width"], r["height"]) == (8 * nbx, 8 * nby)
+        assert r["n_px"] == 64 * nbx * nby
+        assert r["sum_px"] == want_sum
+        assert r["sum_px_weighted"] == want_weighted
