@@ -1752,8 +1752,7 @@ def _plane_blocks(plane, q):
     blocks = shifted.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
     coefs = np.einsum("ij,abjk,lk->abil", c, blocks, c)
     qarr = np.empty((64,))
-    for zpos, rpos in enumerate(_JPEG_ZIGZAG):
-        qarr[rpos] = q[zpos]
+    qarr[_JPEG_ZIGZAG] = q  # de-zigzag the table to raster order
     quant = coefs / qarr.reshape(8, 8)
     quant = np.sign(quant) * np.floor(np.abs(quant) + 0.5)
     flat = quant.reshape(h // 8, w // 8, 64)
@@ -1789,6 +1788,10 @@ def encode_jpeg(pixels, subsampling: str = "444",
     h, w = pixels.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("JPEG: empty image")
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(
+            "JPEG: dimensions exceed the 65535 baseline limit"
+        )
     color = pixels.ndim == 3
     if color:
         rgb = pixels.astype(np.float64)
@@ -1916,6 +1919,10 @@ class _JpegBitReader:
             raise ValueError("JPEG: truncated entropy-coded data")
         b = d[p]
         if b == 0xFF:
+            # runs of 0xFF are fill bytes before a marker (T.81
+            # B.1.1.2) — skip to the last one before deciding
+            while p + 1 < len(d) and d[p + 1] == 0xFF:
+                p += 1
             if p + 1 >= len(d):
                 raise ValueError("JPEG: truncated entropy-coded data")
             if d[p + 1] == 0x00:
@@ -1945,10 +1952,13 @@ class _JpegBitReader:
         return v
 
     def sync_restart(self, expected: int) -> None:
-        """Byte-align and consume the RSTn marker (T.81 E.2.4)."""
+        """Byte-align and consume the RSTn marker (T.81 E.2.4),
+        tolerating 0xFF fill bytes before it (B.1.1.2)."""
         self.acc = 0
         self.n = 0
         d, p = self.d, self.pos
+        while p + 2 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
         if p + 2 > len(d) or d[p] != 0xFF or not (
             0xD0 <= d[p + 1] <= 0xD7
         ):
@@ -2046,6 +2056,8 @@ def decode_jpeg_pixels(payload: bytes):
                 }
                 j += 17 + n_vals
         elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise ValueError("JPEG: truncated SOF")
             prec = body[0]
             if prec != 8:
                 raise UnsupportedImageError(
@@ -2058,10 +2070,19 @@ def decode_jpeg_pixels(payload: bytes):
                 raise UnsupportedImageError(
                     f"JPEG: {nc}-component images not supported"
                 )
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("JPEG: truncated SOF")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
+            if nc == 1:
+                # a single-component scan is NON-interleaved (T.81
+                # A.2.2): one 8x8 data unit per MCU over the ceil-/8
+                # grid regardless of declared sampling factors —
+                # normalizing to 1x1 reproduces exactly that geometry
+                cid, _, _, tq = comps[0]
+                comps[0] = (cid, 1, 1, tq)
             if fh == 0 or fw == 0:
                 raise ValueError("JPEG: zero frame dimension")
             sof = (fh, fw, comps)
@@ -2075,9 +2096,15 @@ def decode_jpeg_pixels(payload: bytes):
                 f"JPEG: SOF{m - 0xC0} coding process not supported"
             )
         elif m == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("JPEG: truncated DRI")
             restart_interval = int.from_bytes(body[:2], "big")
         elif m == 0xDA:  # SOS
+            if not body:
+                raise ValueError("JPEG: truncated SOS")
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG: truncated SOS")
             scan = []
             for k in range(ns):
                 cs, tdta = body[1 + 2 * k], body[2 + 2 * k]
@@ -2146,6 +2173,10 @@ def decode_jpeg_pixels(payload: bytes):
                         if sz == 0:
                             if r == 15:
                                 k += 16
+                                if k > 64:
+                                    raise ValueError(
+                                        "JPEG: AC run overflow"
+                                    )
                                 continue
                             break  # EOB
                         k += r

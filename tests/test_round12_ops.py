@@ -1147,3 +1147,50 @@ def test_jpeg_real_query_matches_plant(spark):
         assert r["n_px"] == 64 * nbx * nby
         assert r["sum_px"] == want_sum
         assert r["sum_px_weighted"] == want_weighted
+
+
+def test_jpeg_review_findings_regressions():
+    """Pins for the post-commit review findings: single-component
+    scans are non-interleaved per T.81 A.2.2 (sampling factors in
+    SOF must not change the block grid), fill bytes before RSTn are
+    legal, truncated SOF/SOS/DRI segments are loud ValueErrors (not
+    IndexError), and oversize encode dimensions reject cleanly."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(24, 24)).astype(np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    want = decode_jpeg_pixels(bytes(enc))
+    # patch the grayscale SOF sampling byte 0x11 -> 0x22: libjpeg
+    # decodes this identically (single-component scan geometry is
+    # sampling-independent); pre-fix this raised mid-block ValueError
+    # SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) nc(1) id(1) hv(1)
+    k = enc.index(b"\xff\xc0")
+    assert enc[k + 11] == 0x11
+    enc[k + 11] = 0x22
+    got = decode_jpeg_pixels(bytes(enc))
+    assert (got == want).all()
+
+    # fill byte (0xFF) before a restart marker is legal padding
+    enc = encode_jpeg(img, restart_interval=1)
+    plain = decode_jpeg_pixels(enc)
+    k = enc.index(bytes([0xFF, 0xD0]))
+    filled = enc[:k] + b"\xff" + enc[k:]
+    assert (decode_jpeg_pixels(filled) == plain).all()
+
+    # truncated segment bodies are ValueError, never IndexError
+    for payload, msg in [
+        (b"\xff\xd8\xff\xda\x00\x02", "truncated SOS"),
+        (b"\xff\xd8\xff\xc0\x00\x02", "truncated SOF"),
+        (b"\xff\xd8\xff\xdd\x00\x03\x05", "truncated DRI"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            decode_jpeg_pixels(payload)
+
+    with pytest.raises(ValueError, match="65535"):
+        encode_jpeg(np.zeros((70000, 8), dtype=np.uint8))
