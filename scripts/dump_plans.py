@@ -123,6 +123,16 @@ NOTES: dict[str, str] = {
         "executors; the shuffle volume is metadata-sized regardless "
         "of payload bytes)."
     ),
+    "p_multimodal_decode_jpeg_real": (
+        "The JPEG twin of the PNG plan: two chained mapInPandas "
+        "stages with zero exchanges — the entropy-coded payload and "
+        "the decoded pixel array both live and die inside one Python "
+        "worker; only the 6-column stats row (now including the "
+        "position-weighted checksum) crosses Arrow back. The codec "
+        "is CPU-heavier than PNG's inflate (per-bit Huffman), which "
+        "is exactly the work that scales with executor count and "
+        "ships zero shuffle bytes."
+    ),
     "p_decontaminate": (
         "The benchmark shingle set broadcasts (an eval suite is tiny "
         "at any corpus scale); the training side joins map-side — the "
