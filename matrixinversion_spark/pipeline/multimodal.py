@@ -81,9 +81,10 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
     upsample, YCbCr→RGB) reconstruct the actual pixel arrays, and
     GIF frame counts come from a real descriptor walk
     (:func:`count_gif_frames`, best-effort past a decodable first
-    frame). Structurally valid payloads using UNIMPLEMENTED features
-    (16-bit PNG, Adam7, progressive/arithmetic/12-bit/CMYK JPEG)
-    fall back to Pillow when installed —
+    frame). PNG decodes at EVERY legal spec tier (all color types,
+    depths 1–16, Adam7). Structurally valid payloads using
+    UNIMPLEMENTED features (progressive/arithmetic/12-bit/CMYK JPEG,
+    out-of-spec PNG color types) fall back to Pillow when installed —
     :class:`UnsupportedImageError` — while CORRUPTION (CRC mismatch,
     truncation, broken deflate, a scan ending mid-block) stays loud
     even with PIL present: a lazy ``Image.open`` would report
@@ -103,11 +104,14 @@ def decode_image_real(payload: bytes) -> tuple[int, int, int]:
         except UnsupportedImageError:
             if not _pil_available():
                 raise
-            # 16-bit/Adam7 — PIL covers what stdlib doesn't.
-            # Plain ValueError (CRC mismatch, truncation, broken
-            # deflate) propagates even WITH PIL: a lazy Image.open
-            # reads only the header and would report dimensions for
-            # a corrupt payload the strict decoder just rejected.
+            # only color types outside the spec's five reach here
+            # (every legal depth/interlace tier decodes for real) —
+            # PIL gets a shot at hypothetical extensions. Plain
+            # ValueError (CRC mismatch, truncation, broken deflate,
+            # illegal depth/type pairing) propagates even WITH PIL:
+            # a lazy Image.open reads only the header and would
+            # report dimensions for a corrupt payload the strict
+            # decoder just rejected.
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         # corruption propagates (same stance as PNG); dims are the
         # LOGICAL SCREEN like parse_image_header and PIL report —
@@ -832,16 +836,109 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels, filters=None) -> bytes:
+# Adam7 pass geometry: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+# legal bit depths per color type (PNG spec §11.2.2, Table 11.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+    4: (8, 16), 6: (8, 16),
+}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_pack_samples(samples, depth: int):
+    """Serialize an (ph, n_samples) int matrix to filtered-unit byte
+    rows: big-endian pairs at depth 16, MSB-first bit packing (with
+    zero pad to the byte boundary, spec §7.2) below 8."""
+    import numpy as np
+
+    if depth == 8:
+        return samples.astype(np.uint8)
+    ph, n = samples.shape
+    if depth == 16:
+        rows = np.empty((ph, 2 * n), dtype=np.uint8)
+        rows[:, 0::2] = (samples >> 8) & 0xFF
+        rows[:, 1::2] = samples & 0xFF
+        return rows
+    bits = np.zeros((ph, n * depth), dtype=np.uint8)
+    for b in range(depth):
+        bits[:, b::depth] = (samples >> (depth - 1 - b)) & 1
+    return np.packbits(bits, axis=1)
+
+
+def _png_extract_samples(rows, n: int, depth: int):
+    """Inverse of :func:`_png_pack_samples`: (ph, stride) byte rows
+    back to the first ``n`` samples per row (pad bits discarded)."""
+    import numpy as np
+
+    if depth == 8:
+        return rows[:, :n].astype(np.int64)
+    if depth == 16:
+        return (
+            (rows[:, 0:2 * n:2].astype(np.int64) << 8)
+            | rows[:, 1:2 * n:2].astype(np.int64)
+        )
+    bits = np.unpackbits(rows.astype(np.uint8), axis=1)
+    vals = np.zeros((rows.shape[0], bits.shape[1] // depth),
+                    dtype=np.int64)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth][:, :vals.shape[1]]
+    return vals[:, :n]
+
+
+def _png_filter_rows(rows, bpp: int, filters, raw: bytearray) -> None:
+    """Filter a pass's byte rows (RFC 2083 §6 operates on BYTES with
+    ``bpp`` as the left-neighbor distance) into ``raw``."""
+    import numpy as np
+
+    stride = rows.shape[1]
+    zero = np.zeros(stride, dtype=np.int64)
+    pad = np.zeros(bpp, dtype=np.int64)
+    for r in range(rows.shape[0]):
+        t = filters[r]
+        row = rows[r].astype(np.int64)
+        prior = rows[r - 1].astype(np.int64) if r > 0 else zero
+        left = np.concatenate([pad, row[:-bpp]]) if stride > bpp \
+            else np.zeros(stride, dtype=np.int64)
+        upleft = np.concatenate([pad, prior[:-bpp]]) if stride > bpp \
+            else np.zeros(stride, dtype=np.int64)
+        if t == 0:
+            filt = row
+        elif t == 1:
+            filt = row - left
+        elif t == 2:
+            filt = row - prior
+        elif t == 3:
+            filt = row - (left + prior) // 2
+        elif t == 4:
+            pred = np.empty_like(row)
+            for x in range(stride):
+                pred[x] = _paeth(
+                    int(left[x]), int(prior[x]), int(upleft[x])
+                )
+            filt = row - pred
+        else:
+            raise ValueError(f"bad filter type {t}")
+        raw.append(t)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+
+
+def encode_png(pixels, filters=None, depth: int = 8,
+               interlace: bool = False) -> bytes:
     """Encode a REAL PNG from an ``H x W`` (grayscale),
     ``H x W x 2`` (gray+alpha), ``H x W x 3`` (truecolor), or
-    ``H x W x 4`` (RGBA) uint8 array: correct IHDR, per-chunk
-    CRC32, and zlib-compressed IDAT whose scanlines are FILTERED
-    with the given per-row filter types (default ``r % 5``, so a
-    round-trip exercises all five RFC 2083 filters — None, Sub, Up,
-    Average, Paeth). Test/oracle synthesis for
-    :func:`decode_png_pixels`; every output is a valid PNG any
-    viewer opens."""
+    ``H x W x 4`` (RGBA) array: correct IHDR, per-chunk CRC32, and
+    zlib-compressed IDAT whose scanlines are FILTERED with the given
+    per-scanline filter types (default ``i % 5`` over emitted
+    scanlines, so a round-trip exercises all five RFC 2083 filters).
+    ``depth`` supports 1/2/4 (grayscale only — raw sample values,
+    not yet display-scaled), 8, and 16 (big-endian samples);
+    ``interlace=True`` emits the seven Adam7 sub-images in spec
+    order. Test/oracle synthesis for :func:`decode_png_pixels`;
+    every output is a valid PNG any viewer opens."""
     import zlib
 
     import numpy as np
@@ -857,43 +954,37 @@ def encode_png(pixels, filters=None) -> bytes:
         raise ValueError(
             f"expected HxW or HxWx{{2,3,4}} pixels, got {px.shape}"
         )
-    h, w, ch = px.shape
-    if filters is None:
-        filters = [r % 5 for r in range(h)]
-    raw = bytearray()
-    flat = px.reshape(h, w * ch)
-    zero = np.zeros(w * ch, dtype=np.int64)
-    for r in range(h):
-        t = filters[r]
-        row = flat[r]
-        prior = flat[r - 1] if r > 0 else zero
-        left = np.concatenate([np.zeros(ch, dtype=np.int64), row[:-ch]])
-        upleft = np.concatenate(
-            [np.zeros(ch, dtype=np.int64), prior[:-ch]]
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"PNG: depth {depth} invalid for color type {color_type}"
         )
-        if t == 0:
-            filt = row
-        elif t == 1:
-            filt = row - left
-        elif t == 2:
-            filt = row - prior
-        elif t == 3:
-            filt = row - (left + prior) // 2
-        elif t == 4:
-            pred = np.empty_like(row)
-            for x in range(len(row)):
-                pred[x] = _paeth(
-                    int(left[x]), int(prior[x]), int(upleft[x])
-                )
-            filt = row - pred
-        else:
-            raise ValueError(f"bad filter type {t}")
-        raw.append(t)
-        raw.extend((filt % 256).astype(np.uint8).tobytes())
+    if px.min(initial=0) < 0 or px.max(initial=0) >= (1 << depth):
+        raise ValueError(f"PNG: sample out of range for depth {depth}")
+    h, w, ch = px.shape
+    bpp = max(1, ch * depth // 8)
+    passes = _ADAM7 if interlace else [(0, 1, 0, 1)]
+    pass_rows = []
+    n_lines = 0
+    for x0, dx, y0, dy in passes:
+        sub = px[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        pass_rows.append(
+            _png_pack_samples(sub.reshape(ph, pw * ch), depth)
+        )
+        n_lines += ph
+    if filters is None:
+        filters = [i % 5 for i in range(n_lines)]
+    raw = bytearray()
+    k = 0
+    for rows in pass_rows:
+        _png_filter_rows(rows, bpp, filters[k:k + rows.shape[0]], raw)
+        k += rows.shape[0]
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([depth, color_type, 0, 0, 1 if interlace else 0])
     )
     return (
         PNG_SIG
@@ -929,17 +1020,22 @@ def decode_png_pixels(payload: bytes):
     """REAL PNG pixel decode, pure stdlib (VERDICT r11 #2): chunk
     walk with CRC32 verification, IDAT concatenation +
     ``zlib.decompress``, then per-scanline UNFILTERING of all five
-    RFC 2083 filter types. Returns ``H x W`` (grayscale),
-    ``H x W x 2`` (gray+alpha), ``H x W x 3`` (truecolor — palette
-    images come back PLTE-applied), or ``H x W x 4`` (RGBA) uint8
-    numpy arrays.
+    RFC 2083 filter types (byte-level, left neighbor at ``bpp``).
+    Returns ``H x W`` (grayscale), ``H x W x 2`` (gray+alpha),
+    ``H x W x 3`` (truecolor — palette images come back
+    PLTE-applied), or ``H x W x 4`` (RGBA) numpy arrays — uint8,
+    except 16-bit images which come back uint16.
 
-    Supports bit depth 8 in ALL five color types (0 gray, 2 RGB,
-    3 palette, 4 gray+alpha, 6 RGBA) — validated against the 25
-    third-party PNG assets inside this container's Spark/Hadoop/
-    Scala jars; 16-bit and Adam7 interlace raise
-    :class:`UnsupportedImageError` naming the field, corruption
-    raises plain ``ValueError``.
+    Supports EVERY legal spec combination (Table 11.1): all five
+    color types (0 gray, 2 RGB, 3 palette, 4 gray+alpha, 6 RGBA) at
+    every legal bit depth (1/2/4/8/16 — sub-byte samples unpack
+    MSB-first and grayscale display-scales to 0–255, 16-bit reads
+    big-endian), both non-interlaced and Adam7 (seven sub-images,
+    each independently filtered). Validated against the third-party
+    PNG assets inside this container's Spark/Hadoop/Scala jars.
+    Illegal depth/type pairings, broken geometry and CRC/deflate
+    damage raise plain ``ValueError``; only color types outside the
+    spec's five raise :class:`UnsupportedImageError`.
 
     The unfilter recurrences (Sub/Average/Paeth read the
     already-reconstructed left neighbor) are inherently sequential
@@ -983,22 +1079,25 @@ def decode_png_pixels(payload: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise UnsupportedImageError(
-            f"PNG: unsupported bit depth {depth}"
-        )
-    # every 8-bit color type: 0 gray, 2 RGB, 3 palette (PLTE lookup),
-    # 4 gray+alpha, 6 RGBA — the full real-world set; the scala/
-    # hadoop UI assets in this very container are types 3/4/6
-    if color_type not in (0, 2, 3, 4, 6):
+    # every color type: 0 gray, 2 RGB, 3 palette (PLTE lookup),
+    # 4 gray+alpha, 6 RGBA — the full spec set; the scala/hadoop UI
+    # assets in this very container are types 3/4/6
+    if color_type not in _PNG_CHANNELS:
         raise UnsupportedImageError(
             f"PNG: unsupported color type {color_type}"
         )
-    if interlace != 0:
-        raise UnsupportedImageError("PNG: Adam7 interlace unsupported")
+    if depth not in _PNG_DEPTHS[color_type]:
+        # an illegal depth/type pairing is a corrupt file (spec
+        # Table 11.1), not a missing feature
+        raise ValueError(
+            f"PNG: invalid bit depth {depth} for color type "
+            f"{color_type}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: bad interlace method {interlace}")
     if color_type == 3 and plte is None:
         raise ValueError("PNG: palette image missing PLTE chunk")
-    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    ch = _PNG_CHANNELS[color_type]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -1007,50 +1106,87 @@ def decode_png_pixels(payload: bytes):
         # contract (callers' PIL fallback and batch error handling
         # key on it)
         raise ValueError(f"PNG: IDAT inflate failed ({exc})") from exc
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
+
+    bpp = max(1, ch * depth // 8)
+
+    def unfilter(off: int, ph: int, stride: int):
+        rows = np.zeros((ph, stride), dtype=np.int64)
+        for r in range(ph):
+            if off + 1 + stride > len(raw):
+                raise ValueError(
+                    f"PNG: IDAT stream is {len(raw)} bytes, "
+                    "shorter than the scanline geometry requires"
+                )
+            t = raw[off]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=off + 1
+            ).astype(np.int64)
+            off += 1 + stride
+            prior = rows[r - 1] if r > 0 else np.zeros(
+                stride, dtype=np.int64
+            )
+            if t == 0:
+                rows[r] = line
+            elif t == 2:
+                rows[r] = (line + prior) % 256
+            elif t in (1, 3, 4):
+                rec = rows[r]
+                for x in range(stride):
+                    a = int(rec[x - bpp]) if x >= bpp else 0
+                    if t == 1:
+                        pred = a
+                    elif t == 3:
+                        pred = (a + int(prior[x])) // 2
+                    else:
+                        c = int(prior[x - bpp]) if x >= bpp else 0
+                        pred = _paeth(a, int(prior[x]), c)
+                    rec[x] = (int(line[x]) + pred) % 256
+            else:
+                raise ValueError(
+                    f"PNG: bad filter type {t} in row {r}"
+                )
+        return rows, off
+
+    samples = np.zeros((h, w * ch), dtype=np.int64)
+    off = 0
+    if interlace == 0:
+        stride = (w * ch * depth + 7) // 8
+        rows, off = unfilter(0, h, stride)
+        samples = _png_extract_samples(rows, w * ch, depth)
+    else:
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * ch * depth + 7) // 8
+            rows, off = unfilter(off, ph, stride)
+            sub = _png_extract_samples(rows, pw * ch, depth)
+            grid = samples.reshape(h, w, ch)
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    if off != len(raw):
         raise ValueError(
             f"PNG: IDAT stream is {len(raw)} bytes, "
-            f"expected {h * (1 + stride)}"
+            f"expected {off}"
         )
-    out = np.zeros((h, stride), dtype=np.int64)
-    for r in range(h):
-        t = raw[r * (1 + stride)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride,
-            offset=r * (1 + stride) + 1,
-        ).astype(np.int64)
-        prior = out[r - 1] if r > 0 else np.zeros(
-            stride, dtype=np.int64
-        )
-        if t == 0:
-            out[r] = line
-        elif t == 2:
-            out[r] = (line + prior) % 256
-        elif t in (1, 3, 4):
-            rec = out[r]
-            for x in range(stride):
-                a = int(rec[x - ch]) if x >= ch else 0
-                if t == 1:
-                    pred = a
-                elif t == 3:
-                    pred = (a + int(prior[x])) // 2
-                else:
-                    c = int(prior[x - ch]) if x >= ch else 0
-                    pred = _paeth(a, int(prior[x]), c)
-                rec[x] = (int(line[x]) + pred) % 256
-        else:
-            raise ValueError(f"PNG: bad filter type {t} in row {r}")
-    arr = out.astype(np.uint8)
+
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8)
         if len(pal) % 3:
             raise ValueError("PNG: PLTE length not a multiple of 3")
         pal = pal.reshape(-1, 3)
-        idx = arr.reshape(h, w)
+        idx = samples.reshape(h, w)
         if idx.max(initial=0) >= len(pal):
             raise ValueError("PNG: palette index beyond PLTE")
         return pal[idx]
+    if depth == 16:
+        arr = samples.astype(np.uint16)
+    elif depth < 8:
+        # display-scale sub-byte grayscale to the full 8-bit range
+        # (spec §12.5 sample depth scaling; what PIL's convert does)
+        arr = (samples * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    else:
+        arr = samples.astype(np.uint8)
     return arr.reshape(h, w) if ch == 1 else arr.reshape(h, w, ch)
 
 

@@ -139,13 +139,14 @@ def test_png_decode_verifies_crc_and_structure():
         _png_chunk,
     )
 
-    ihdr16 = (
+    # a spec-illegal pairing (16-bit palette) is corruption, loud
+    ihdr_bad = (
         (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
-        + bytes([16, 0, 0, 0, 0])
+        + bytes([16, 3, 0, 0, 0])
     )
     with pytest.raises(ValueError, match="bit depth"):
         decode_png_pixels(
-            PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+            PNG_SIG + _png_chunk(b"IHDR", ihdr_bad)
             + _png_chunk(b"IDAT", b"x")
         )
 
@@ -765,23 +766,23 @@ def test_gif_frame_count_and_pil_fallback_contract():
     assert count_gif_frames(three) == 3
     assert decode_image_real(three) == (4, 3, 3)
     if not _pil_available():
-        # unsupported PNG subtype with no PIL: the stdlib error
-        # surfaces as-is (a PIL-equipped deployment falls back).
-        # RGBA decodes for real now, so 16-bit depth is the
-        # remaining unsupported example; broken deflate data is
-        # also normalized to the ValueError contract.
+        # every legal PNG tier decodes for real now (16-bit and
+        # Adam7 included), so the loud-error examples are a
+        # spec-ILLEGAL depth/type pairing (corruption-class) and
+        # broken deflate data — both normalized to the ValueError
+        # contract with no PIL to fall back to.
         from matrixinversion_spark.pipeline.multimodal import (
             PNG_SIG,
             _png_chunk,
         )
 
-        ihdr16 = (
+        ihdr_bad = (
             (2).to_bytes(4, "big") + (2).to_bytes(4, "big")
-            + bytes([16, 6, 0, 0, 0])
+            + bytes([16, 3, 0, 0, 0])   # 16-bit PALETTE: illegal
         )
         with pytest.raises(ValueError, match="bit depth"):
             decode_image_real(
-                PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+                PNG_SIG + _png_chunk(b"IHDR", ihdr_bad)
                 + _png_chunk(b"IDAT", b"x")
             )
         rgba_ihdr = (
@@ -1194,3 +1195,100 @@ def test_jpeg_review_findings_regressions():
 
     with pytest.raises(ValueError, match="65535"):
         encode_jpeg(np.zeros((70000, 8), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# PNG full-spec tiers: 1/2/4/16-bit depths + Adam7 interlace
+# ---------------------------------------------------------------------------
+
+
+def test_png_full_depth_and_interlace_roundtrip():
+    """Every legal (color type x depth x interlace) combination the
+    encoder can emit round-trips: 16-bit in all four non-palette
+    types, sub-byte grayscale (display-scaled on decode), and Adam7
+    for each — including canvas sizes where several of the seven
+    passes are empty."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(41)
+    for shape in [(9, 11), (4, 5, 2), (7, 3, 3), (2, 2, 4), (1, 1),
+                  (8, 1, 3), (1, 9, 4)]:
+        px = rng.integers(0, 65536, size=shape).astype(np.uint16)
+        for interlace in (False, True):
+            got = decode_png_pixels(
+                encode_png(px, depth=16, interlace=interlace)
+            )
+            assert got.dtype == np.uint16
+            assert got.shape == px.shape and (got == px).all()
+    for d in (1, 2, 4):
+        mx = (1 << d) - 1
+        for shape in [(9, 13), (1, 1), (8, 8), (3, 17), (17, 3)]:
+            raw = rng.integers(0, 1 << d, size=shape)
+            want = (raw * 255 // mx).astype(np.uint8)
+            for interlace in (False, True):
+                got = decode_png_pixels(
+                    encode_png(raw, depth=d, interlace=interlace)
+                )
+                assert (got == want).all(), (d, shape, interlace)
+    # 8-bit Adam7 across all four channel counts (the pre-existing
+    # non-interlaced round-trips stay covered by the filter tests)
+    for shape in [(3, 5), (7, 7, 2), (2, 9, 3), (6, 4, 4), (8, 1)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        got = decode_png_pixels(encode_png(px, interlace=True))
+        assert (got == px).all(), shape
+
+
+def test_png_handbuilt_spec_fixtures_decode():
+    """INDEPENDENT of the encoder twin: IDAT scanlines written by
+    hand straight from the spec (MSB-first sub-byte packing,
+    big-endian 16-bit samples, Adam7 pass order for a 2x2 canvas) —
+    a symmetric pack/unpack bug in the codec pair cannot cancel
+    here."""
+    import zlib
+
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    def png(w, h, depth, ctype, interlace, raw):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, ctype, 0, 0, interlace])
+        )
+        return (
+            PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 1-bit gray 2x2, pixels [[1,0],[0,1]]: rows pack MSB-first to
+    # 0b10000000 and 0b01000000, each behind a None filter byte
+    got = decode_png_pixels(png(2, 2, 1, 0, 0, b"\x00\x80\x00\x40"))
+    assert (got == np.array([[255, 0], [0, 255]])).all()
+    # 2-bit gray 1x3, samples 3,0,2 -> bits 11 00 10 + 2 pad = 0xC8
+    got = decode_png_pixels(png(3, 1, 2, 0, 0, b"\x00\xc8"))
+    assert (got == np.array([[255, 0, 170]])).all()  # 2*255//3 = 170
+    # 16-bit gray 2x1: big-endian 0x1234, 0xABCD on one scanline
+    got = decode_png_pixels(
+        png(2, 1, 16, 0, 0, b"\x00\x12\x34\xab\xcd")
+    )
+    assert got.dtype == np.uint16
+    assert (got == np.array([[0x1234, 0xABCD]])).all()
+    # Adam7 8-bit gray 2x2 [[a,b],[c,d]]: pass 1 holds (0,0), pass 6
+    # holds (0,1), pass 7 holds row 1 — three scanlines in that order
+    a, b, c, d = 10, 20, 30, 40
+    raw = bytes([0, a, 0, b, 0, c, d])
+    got = decode_png_pixels(png(2, 2, 8, 0, 1, raw))
+    assert (got == np.array([[a, b], [c, d]])).all()
+    # geometry strictness: one trailing byte beyond the passes
+    with pytest.raises(ValueError, match="expected"):
+        decode_png_pixels(png(2, 2, 8, 0, 1, raw + b"\x00"))
