@@ -901,10 +901,10 @@ def _png_filter_rows(rows, bpp: int, filters, raw: bytearray) -> None:
         t = filters[r]
         row = rows[r].astype(np.int64)
         prior = rows[r - 1].astype(np.int64) if r > 0 else zero
-        left = np.concatenate([pad, row[:-bpp]]) if stride > bpp \
-            else np.zeros(stride, dtype=np.int64)
-        upleft = np.concatenate([pad, prior[:-bpp]]) if stride > bpp \
-            else np.zeros(stride, dtype=np.int64)
+        # stride >= bpp always holds for a non-empty pass, and at
+        # stride == bpp the concatenate correctly yields all-zeros
+        left = np.concatenate([pad, row[:-bpp]])
+        upleft = np.concatenate([pad, prior[:-bpp]])
         if t == 0:
             filt = row
         elif t == 1:
@@ -976,6 +976,12 @@ def encode_png(pixels, filters=None, depth: int = 8,
         n_lines += ph
     if filters is None:
         filters = [i % 5 for i in range(n_lines)]
+    elif len(filters) < n_lines:
+        raise ValueError(
+            f"PNG: {len(filters)} filter types for {n_lines} emitted "
+            "scanlines (Adam7 emits one per SUB-IMAGE row, not per "
+            "image row)"
+        )
     raw = bytearray()
     k = 0
     for rows in pass_rows:
@@ -1095,6 +1101,8 @@ def decode_png_pixels(payload: bytes):
         )
     if interlace not in (0, 1):
         raise ValueError(f"PNG: bad interlace method {interlace}")
+    if w == 0 or h == 0:
+        raise ValueError("PNG: zero image dimension")
     if color_type == 3 and plte is None:
         raise ValueError("PNG: palette image missing PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
@@ -1147,28 +1155,42 @@ def decode_png_pixels(payload: bytes):
                 )
         return rows, off
 
-    samples = np.zeros((h, w * ch), dtype=np.int64)
-    off = 0
+    # resolve the pass geometry up front and check the inflated
+    # stream length against it BEFORE any pixel allocation — header
+    # dimensions are attacker-forgeable, so a huge-dims/short-IDAT
+    # payload must fail as the documented ValueError, never as a
+    # MemoryError from np.zeros (the pre-refactor decoder had this
+    # same guard in its single-pass form)
     if interlace == 0:
-        stride = (w * ch * depth + 7) // 8
-        rows, off = unfilter(0, h, stride)
-        samples = _png_extract_samples(rows, w * ch, depth)
+        geom = [(0, 1, 0, 1, h, w)]
     else:
+        geom = []
         for x0, dx, y0, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx if w > x0 else 0
             ph = (h - y0 + dy - 1) // dy if h > y0 else 0
-            if pw == 0 or ph == 0:
-                continue
+            if pw and ph:
+                geom.append((x0, dx, y0, dy, ph, pw))
+    expected = sum(
+        ph * (1 + (pw * ch * depth + 7) // 8)
+        for _, _, _, _, ph, pw in geom
+    )
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG: IDAT stream is {len(raw)} bytes, "
+            f"expected {expected}"
+        )
+    off = 0
+    if interlace == 0:
+        rows, off = unfilter(0, h, (w * ch * depth + 7) // 8)
+        samples = _png_extract_samples(rows, w * ch, depth)
+    else:
+        samples = np.zeros((h, w * ch), dtype=np.int64)
+        for x0, dx, y0, dy, ph, pw in geom:
             stride = (pw * ch * depth + 7) // 8
             rows, off = unfilter(off, ph, stride)
             sub = _png_extract_samples(rows, pw * ch, depth)
             grid = samples.reshape(h, w, ch)
             grid[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
-    if off != len(raw):
-        raise ValueError(
-            f"PNG: IDAT stream is {len(raw)} bytes, "
-            f"expected {off}"
-        )
 
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8)

@@ -1292,3 +1292,40 @@ def test_png_handbuilt_spec_fixtures_decode():
     # geometry strictness: one trailing byte beyond the passes
     with pytest.raises(ValueError, match="expected"):
         decode_png_pixels(png(2, 2, 8, 0, 1, raw + b"\x00"))
+
+
+def test_png_decoder_hostile_header_and_filter_contract():
+    """Review pins: forged huge dimensions with a short IDAT reject
+    as the documented ValueError BEFORE any pixel allocation (never
+    MemoryError), zero dimensions are corruption, and an explicit
+    filters list shorter than the emitted Adam7 scanline count is a
+    clear ValueError rather than a deep IndexError."""
+    import zlib
+
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    def png(w, h, raw):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 0, 0, 0, 0])
+        )
+        return (
+            PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="expected"):
+        decode_png_pixels(png(50000, 50000, b"\x00\x00"))
+    with pytest.raises(ValueError, match="zero image dimension"):
+        decode_png_pixels(png(0, 2, b"\x00\x00"))
+    px = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="emitted"):
+        encode_png(px, filters=[0] * 4, interlace=True)
