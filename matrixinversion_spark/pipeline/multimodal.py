@@ -1708,6 +1708,304 @@ def p_multimodal_decode_gif_real(
     )
 
 
+def encode_gif_animation(frames, palette, rects=None, disposals=None,
+                         transparent_index=None) -> bytes:
+    """Encode a REAL multi-frame GIF89a animation: one Graphic
+    Control Extension (disposal method + optional transparency
+    index) before each image descriptor, frames placed at their own
+    ``(left, top)`` rects on a logical screen sized to the maximal
+    extent, one shared global color table, genuine LZW data per
+    frame. Synthesis twin of :func:`decode_gif_frames`."""
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.int64)
+    if pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("expected Nx3 palette")
+    frames = [np.asarray(f, dtype=np.int64) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    rects = rects or [(0, 0)] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    screen_w = max(l + f.shape[1] for f, (l, t) in zip(frames, rects))
+    screen_h = max(t + f.shape[0] for f, (l, t) in zip(frames, rects))
+    gct_bits = max(1, (max(len(pal), 2) - 1).bit_length())
+    gct_size = 1 << gct_bits
+    pal_bytes = bytearray()
+    for k in range(gct_size):
+        pal_bytes.extend(
+            bytes(int(v) for v in pal[k]) if k < len(pal)
+            else b"\x00\x00\x00"
+        )
+    out = bytearray(b"GIF89a")
+    out += screen_w.to_bytes(2, "little")
+    out += screen_h.to_bytes(2, "little")
+    out += bytes([0x80 | (gct_bits - 1), 0, 0])
+    out += pal_bytes
+    min_code = max(2, gct_bits)
+    for f, (left, top), disp in zip(frames, rects, disposals):
+        if f.max(initial=0) >= len(pal):
+            raise ValueError("index exceeds palette")
+        h, w = f.shape
+        packed = (disp & 0x7) << 2
+        tidx = 0
+        if transparent_index is not None:
+            packed |= 0x01
+            tidx = transparent_index
+        out += bytes([0x21, 0xF9, 0x04, packed, 0, 0, tidx, 0x00])
+        out += b"\x2c"
+        out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0, min_code])
+        lzw = _lzw_encode(f.reshape(-1), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """REAL animated-GIF decode: every frame COMPOSITED onto the
+    logical screen per the GIF89a rendering model — Graphic Control
+    Extension state (disposal methods 0–3, transparency index),
+    sub-rect frames drawn at their (left, top), local color tables
+    overriding the global one per frame, interlaced frames. Returns
+    an ``(n_frames, H, W, 3)`` uint8 stack at logical-screen size;
+    the initial canvas (and disposal-2 restores) use the background
+    color from the global table (black when there is none — the
+    spec leaves 'transparent' rendering to the application, and an
+    RGB stack has no alpha to carry it).
+
+    Where :func:`decode_gif_pixels` returns frame 1 at its own
+    rect, this is the video-adjacent path: real frame extraction
+    for the frame-sampling pipeline. Corruption (truncated blocks,
+    out-of-bounds rects, palette overruns) raises ``ValueError``."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated logical screen descriptor")
+    screen_w = int.from_bytes(payload[6:8], "little")
+    screen_h = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("GIF: truncated global color table")
+        global_pal = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (
+        global_pal[bg_index].astype(np.uint8)
+        if global_pal is not None and bg_index < len(global_pal)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(
+        bg_rgb, (screen_h, screen_w, 3)
+    ).copy()
+    frames = []
+    disposal = 0
+    transparent = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("GIF: truncated extension")
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(payload) \
+                    and payload[pos] >= 4:
+                gce = payload[pos + 1:pos + 5]
+                disposal = (gce[0] >> 2) & 0x7
+                transparent = gce[3] if gce[0] & 0x01 else None
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("GIF: truncated image descriptor")
+            left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            flags = payload[pos + 9]
+            pos += 10
+            if left + w > screen_w or top + h > screen_h:
+                raise ValueError(
+                    "GIF: frame rect exceeds the logical screen"
+                )
+            pal = global_pal
+            if flags & 0x80:
+                n = 2 << (flags & 0x07)
+                if pos + 3 * n > len(payload):
+                    raise ValueError(
+                        "GIF: truncated local color table"
+                    )
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF: no color table for frame")
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated before LZW data")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunk = payload[pos + 1:pos + 1 + ln]
+                if len(chunk) != ln:
+                    raise ValueError("GIF: truncated data sub-block")
+                data.extend(chunk)
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(
+                _lzw_decode(bytes(data), min_code, w * h),
+                dtype=np.int64,
+            ).reshape(h, w)
+            if flags & 0x40:
+                out = np.empty_like(idx)
+                out[_interlace_order(h)] = idx
+                idx = out
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError(
+                    "GIF: pixel index beyond color table"
+                )
+            snapshot = canvas.copy() if disposal == 3 else None
+            region = canvas[top:top + h, left:left + w]
+            rgb = pal[idx].astype(np.uint8)
+            if transparent is None:
+                region[:] = rgb
+            else:
+                keep = idx != transparent
+                region[keep] = rgb[keep]
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top:top + h, left:left + w] = bg_rgb
+            elif disposal == 3:
+                canvas = snapshot
+            disposal = 0
+            transparent = None
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b:02x} at {pos}")
+    if not frames:
+        raise ValueError("GIF: no image frame found")
+    return np.stack(frames)
+
+
+_GIF_ANIM_NF_MOD = 3              # frames per doc: 1..3
+_GIF_ANIM_W_MOD, _GIF_ANIM_W_MIN = 5, 2
+_GIF_ANIM_H_MOD, _GIF_ANIM_H_MIN = 4, 2
+
+_GIF_ANIM_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           doc_id % {_GIF_ANIM_NF_MOD} + 1 AS nf,
+           doc_id % {_GIF_ANIM_W_MOD} + {_GIF_ANIM_W_MIN} AS w,
+           doc_id % {_GIF_ANIM_H_MOD} + {_GIF_ANIM_H_MIN} AS h
+    FROM documents),
+px AS (
+    SELECT d.doc_id, d.w, d.h, f.f,
+           (d.doc_id + f.f*5 + r.r*3 + c.c) % 8 AS k
+    FROM d,
+         generate_series(0, {_GIF_ANIM_NF_MOD - 1}) AS f(f),
+         generate_series(0, {_GIF_ANIM_H_MOD + _GIF_ANIM_H_MIN - 2})
+             AS r(r),
+         generate_series(0, {_GIF_ANIM_W_MOD + _GIF_ANIM_W_MIN - 2})
+             AS c(c)
+    WHERE f.f < d.nf AND r.r < d.h AND c.c < d.w)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_no,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum((doc_id*7 + k*29) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id*11 + k*31) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id*13 + k*37) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, f, w, h
+"""
+
+
+@query("p_multimodal_gif_frames", oracle=_GIF_ANIM_SQL)
+def p_multimodal_gif_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL animated-GIF frame extraction end-to-end — the
+    video-adjacent explode-shaped contract (rows out > rows in) of
+    ``p_multimodal_frame_sample``, but over a REAL codec instead of
+    plumbing fakes: stage 1 encodes a genuine multi-frame GIF89a per
+    document (1–3 full-canvas frames, planted palette and index
+    pattern both doc_id-derived, real per-frame GCE + LZW); stage 2
+    decodes EVERY frame via :func:`decode_gif_frames` (the
+    composited animation walk) and emits one row per frame with
+    per-channel pixel sums the DuckDB oracle replays from doc_id
+    alone. A frame-order, palette-lookup, or compositing bug
+    hash-fails."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nf = i % _GIF_ANIM_NF_MOD + 1
+                w = i % _GIF_ANIM_W_MOD + _GIF_ANIM_W_MIN
+                h = i % _GIF_ANIM_H_MOD + _GIF_ANIM_H_MIN
+                pal = np.stack(
+                    [
+                        (i * 7 + np.arange(8) * 29) % 256,
+                        (i * 11 + np.arange(8) * 31) % 256,
+                        (i * 13 + np.arange(8) * 37) % 256,
+                    ],
+                    axis=1,
+                )
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                frames = [
+                    (i + f * 5 + r * 3 + c) % 8 for f in range(nf)
+                ]
+                payloads.append(encode_gif_animation(frames, pal))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_no": [], "width": [],
+                "height": [], "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                stack = decode_gif_frames(bytes(p)).astype("int64")
+                for f in range(stack.shape[0]):
+                    rows["doc_id"].append(int(i))
+                    rows["frame_no"].append(f)
+                    rows["width"].append(stack.shape[2])
+                    rows["height"].append(stack.shape[1])
+                    rows["sum_r"].append(int(stack[f, :, :, 0].sum()))
+                    rows["sum_g"].append(int(stack[f, :, :, 1].sum()))
+                    rows["sum_b"].append(int(stack[f, :, :, 2].sum()))
+            yield pd.DataFrame(rows)
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        (
+            "doc_id bigint, frame_no int, width int, height int, "
+            "sum_r bigint, sum_g bigint, sum_b bigint"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # REAL baseline JPEG codec — pure numpy (ITU T.81 sequential DCT:
 # FDCT/IDCT, canonical Huffman, zigzag, byte stuffing, restart

@@ -1329,3 +1329,157 @@ def test_png_decoder_hostile_header_and_filter_contract():
     px = np.zeros((4, 4), dtype=np.uint8)
     with pytest.raises(ValueError, match="emitted"):
         encode_png(px, filters=[0] * 4, interlace=True)
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: full multi-frame composited decode
+# ---------------------------------------------------------------------------
+
+
+def test_gif_animation_roundtrip_and_compositing():
+    """Full-canvas frames round-trip exactly; sub-rect frames
+    composite at their (left, top) with transparency showing the
+    prior canvas through; disposal 2 restores the frame rect to the
+    background color and disposal 3 restores the pre-frame canvas —
+    each checked against a hand-built numpy compositor."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_gif_frames,
+        decode_gif_pixels,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(8, 3))
+    frames = [rng.integers(0, 8, size=(5, 7)) for _ in range(3)]
+    stack = decode_gif_frames(encode_gif_animation(frames, pal))
+    assert stack.shape == (3, 5, 7, 3)
+    for f in range(3):
+        assert (stack[f] == pal[frames[f]]).all(), f
+
+    base = np.zeros((6, 6), dtype=int)
+    patch = np.full((2, 2), 3, dtype=int)
+    patch[0, 0] = 7  # transparent index
+    stack = decode_gif_frames(
+        encode_gif_animation(
+            [base, patch], pal, rects=[(0, 0), (2, 1)],
+            transparent_index=7,
+        )
+    )
+    want0 = pal[base]
+    want1 = want0.copy()
+    want1[1:3, 2:4] = pal[patch]
+    want1[1, 2] = want0[1, 2]
+    assert (stack[0] == want0).all()
+    assert (stack[1] == want1).all()
+
+    f0 = np.full((4, 4), 2, dtype=int)
+    f1 = np.full((2, 2), 5, dtype=int)
+    bg = pal[0]  # background color index byte is 0
+    stack = decode_gif_frames(
+        encode_gif_animation(
+            [f0, f1, f1], pal, rects=[(0, 0), (1, 1), (2, 2)],
+            disposals=[0, 2, 0],
+        )
+    )
+    w1 = pal[f0].copy()
+    w1[1:3, 1:3] = pal[5]
+    w2 = pal[f0].copy()
+    w2[1:3, 1:3] = bg
+    w2[2:4, 2:4] = pal[5]
+    assert (stack[1] == w1).all()
+    assert (stack[2] == w2).all()
+
+    enc = encode_gif_animation(
+        [f0, f1, f1], pal, rects=[(0, 0), (1, 1), (2, 2)],
+        disposals=[0, 3, 0],
+    )
+    stack = decode_gif_frames(enc)
+    w2 = pal[f0].copy()
+    w2[2:4, 2:4] = pal[5]
+    assert (stack[2] == w2).all()
+    # the single-frame decoder still reads an animation's first frame
+    assert (decode_gif_pixels(enc) == pal[f0]).all()
+
+
+def test_gif_animation_rejects_oob_rect():
+    """A frame rect beyond the logical screen is corruption — built
+    by shrinking the screen bytes of a valid animation (the encoder
+    itself always sizes the screen to the maximal extent)."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = np.arange(24).reshape(8, 3)
+    enc = bytearray(
+        encode_gif_animation([np.zeros((4, 4), dtype=int)], pal)
+    )
+    enc[6:8] = (2).to_bytes(2, "little")  # screen width 4 -> 2
+    with pytest.raises(ValueError, match="exceeds the logical"):
+        decode_gif_frames(bytes(enc))
+
+
+def test_gif_animation_decodes_third_party_busy_gif():
+    """INDEPENDENT validation: hadoop's busy.gif is a real-world
+    8-frame animation — every frame must decode, composite to the
+    25x25 logical screen, and the frames must actually differ."""
+    import glob
+    import os
+    import zipfile
+
+    import pyspark
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_gif_frames,
+    )
+
+    base = os.path.dirname(pyspark.__file__)
+    for jar in sorted(glob.glob(f"{base}/jars/*.jar")):
+        try:
+            z = zipfile.ZipFile(jar)
+        except Exception:
+            continue
+        for n in z.namelist():
+            if n.endswith("busy.gif"):
+                stack = decode_gif_frames(z.read(n))
+                assert stack.shape == (8, 25, 25, 3)
+                assert len(
+                    {stack[f].tobytes() for f in range(8)}
+                ) == 8
+                return
+    pytest.skip("busy.gif not shipped in this env's jars")
+
+
+def test_gif_frames_query_matches_plant(spark):
+    """End-to-end: the registered explode-shaped query's per-frame
+    channel sums equal the plant replayed in plain Python."""
+    from matrixinversion_spark.pipeline.multimodal import (
+        _GIF_ANIM_H_MIN,
+        _GIF_ANIM_H_MOD,
+        _GIF_ANIM_NF_MOD,
+        _GIF_ANIM_W_MIN,
+        _GIF_ANIM_W_MOD,
+        p_multimodal_gif_frames,
+    )
+
+    rows = p_multimodal_gif_frames(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:60]:
+        i, f = r["doc_id"], r["frame_no"]
+        nf = i % _GIF_ANIM_NF_MOD + 1
+        w = i % _GIF_ANIM_W_MOD + _GIF_ANIM_W_MIN
+        h = i % _GIF_ANIM_H_MOD + _GIF_ANIM_H_MIN
+        assert 0 <= f < nf
+        assert (r["width"], r["height"]) == (w, h)
+        sr = sg = sb = 0
+        for rr in range(h):
+            for cc in range(w):
+                k = (i + f * 5 + rr * 3 + cc) % 8
+                sr += (i * 7 + k * 29) % 256
+                sg += (i * 11 + k * 31) % 256
+                sb += (i * 13 + k * 37) % 256
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sr, sg, sb)
