@@ -1442,6 +1442,33 @@ def _interlace_order(h: int) -> list[int]:
     ]
 
 
+def _gif_palette_bytes(pal) -> tuple[int, bytes]:
+    """Power-of-two global-color-table serialization shared by both
+    encoders: returns ``(gct_bits, padded bytes)``."""
+    gct_bits = max(1, (max(len(pal), 2) - 1).bit_length())
+    gct_size = 1 << gct_bits
+    pal_bytes = bytearray()
+    for k in range(gct_size):
+        pal_bytes.extend(
+            bytes(int(v) for v in pal[k]) if k < len(pal)
+            else b"\x00\x00\x00"
+        )
+    return gct_bits, bytes(pal_bytes)
+
+
+def _gif_lzw_blocks(flat, min_code: int) -> bytes:
+    """LZW-compress a flat index stream and frame it in 255-byte
+    sub-blocks plus terminator (shared by both encoders)."""
+    lzw = _lzw_encode(flat, min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return bytes(blocks)
+
+
 def encode_gif(indices, palette, interlace: bool = False) -> bytes:
     """Encode a REAL single-frame GIF89a from an ``H x W`` palette-
     index array plus an ``N x 3`` palette: logical screen descriptor
@@ -1458,35 +1485,21 @@ def encode_gif(indices, palette, interlace: bool = False) -> bytes:
     if idx.max(initial=0) >= len(pal):
         raise ValueError("index exceeds palette")
     h, w = idx.shape
-    gct_bits = max(1, (max(len(pal), 2) - 1).bit_length())
-    gct_size = 1 << gct_bits
-    pal_bytes = bytearray()
-    for k in range(gct_size):
-        pal_bytes.extend(
-            bytes(int(v) for v in pal[k]) if k < len(pal)
-            else b"\x00\x00\x00"
-        )
+    gct_bits, pal_bytes = _gif_palette_bytes(pal)
     rows = _interlace_order(h) if interlace else range(h)
     flat = idx[list(rows)].reshape(-1)
     min_code = max(2, gct_bits)
-    lzw = _lzw_encode(flat, min_code)
-    blocks = bytearray()
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i:i + 255]
-        blocks.append(len(chunk))
-        blocks.extend(chunk)
-    blocks.append(0)  # block terminator
     return (
         b"GIF89a"
         + w.to_bytes(2, "little") + h.to_bytes(2, "little")
         + bytes([0x80 | (gct_bits - 1), 0, 0])   # GCT flag + size
-        + bytes(pal_bytes)
+        + pal_bytes
         + b"\x2c"                                 # image descriptor
         + bytes(4)                                # left/top = 0
         + w.to_bytes(2, "little") + h.to_bytes(2, "little")
         + bytes([0x40 if interlace else 0])
         + bytes([min_code])
-        + bytes(blocks)
+        + _gif_lzw_blocks(flat, min_code)
         + b"\x3b"                                 # trailer
     )
 
@@ -1531,6 +1544,36 @@ def count_gif_frames(payload: bytes) -> int:
     if frames == 0:
         raise ValueError("GIF: no image frame found")
     return frames
+
+
+def _gif_read_image_data(payload: bytes, pos: int, w: int, h: int,
+                         interlaced: bool):
+    """Shared frame-data walk for both GIF decoders: min-code byte,
+    sub-block reassembly, LZW decode, reshape, deinterlace. Returns
+    ``(indices HxW int64, position past the block terminator)``."""
+    import numpy as np
+
+    if pos >= len(payload):
+        raise ValueError("GIF: truncated before LZW data")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(payload) and payload[pos]:
+        ln = payload[pos]
+        chunk = payload[pos + 1:pos + 1 + ln]
+        if len(chunk) != ln:
+            raise ValueError("GIF: truncated data sub-block")
+        data.extend(chunk)
+        pos += 1 + ln
+    pos += 1
+    idx = np.array(
+        _lzw_decode(bytes(data), min_code, w * h), dtype=np.int64
+    ).reshape(h, w)
+    if interlaced:
+        out = np.empty_like(idx)
+        out[_interlace_order(h)] = idx
+        idx = out
+    return idx, pos
 
 
 def decode_gif_pixels(payload: bytes):
@@ -1581,27 +1624,11 @@ def decode_gif_pixels(payload: bytes):
                 pos += 3 * n
             if palette is None:
                 raise ValueError("GIF: no color table for frame")
-            min_code = payload[pos]
-            pos += 1
-            data = bytearray()
-            while pos < len(payload) and payload[pos]:
-                ln = payload[pos]
-                chunk = payload[pos + 1:pos + 1 + ln]
-                if len(chunk) != ln:
-                    raise ValueError("GIF: truncated data sub-block")
-                data.extend(chunk)
-                pos += 1 + ln
-            idx = np.array(
-                _lzw_decode(bytes(data), min_code, w * h),
-                dtype=np.int64,
+            img, pos = _gif_read_image_data(
+                payload, pos, w, h, bool(flags & 0x40)
             )
-            if idx.max(initial=0) >= len(palette):
+            if img.max(initial=0) >= len(palette):
                 raise ValueError("GIF: pixel index beyond color table")
-            img = idx.reshape(h, w)
-            if flags & 0x40:  # deinterlace
-                out = np.empty_like(img)
-                out[_interlace_order(h)] = img
-                img = out
             return palette[img].astype(np.uint8)
         elif b == 0x3B:
             break
@@ -1724,18 +1751,18 @@ def encode_gif_animation(frames, palette, rects=None, disposals=None,
     frames = [np.asarray(f, dtype=np.int64) for f in frames]
     if not frames:
         raise ValueError("need at least one frame")
-    rects = rects or [(0, 0)] * len(frames)
-    disposals = disposals or [0] * len(frames)
+    rects = rects if rects is not None else [(0, 0)] * len(frames)
+    disposals = (
+        disposals if disposals is not None else [0] * len(frames)
+    )
+    if len(rects) != len(frames) or len(disposals) != len(frames):
+        raise ValueError(
+            f"{len(frames)} frames but {len(rects)} rects / "
+            f"{len(disposals)} disposals — lengths must match"
+        )
     screen_w = max(l + f.shape[1] for f, (l, t) in zip(frames, rects))
     screen_h = max(t + f.shape[0] for f, (l, t) in zip(frames, rects))
-    gct_bits = max(1, (max(len(pal), 2) - 1).bit_length())
-    gct_size = 1 << gct_bits
-    pal_bytes = bytearray()
-    for k in range(gct_size):
-        pal_bytes.extend(
-            bytes(int(v) for v in pal[k]) if k < len(pal)
-            else b"\x00\x00\x00"
-        )
+    gct_bits, pal_bytes = _gif_palette_bytes(pal)
     out = bytearray(b"GIF89a")
     out += screen_w.to_bytes(2, "little")
     out += screen_h.to_bytes(2, "little")
@@ -1756,11 +1783,7 @@ def encode_gif_animation(frames, palette, rects=None, disposals=None,
         out += left.to_bytes(2, "little") + top.to_bytes(2, "little")
         out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
         out += bytes([0, min_code])
-        lzw = _lzw_encode(f.reshape(-1), min_code)
-        for i in range(0, len(lzw), 255):
-            chunk = lzw[i:i + 255]
-            out += bytes([len(chunk)]) + chunk
-        out += b"\x00"
+        out += _gif_lzw_blocks(f.reshape(-1), min_code)
     out += b"\x3b"
     return bytes(out)
 
@@ -1819,13 +1842,21 @@ def decode_gif_frames(payload: bytes):
                 raise ValueError("GIF: truncated extension")
             label = payload[pos + 1]
             pos += 2
-            if label == 0xF9 and pos < len(payload) \
+            if label == 0xF9 and pos + 5 <= len(payload) \
                     and payload[pos] >= 4:
                 gce = payload[pos + 1:pos + 5]
                 disposal = (gce[0] >> 2) & 0x7
                 transparent = gce[3] if gce[0] & 0x01 else None
             while pos < len(payload) and payload[pos]:
+                if pos + 1 + payload[pos] > len(payload):
+                    raise ValueError(
+                        "GIF: truncated extension sub-block"
+                    )
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError(
+                    "GIF: extension missing its block terminator"
+                )
             pos += 1
         elif b == 0x2C:  # image descriptor
             if pos + 10 > len(payload):
@@ -1853,27 +1884,9 @@ def decode_gif_frames(payload: bytes):
                 pos += 3 * n
             if pal is None:
                 raise ValueError("GIF: no color table for frame")
-            if pos >= len(payload):
-                raise ValueError("GIF: truncated before LZW data")
-            min_code = payload[pos]
-            pos += 1
-            data = bytearray()
-            while pos < len(payload) and payload[pos]:
-                ln = payload[pos]
-                chunk = payload[pos + 1:pos + 1 + ln]
-                if len(chunk) != ln:
-                    raise ValueError("GIF: truncated data sub-block")
-                data.extend(chunk)
-                pos += 1 + ln
-            pos += 1
-            idx = np.array(
-                _lzw_decode(bytes(data), min_code, w * h),
-                dtype=np.int64,
-            ).reshape(h, w)
-            if flags & 0x40:
-                out = np.empty_like(idx)
-                out[_interlace_order(h)] = idx
-                idx = out
+            idx, pos = _gif_read_image_data(
+                payload, pos, w, h, bool(flags & 0x40)
+            )
             if idx.max(initial=0) >= len(pal):
                 raise ValueError(
                     "GIF: pixel index beyond color table"

@@ -1483,3 +1483,34 @@ def test_gif_frames_query_matches_plant(spark):
                 sg += (i * 11 + k * 31) % 256
                 sb += (i * 13 + k * 37) % 256
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (sr, sg, sb)
+
+
+def test_gif_animation_review_regressions():
+    """Review pins: mismatched frames/rects/disposals lengths are a
+    loud ValueError (zip used to truncate silently), a GCE cut after
+    its size byte raises ValueError not IndexError, and an extension
+    sub-block overrunning the payload raises instead of returning a
+    partial frame stack."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    pal = np.arange(24).reshape(8, 3)
+    f = np.zeros((3, 3), dtype=int)
+    with pytest.raises(ValueError, match="lengths must match"):
+        encode_gif_animation([f, f, f], pal, rects=[(0, 0), (0, 0)])
+    with pytest.raises(ValueError, match="lengths must match"):
+        encode_gif_animation([f, f], pal, disposals=[0])
+
+    enc = encode_gif_animation([f, f], pal)
+    # cut right after the SECOND frame's GCE introducer+size byte:
+    # the first frame must NOT be silently returned alone
+    k = enc.index(b"\x21\xf9\x04", enc.index(b"\x21\xf9\x04") + 1)
+    with pytest.raises(ValueError, match="truncated extension"):
+        decode_gif_frames(enc[:k + 3])
+    # GCE header present but its 4 data bytes missing
+    with pytest.raises(ValueError, match="truncated extension"):
+        decode_gif_frames(enc[:k + 5])
