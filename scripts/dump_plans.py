@@ -123,6 +123,15 @@ NOTES: dict[str, str] = {
         "executors; the shuffle volume is metadata-sized regardless "
         "of payload bytes)."
     ),
+    "p_multimodal_gif_frames": (
+        "The explode-shaped codec plan (rows out > rows in, one per "
+        "decoded frame): still ZERO exchanges — the animation, its "
+        "composited canvas stack, and the per-frame reduction all "
+        "stay inside one Python worker; only (doc_id, frame_no, "
+        "sums) rows cross Arrow. This is the same shape a real "
+        "video-frame-extraction stage would have, with the codec "
+        "swapped behind the same seam."
+    ),
     "p_multimodal_decode_jpeg_real": (
         "The JPEG twin of the PNG plan: two chained mapInPandas "
         "stages with zero exchanges — the entropy-coded payload and "
