@@ -23,7 +23,10 @@ the real thing a multimodal pipeline needs at 100 TB:
   ``decode_jpeg_pixels`` implements T.81 sequential Huffman entropy
   decode + IDCT. ``p_multimodal_decode_{png,gif,jpeg}_real`` drive
   them end-to-end over genuine encoded files with oracles that
-  recompute the planted pixel sums. Formats beyond those (and
+  recompute the planted pixel sums. Audio and video decode for
+  real too: ``decode_wav_samples`` (PCM16) and
+  ``decode_avi_frames`` (MJPEG-in-AVI — RIFF walk + per-frame
+  T.81, ``p_multimodal_video_frames``). Formats beyond those (and
   JPEG's progressive/arithmetic tiers) remain gated:
   ``decode_image_real`` decodes them via Pillow when
   ``find_spec("PIL")`` resolves and raises ``NotImplementedError``
@@ -818,10 +821,12 @@ def p_multimodal_audio_meta(
 
 # ---------------------------------------------------------------------------
 # REAL PNG pixel decode — pure stdlib (zlib inflate + scanline
-# unfilter, RFC 2083 §6). With the GIF and baseline-JPEG codecs
-# below, the engine's only remaining *declared* decode stub is video
-# FRAMES (container metadata parses for real via parse_mp4_meta;
-# frame decode genuinely needs a codec library).
+# unfilter, RFC 2083 §6). With the GIF, baseline-JPEG, WAV-PCM and
+# AVI/MJPEG codecs below, every modality decodes REAL bitstreams:
+# image pixels, audio samples, and video frames (MJPEG-in-AVI; MP4
+# container metadata also parses for real via parse_mp4_meta, and
+# non-MJPEG video essence like H.264 remains the PIL/ffmpeg-tier
+# fallback, rejected loudly).
 # ---------------------------------------------------------------------------
 
 
@@ -3042,8 +3047,9 @@ def p_multimodal_video_meta(
     calling :func:`parse_mp4_meta` on raw bytes. The oracle
     recomputes the plant from doc_id alone, so box-size walking
     (incl. nested moov children), mvhd field offsets, and trak
-    counting are hash-checked. Frame decode remains the declared
-    codec gap; duration/track gating is the curation decision this
+    counting are hash-checked. Frame decode is real too — see
+    ``p_multimodal_video_frames`` (MJPEG-in-AVI) below;
+    duration/track gating is the curation decision this
     metadata actually drives."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -3082,5 +3088,342 @@ def p_multimodal_video_meta(
         (
             "doc_id bigint, timescale bigint, duration bigint, "
             "n_tracks bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL AVI/MJPEG video codec — actual FRAME decode, closing the
+# engine's last declared codec stub. MJPEG-in-AVI is the one video
+# format this container can decode for real with zero dependencies:
+# the container is RIFF (the same chunk discipline as WAV, incl. the
+# odd-size pad byte) and every frame is a complete baseline JPEG,
+# which :func:`decode_jpeg_pixels` already handles. Layouts follow
+# the public Microsoft AVI RIFF reference (RIFF 'AVI ' → LIST hdrl
+# {avih, LIST strl {strh,strf}} → LIST movi {00dc…} → idx1).
+# The reference engine has no video path at all (SURVEY §2.3 maps
+# multimodal to the pipeline mandate), so this is additive surface.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    """RIFF chunk: fourcc + little-endian size + body + pad byte for
+    odd sizes (the size field excludes the pad — RIFF rule shared
+    with WAV above)."""
+    return (
+        cid + len(body).to_bytes(4, "little") + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+_AVIF_HASINDEX = 0x10
+_AVIIF_KEYFRAME = 0x10
+
+
+def encode_avi_mjpeg(jpeg_frames, width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Encode a REAL playable AVI wrapping pre-encoded baseline JPEG
+    frames as an MJPEG video stream: MainAVIHeader (avih, 56 bytes),
+    one 'vids'/'MJPG' AVIStreamHeader (strh, 56 bytes) +
+    BITMAPINFOHEADER (strf, 40 bytes), the frames as '00dc' chunks
+    inside LIST movi, and a full idx1 keyframe index (every MJPEG
+    frame is a keyframe). Synthesis twin of
+    :func:`decode_avi_frames`."""
+    frames = [bytes(f) for f in jpeg_frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if f[:2] != b"\xff\xd8" or f[-2:] != b"\xff\xd9":
+            raise ValueError("frame is not a complete JPEG payload")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    n = len(frames)
+    biggest = max(len(f) for f in frames)
+
+    def u32(v: int) -> bytes:
+        return int(v).to_bytes(4, "little")
+
+    def u16(v: int) -> bytes:
+        return int(v).to_bytes(2, "little")
+
+    avih = _riff_chunk(
+        b"avih",
+        u32(1_000_000 // fps) + u32(fps * biggest) + u32(0)
+        + u32(_AVIF_HASINDEX) + u32(n) + u32(0) + u32(1)
+        + u32(biggest) + u32(width) + u32(height) + bytes(16),
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids" + b"MJPG" + u32(0) + u16(0) + u16(0) + u32(0)
+        + u32(1) + u32(fps) + u32(0) + u32(n) + u32(biggest)
+        + u32(0xFFFFFFFF) + u32(0)
+        + u16(0) + u16(0) + u16(width) + u16(height),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        u32(40) + u32(width) + u32(height) + u16(1) + u16(24)
+        + b"MJPG" + u32(width * height * 3) + u32(0) + u32(0)
+        + u32(0) + u32(0),
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi_body = bytearray()
+    idx = bytearray()
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc at offset 0
+        idx += b"00dc" + u32(_AVIIF_KEYFRAME)
+        idx += u32(4 + len(movi_body)) + u32(len(f))
+        movi_body += _riff_chunk(b"00dc", f)
+    movi = _riff_list(b"movi", bytes(movi_body))
+    idx1 = _riff_chunk(b"idx1", bytes(idx))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def _avi_chunks(payload: bytes, start: int, end: int):
+    """Walk RIFF sub-chunks in payload[start:end): yields
+    ``(fourcc, body_start, body_size)``; LIST chunks are yielded as
+    ``(b'LIST:' + list_type, …)`` with the list type consumed."""
+    i = start
+    while i + 8 <= end:
+        cid = payload[i:i + 4]
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        if i + 8 + size > end:
+            raise ValueError(
+                f"AVI: chunk {cid!r} size {size} overruns container"
+            )
+        if cid == b"LIST":
+            if size < 4:
+                raise ValueError("AVI: LIST chunk too small")
+            yield b"LIST:" + payload[i + 8:i + 12], i + 12, size - 4
+        else:
+            yield cid, i + 8, size
+        i += 8 + size + (size & 1)
+
+
+def decode_avi_frames(payload: bytes):
+    """REAL AVI/MJPEG frame decode: RIFF walk to LIST hdrl (avih
+    frame count + dimensions, strh 'vids'/'MJPG' stream check, strf
+    dims), then LIST movi, decoding every video data chunk
+    ('00dc'/'00db') through the full T.81 pipeline in
+    :func:`decode_jpeg_pixels`. Cross-checks frame count against
+    avih/strh, per-frame dimensions against strf, and the idx1 entry
+    count/sizes when the index is present. Returns an
+    ``(n_frames, H, W)`` uint8 stack (the synth emits grayscale
+    MJPEG; color frames would stack to (n, H, W, 3) the same way).
+    Structural corruption raises ``ValueError``."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    declared = int.from_bytes(payload[4:8], "little")
+    if 8 + declared > len(payload):
+        raise ValueError("AVI: RIFF size overruns the payload")
+    n_declared = dims = None
+    stream_ok = False
+    n_stream = None
+    frames = []
+    idx_entries = None
+    for cid, off, size in _avi_chunks(payload, 12, 8 + declared):
+        if cid == b"LIST:hdrl":
+            for hcid, hoff, hsize in _avi_chunks(
+                payload, off, off + size
+            ):
+                if hcid == b"avih":
+                    if hsize < 56:
+                        raise ValueError("AVI: avih too small")
+                    b = payload[hoff:hoff + 56]
+                    n_declared = int.from_bytes(b[16:20], "little")
+                    dims = (
+                        int.from_bytes(b[32:36], "little"),
+                        int.from_bytes(b[36:40], "little"),
+                    )
+                elif hcid == b"LIST:strl":
+                    # strf's layout depends on this strl's strh
+                    # fccType (BITMAPINFOHEADER only for 'vids'), so
+                    # the video flag is scoped per strl — an audio
+                    # stream's WAVEFORMATEX must not be dim-checked
+                    this_strl_vids = False
+                    for scid, soff, ssize in _avi_chunks(
+                        payload, hoff, hoff + hsize
+                    ):
+                        if scid == b"strh":
+                            if ssize < 56:
+                                raise ValueError(
+                                    "AVI: strh too small"
+                                )
+                            s = payload[soff:soff + 56]
+                            if s[:4] != b"vids":
+                                continue
+                            if s[4:8] != b"MJPG":
+                                raise ValueError(
+                                    "AVI: only MJPG video streams "
+                                    f"supported, got {s[4:8]!r}"
+                                )
+                            stream_ok = this_strl_vids = True
+                            n_stream = int.from_bytes(
+                                s[32:36], "little"
+                            )
+                        elif scid == b"strf" and this_strl_vids:
+                            if ssize < 40:
+                                raise ValueError(
+                                    "AVI: strf too small"
+                                )
+                            s = payload[soff:soff + 40]
+                            w = int.from_bytes(s[4:8], "little")
+                            h = int.from_bytes(s[8:12], "little")
+                            if dims is not None and (w, h) != dims:
+                                raise ValueError(
+                                    "AVI: strf dims disagree with "
+                                    "avih"
+                                )
+        elif cid == b"LIST:movi":
+            for mcid, moff, msize in _avi_chunks(
+                payload, off, off + size
+            ):
+                if mcid[2:4] in (b"dc", b"db"):
+                    frames.append(
+                        decode_jpeg_pixels(payload[moff:moff + msize])
+                    )
+        elif cid == b"idx1":
+            if size % 16:
+                raise ValueError("AVI: idx1 size not a multiple of 16")
+            idx_entries = [
+                int.from_bytes(payload[p + 12:p + 16], "little")
+                for p in range(off, off + size, 16)
+            ]
+    if not stream_ok:
+        raise ValueError("AVI: no MJPG 'vids' stream header")
+    if not frames:
+        raise ValueError("AVI: no video frames in movi")
+    if n_declared is not None and n_declared != len(frames):
+        raise ValueError(
+            f"AVI: avih declares {n_declared} frames, movi has "
+            f"{len(frames)}"
+        )
+    if n_stream is not None and n_stream != len(frames):
+        raise ValueError(
+            f"AVI: strh declares {n_stream} frames, movi has "
+            f"{len(frames)}"
+        )
+    if idx_entries is not None and len(idx_entries) != len(frames):
+        raise ValueError("AVI: idx1 entry count disagrees with movi")
+    if dims is not None:
+        for f in frames:
+            if (f.shape[1], f.shape[0]) != dims:
+                raise ValueError(
+                    "AVI: decoded frame dims disagree with avih"
+                )
+    return np.stack(frames)
+
+
+_AVI_NF_MOD = 3                     # frames per doc: 1..3
+_AVI_BW_MOD, _AVI_BH_MOD = 4, 2     # 8x8 blocks per side
+
+_VIDEO_FRAMES_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           doc_id % {_AVI_NF_MOD} + 1 AS nf,
+           doc_id % {_AVI_BW_MOD} + 1 AS nbx,
+           doc_id % {_AVI_BH_MOD} + 1 AS nby
+    FROM documents),
+b AS (
+    SELECT d.doc_id, d.nbx, d.nby, f.f, bi.i AS bi, bj.j AS bj,
+           (d.doc_id*31 + 23*f.f + 17*(bi.i*d.nbx + bj.j)) % 256 AS v
+    FROM d,
+         generate_series(0, {_AVI_NF_MOD - 1}) AS f(f),
+         generate_series(0, {_AVI_BH_MOD - 1}) AS bi(i),
+         generate_series(0, {_AVI_BW_MOD - 1}) AS bj(j)
+    WHERE f.f < d.nf AND bi.i < d.nby AND bj.j < d.nbx)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_no,
+       CAST(nbx * 8 AS INTEGER) AS width,
+       CAST(nby * 8 AS INTEGER) AS height,
+       CAST(sum(64 * v) AS BIGINT) AS sum_px,
+       CAST(sum(v * (6656*bi + 3584*bj + 4480)) AS BIGINT)
+           AS sum_px_weighted
+FROM b GROUP BY doc_id, f, nbx, nby
+"""
+
+
+@query("p_multimodal_video_frames", oracle=_VIDEO_FRAMES_SQL)
+def p_multimodal_video_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL video frame decode end-to-end — the last modality's
+    pixel path, done with genuine bitstreams: stage 1 encodes a
+    playable AVI per document whose MJPEG stream holds 1–3 real
+    baseline JPEGs (each a doc_id-derived grid of SOLID 8x8 blocks,
+    frame f shifting the plant by 23·f — the DC-step-8 bit-exact
+    construction of ``p_multimodal_decode_jpeg_real``); stage 2 is
+    the production path: Arrow-batched mapInPandas calling
+    :func:`decode_avi_frames` (RIFF walk → per-frame T.81 decode),
+    one row PER FRAME (the explode-shaped contract). The DuckDB
+    oracle replays the plant from doc_id alone; the position-weighted
+    checksum (13·row + 7·col per pixel, folded per solid block)
+    makes block- or frame-misplacement hash-fail. The reference has
+    no video surface at all — this is additive pipeline capability
+    (SURVEY §2.3 multimodal mandate)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nf = i % _AVI_NF_MOD + 1
+                nbx = i % _AVI_BW_MOD + 1
+                nby = i % _AVI_BH_MOD + 1
+                b = np.arange(nby * nbx, dtype=np.int64).reshape(
+                    nby, nbx
+                )
+                jpegs = []
+                for f in range(nf):
+                    v = (i * 31 + 23 * f + 17 * b) % 256
+                    img = np.repeat(
+                        np.repeat(v, 8, axis=0), 8, axis=1
+                    )
+                    jpegs.append(encode_jpeg(img.astype(np.uint8)))
+                payloads.append(
+                    encode_avi_mjpeg(jpegs, nbx * 8, nby * 8)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_no": [], "width": [],
+                "height": [], "sum_px": [], "sum_px_weighted": [],
+            }
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                stack = decode_avi_frames(bytes(p)).astype(np.int64)
+                nf, h, w = stack.shape
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                wgt = 13 * r + 7 * c
+                for f in range(nf):
+                    rows["doc_id"].append(int(i))
+                    rows["frame_no"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_px"].append(int(stack[f].sum()))
+                    rows["sum_px_weighted"].append(
+                        int((wgt * stack[f]).sum())
+                    )
+            yield pd.DataFrame(rows)
+
+    payloads = d.mapInPandas(synth, "doc_id bigint, payload binary")
+    return payloads.mapInPandas(
+        decode,
+        (
+            "doc_id bigint, frame_no int, width int, height int, "
+            "sum_px bigint, sum_px_weighted bigint"
         ),
     )

@@ -132,6 +132,18 @@ NOTES: dict[str, str] = {
         "video-frame-extraction stage would have, with the codec "
         "swapped behind the same seam."
     ),
+    "p_multimodal_video_frames": (
+        "The real video-frame-extraction stage the GIF note "
+        "promised: a full AVI container and its MJPEG frames decode "
+        "inside one Python worker with ZERO exchanges — payload "
+        "bytes, the RIFF walk, and every T.81 frame decode never "
+        "leave the task; only per-frame stat rows cross Arrow. At "
+        "100 TB this is the canonical pattern: video decode is "
+        "embarrassingly parallel per-file, so the plan's only "
+        "scaling knob is executor cores (and the codec behind the "
+        "decode_avi_frames seam — swap in ffmpeg bindings for "
+        "H.264 with no plan change)."
+    ),
     "p_multimodal_decode_jpeg_real": (
         "The JPEG twin of the PNG plan: two chained mapInPandas "
         "stages with zero exchanges — the entropy-coded payload and "

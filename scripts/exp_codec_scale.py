@@ -70,6 +70,18 @@ def synth_and_decode(codec: str):
                     out = mm.decode_gif_frames(
                         mm.encode_gif_animation(frames, pal)
                     )
+                elif codec == "avi":
+                    b = np.arange(2, dtype=np.int64).reshape(1, 2)
+                    jpegs = []
+                    for f in range(2):
+                        v = (i * 31 + 23 * f + 17 * b) % 256
+                        img = np.repeat(np.repeat(v, 8, 0), 8, 1)
+                        jpegs.append(
+                            mm.encode_jpeg(img.astype(np.uint8))
+                        )
+                    out = mm.decode_avi_frames(
+                        mm.encode_avi_mjpeg(jpegs, 16, 8)
+                    )
                 else:  # wav
                     s = np.arange(200, dtype=np.int64) * 97 % 4001
                     out = mm.decode_wav_samples(mm.synth_wav(s - 2000))
@@ -81,7 +93,7 @@ def synth_and_decode(codec: str):
     return run
 
 
-for codec in ("png", "gif", "jpeg", "wav"):
+for codec in ("png", "gif", "jpeg", "avi", "wav"):
     t0 = time.time()
     total = docs.mapInPandas(
         synth_and_decode(codec), "doc_id bigint, n bigint"

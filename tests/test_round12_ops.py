@@ -1514,3 +1514,250 @@ def test_gif_animation_review_regressions():
     # GCE header present but its 4 data bytes missing
     with pytest.raises(ValueError, match="truncated extension"):
         decode_gif_frames(enc[:k + 5])
+
+
+# ---------------------------------------------------------------------------
+# real AVI/MJPEG video frame decode
+# ---------------------------------------------------------------------------
+
+
+def _make_avi(i: int):
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        _AVI_BH_MOD,
+        _AVI_BW_MOD,
+        _AVI_NF_MOD,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    nf = i % _AVI_NF_MOD + 1
+    nbx = i % _AVI_BW_MOD + 1
+    nby = i % _AVI_BH_MOD + 1
+    b = np.arange(nby * nbx, dtype=np.int64).reshape(nby, nbx)
+    jpegs, expect = [], []
+    for f in range(nf):
+        v = (i * 31 + 23 * f + 17 * b) % 256
+        img = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint8)
+        jpegs.append(encode_jpeg(img))
+        expect.append(img)
+    return encode_avi_mjpeg(jpegs, nbx * 8, nby * 8), expect
+
+
+@pytest.mark.parametrize("i", [0, 3, 5, 7, 11, 23])
+def test_avi_mjpeg_roundtrip_bit_exact(i):
+    """Solid-per-8x8-block frames under the DC-step-8 quant table
+    round-trip bit-exactly through the full AVI → MJPEG → T.81
+    pipeline (the construction the registered query relies on)."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_avi_frames,
+    )
+
+    avi, expect = _make_avi(i)
+    stack = decode_avi_frames(avi)
+    assert stack.shape == (len(expect),) + expect[0].shape
+    for f, img in enumerate(expect):
+        np.testing.assert_array_equal(stack[f], img)
+
+
+def test_avi_odd_size_frame_gets_pad_byte():
+    """RIFF pads odd chunk bodies; find a plant whose JPEG is
+    odd-length and confirm the container still walks correctly."""
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+    import numpy as np
+
+    odd = None
+    for i in range(64):
+        img = np.full((8, 8), i * 37 % 256, dtype=np.uint8)
+        j = encode_jpeg(img)
+        if len(j) & 1:
+            odd = (img, j)
+            break
+    assert odd is not None, "no odd-length JPEG found in 64 plants"
+    img, j = odd
+    avi = encode_avi_mjpeg([j, j], 8, 8)
+    stack = decode_avi_frames(avi)
+    assert stack.shape == (2, 8, 8)
+    np.testing.assert_array_equal(stack[0], img)
+
+
+def test_avi_decode_rejects_structural_corruption():
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_avi_frames,
+    )
+
+    avi, _ = _make_avi(5)
+
+    def expect_reject(payload, why):
+        with pytest.raises(ValueError):
+            decode_avi_frames(payload)
+
+    expect_reject(b"RIFX" + avi[4:], "bad RIFF magic")
+    expect_reject(avi[:8] + b"WAVE" + avi[12:], "wrong form type")
+    big = bytearray(avi)
+    big[4:8] = len(avi).to_bytes(4, "little")
+    expect_reject(bytes(big), "RIFF size overruns payload")
+
+    # avih frame count disagrees with movi
+    k = avi.index(b"avih") + 8 + 16
+    tampered = avi[:k] + (99).to_bytes(4, "little") + avi[k + 4:]
+    expect_reject(tampered, "avih frame-count mismatch")
+
+    # strh declared length disagrees with movi
+    k = avi.index(b"strh") + 8 + 32
+    tampered = avi[:k] + (99).to_bytes(4, "little") + avi[k + 4:]
+    expect_reject(tampered, "strh length mismatch")
+
+    # non-MJPG video stream handler
+    k = avi.index(b"vids") + 4
+    tampered = avi[:k] + b"H264" + avi[k + 4:]
+    expect_reject(tampered, "unsupported handler")
+
+    # strf dims disagree with avih
+    k = avi.index(b"strf") + 8 + 4
+    tampered = avi[:k] + (999).to_bytes(4, "little") + avi[k + 4:]
+    expect_reject(tampered, "strf/avih dim disagreement")
+
+    # idx1 entry count disagrees with movi (drop the last entry by
+    # shrinking the idx1 chunk size in place; trailing bytes become
+    # slack the walker never reads past because the RIFF size field
+    # is authoritative per chunk)
+    k = avi.index(b"idx1") + 4
+    old = int.from_bytes(avi[k:k + 4], "little")
+    tampered = avi[:k] + (old - 16).to_bytes(4, "little") + avi[k + 4:]
+    expect_reject(tampered, "idx1 count mismatch")
+
+    # a frame that is not a JPEG payload
+    k = avi.index(b"00dc", avi.index(b"movi")) + 8
+    tampered = avi[:k] + b"\x00\x00" + avi[k + 2:]
+    expect_reject(tampered, "non-JPEG frame bytes")
+
+
+def test_avi_frames_query_matches_plant(spark):
+    from matrixinversion_spark.pipeline.multimodal import (
+        _AVI_BH_MOD,
+        _AVI_BW_MOD,
+        _AVI_NF_MOD,
+        p_multimodal_video_frames,
+    )
+
+    rows = p_multimodal_video_frames(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    checked = 0
+    for i, doc_rows in list(by_doc.items())[:20]:
+        nf = i % _AVI_NF_MOD + 1
+        nbx = i % _AVI_BW_MOD + 1
+        nby = i % _AVI_BH_MOD + 1
+        assert sorted(r["frame_no"] for r in doc_rows) == list(
+            range(nf)
+        )
+        for r in doc_rows:
+            assert (r["width"], r["height"]) == (nbx * 8, nby * 8)
+            f = r["frame_no"]
+            vs = [
+                (i * 31 + 23 * f + 17 * (bi * nbx + bj)) % 256
+                for bi in range(nby)
+                for bj in range(nbx)
+            ]
+            assert r["sum_px"] == sum(64 * v for v in vs)
+            assert r["sum_px_weighted"] == sum(
+                v * (6656 * bi + 3584 * bj + 4480)
+                for bi in range(nby)
+                for bj in range(nbx)
+                for v in [
+                    (i * 31 + 23 * f + 17 * (bi * nbx + bj)) % 256
+                ]
+            )
+            checked += 1
+    assert checked >= 20
+
+
+def test_avi_codec_fuzz_roundtrip():
+    """Randomized round-trip through the full AVI→MJPEG→T.81 stack:
+    random block-grid sizes, random per-block values, random frame
+    counts — solid 8x8 blocks under the DC-step-8 quant table must
+    survive bit-exactly (the registered query's construction, sampled
+    far more densely). Also covers both odd- and even-length JPEG
+    chunk bodies, so the RIFF pad-byte path fuzzes for free."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    odd_seen = even_seen = False
+    for _ in range(40):
+        nbx = int(rng.integers(1, 7))
+        nby = int(rng.integers(1, 5))
+        nf = int(rng.integers(1, 5))
+        jpegs, expect = [], []
+        for _f in range(nf):
+            v = rng.integers(0, 256, size=(nby, nbx))
+            img = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint8)
+            j = encode_jpeg(img)
+            odd_seen |= bool(len(j) & 1)
+            even_seen |= not (len(j) & 1)
+            jpegs.append(j)
+            expect.append(img)
+        stack = decode_avi_frames(
+            encode_avi_mjpeg(jpegs, nbx * 8, nby * 8)
+        )
+        assert stack.shape == (nf, nby * 8, nbx * 8)
+        for f, img in enumerate(expect):
+            np.testing.assert_array_equal(stack[f], img)
+    assert odd_seen and even_seen, "fuzz never exercised both parities"
+
+
+def test_avi_ignores_audio_stream_strl():
+    """A two-stream AVI (audio 'auds' strl alongside the MJPG video
+    strl) must decode: the audio strf is a WAVEFORMATEX, not a
+    BITMAPINFOHEADER, so it must never be dim-checked against avih."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        _riff_chunk,
+        _riff_list,
+        decode_avi_frames,
+    )
+
+    avi, expect = _make_avi(7)
+    # splice an audio strl (strh fccType 'auds' + a 16-byte
+    # WAVEFORMATEX strf whose leading fields look nothing like
+    # plausible video dims) after the video strl inside hdrl
+    auds_strh = _riff_chunk(
+        b"strh", b"auds" + b"\x00" * 52
+    )
+    auds_strf = _riff_chunk(
+        b"strf",
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (16000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"),
+    )
+    audio_strl = _riff_list(b"strl", auds_strh + auds_strf)
+    k = avi.index(b"hdrl")  # LIST layout: 'LIST' size 'hdrl' body
+    hdrl_size = int.from_bytes(avi[k - 4:k], "little")
+    hdrl_end = k + hdrl_size  # size spans from the 'hdrl' fourcc
+    spliced = avi[:hdrl_end] + audio_strl + avi[hdrl_end:]
+    spliced = bytearray(spliced)
+    # fix the hdrl LIST size and the outer RIFF size
+    spliced[k - 4:k] = (hdrl_size + len(audio_strl)).to_bytes(
+        4, "little"
+    )
+    spliced[4:8] = (len(spliced) - 8).to_bytes(4, "little")
+    stack = decode_avi_frames(bytes(spliced))
+    assert stack.shape == (len(expect),) + expect[0].shape
+    for f, img in enumerate(expect):
+        np.testing.assert_array_equal(stack[f], img)
