@@ -3141,6 +3141,13 @@ def encode_avi_mjpeg(jpeg_frames, width: int, height: int,
             raise ValueError("frame is not a complete JPEG payload")
     if fps <= 0:
         raise ValueError("fps must be positive")
+    if not (0 < width < 65536 and 0 < height < 65536):
+        # rcFrame in strh is a RECT of 16-bit fields — reject past
+        # it loudly rather than let to_bytes raise OverflowError
+        # (same contract as the JPEG encoder's 65535 limit)
+        raise ValueError(
+            f"AVI: frame dims {width}x{height} outside [1, 65535]"
+        )
     n = len(frames)
     biggest = max(len(f) for f in frames)
 

@@ -1761,3 +1761,24 @@ def test_avi_ignores_audio_stream_strl():
     assert stack.shape == (len(expect),) + expect[0].shape
     for f, img in enumerate(expect):
         np.testing.assert_array_equal(stack[f], img)
+
+
+def test_avi_encode_rejects_out_of_range_dims_and_inputs():
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    j = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([j], 70000, 8)      # rcFrame is u16
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([j], 8, 0)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 8, 8)           # no frames
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([j], 8, 8, fps=0)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([j[:-2]], 8, 8)     # missing EOI
