@@ -1782,3 +1782,31 @@ def test_avi_encode_rejects_out_of_range_dims_and_inputs():
         encode_avi_mjpeg([j], 8, 8, fps=0)
     with pytest.raises(ValueError):
         encode_avi_mjpeg([j[:-2]], 8, 8)     # missing EOI
+
+
+def test_avi_color_mjpeg_frames_stack_with_tolerance():
+    """Color MJPEG frames stack to (n, H, W, 3). Solid-color RGB
+    under 4:2:0 is near-exact (YCbCr rounding only — same ≤2 budget
+    as the JPEG codec's solid-color pytest)."""
+    import numpy as np
+
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    colors = [(200, 30, 90), (10, 180, 250), (128, 128, 128)]
+    jpegs, expect = [], []
+    for rgb in colors:
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:] = rgb
+        jpegs.append(encode_jpeg(img, subsampling="420"))
+        expect.append(img)
+    stack = decode_avi_frames(encode_avi_mjpeg(jpegs, 16, 16))
+    assert stack.shape == (3, 16, 16, 3)
+    for f, img in enumerate(expect):
+        err = np.abs(
+            stack[f].astype(np.int64) - img.astype(np.int64)
+        ).max()
+        assert err <= 2, (f, colors[f], err)
