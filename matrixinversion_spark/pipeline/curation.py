@@ -318,11 +318,16 @@ def connected_components_hashmin(
         new_state = to_min.union(min_to_rest).distinct()
         new_state = _fresh_stats_barrier(new_state)
         n_new = new_state.count()
+        # the anti-join churn probe only decides anything when the
+        # set SIZE is already stable (equal size + nothing added ⇒
+        # equal sets) — skip its job on the rounds that can't stop
         added = (
             new_state.join(state, ["v", "w"], "left_anti").count()
+            if n_new == n_old
+            else 1
         )
         state = new_state
-        if added == 0 and n_new == n_old:
+        if added == 0:
             break
         n_old = n_new
     labels = state.groupBy(F.col("v").alias("doc_id")).agg(
