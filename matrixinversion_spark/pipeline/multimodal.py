@@ -1834,6 +1834,21 @@ def decode_gif_frames(payload: bytes):
         if global_pal is not None and bg_index < len(global_pal)
         else np.zeros(3, dtype=np.uint8)
     )
+    # pre-allocation geometry check: the logical screen comes from a
+    # forgeable 13-byte header (up to 65535x65535x3 ~ 12.9 GiB), so a
+    # forged header must die as ValueError, not MemoryError. A canvas
+    # under 64 MiB is always allowed (sub-rect frames on a sparse
+    # screen are spec-legal); above that, the screen's pixel count
+    # must be coverable by the payload's maximum LZW expansion
+    # (n codes of >= 3 bits emit at most n*(n+1)/2 pixels, since
+    # dictionary strings grow by one pixel per code).
+    if screen_h * screen_w * 3 > 64 * 1024 * 1024:
+        max_codes = (len(payload) - pos) * 8 // 3 + 2
+        if screen_h * screen_w > max_codes * (max_codes + 1) // 2:
+            raise ValueError(
+                "GIF: logical screen exceeds the payload's maximum "
+                "LZW expansion"
+            )
     canvas = np.broadcast_to(
         bg_rgb, (screen_h, screen_w, 3)
     ).copy()
@@ -2549,7 +2564,16 @@ def decode_jpeg_pixels(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                hs_, vs_ = hv >> 4, hv & 0xF
+                # T.81 B.2.2: Hi/Vi are constrained to 1..4; a zero
+                # factor would divide-by-zero at the MCU grid and a
+                # >4 factor inflates the plane geometry
+                if not (1 <= hs_ <= 4 and 1 <= vs_ <= 4):
+                    raise ValueError(
+                        "JPEG: sampling factor out of range (T.81 "
+                        f"B.2.2 requires 1..4, got {hs_}x{vs_})"
+                    )
+                comps.append((cid, hs_, vs_, tq))
             if nc == 1:
                 # a single-component scan is NON-interleaved (T.81
                 # A.2.2): one 8x8 data unit per MCU over the ceil-/8
@@ -2598,6 +2622,21 @@ def decode_jpeg_pixels(payload: bytes):
     vmax = max(vs for _, _, vs, _ in comps)
     mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+    # pre-allocation geometry check (mirrors the PNG decoder's
+    # guard): the planes derive from forgeable SOF dimensions (up to
+    # 65535x65535 ~ tens of GiB of float64), so bound the total data
+    # units against the remaining entropy-coded bytes BEFORE any
+    # np.zeros — every 8x8 unit costs at least 2 entropy bits (one
+    # DC Huffman symbol + EOB), so >8 units/byte is unconditionally
+    # a forgery and must die as ValueError, not MemoryError
+    total_units = mcus_x * mcus_y * sum(
+        hs * vs for _, hs, vs, _ in comps
+    )
+    if total_units > max(64, (len(payload) - i) * 8):
+        raise ValueError(
+            f"JPEG: frame geometry ({total_units} data units) "
+            "exceeds the entropy-coded data budget"
+        )
     cmat = _jpeg_dct_matrix()
     # raster position -> zigzag position (inverse of _JPEG_ZIGZAG,
     # which maps zigzag position -> raster position)
@@ -3232,6 +3271,7 @@ def decode_avi_frames(payload: bytes):
     stream_ok = False
     n_stream = None
     frames = []
+    frame_sizes = []
     idx_entries = None
     for cid, off, size in _avi_chunks(payload, 12, 8 + declared):
         if cid == b"LIST:hdrl":
@@ -3294,6 +3334,7 @@ def decode_avi_frames(payload: bytes):
                     frames.append(
                         decode_jpeg_pixels(payload[moff:moff + msize])
                     )
+                    frame_sizes.append(msize)
         elif cid == b"idx1":
             if size % 16:
                 raise ValueError("AVI: idx1 size not a multiple of 16")
@@ -3315,8 +3356,17 @@ def decode_avi_frames(payload: bytes):
             f"AVI: strh declares {n_stream} frames, movi has "
             f"{len(frames)}"
         )
-    if idx_entries is not None and len(idx_entries) != len(frames):
-        raise ValueError("AVI: idx1 entry count disagrees with movi")
+    if idx_entries is not None:
+        if len(idx_entries) != len(frames):
+            raise ValueError(
+                "AVI: idx1 entry count disagrees with movi"
+            )
+        for k, (isz, fsz) in enumerate(zip(idx_entries, frame_sizes)):
+            if isz != fsz:
+                raise ValueError(
+                    f"AVI: idx1 entry {k} declares {isz} bytes but "
+                    f"the movi chunk holds {fsz}"
+                )
     if dims is not None:
         for f in frames:
             if (f.shape[1], f.shape[0]) != dims:

@@ -1,0 +1,143 @@
+"""Round-13 pins.
+
+ADVICE r12 hardening: forged codec headers must die as loud
+``ValueError`` (the contract ``decode_image_real``'s PIL fallback and
+the batch error handling key on), never ``ZeroDivisionError`` or
+``MemoryError``; the AVI decoder's idx1 cross-check now covers the
+per-entry sizes it always claimed to.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r12 item 1: JPEG SOF sampling factors outside T.81 B.2.2's
+# 1..4 range raised ZeroDivisionError at the MCU-grid computation
+# ---------------------------------------------------------------------------
+
+
+def _sof0(fh, fw, comps):
+    body = bytes([8]) + fh.to_bytes(2, "big") + fw.to_bytes(2, "big")
+    body += bytes([len(comps)])
+    for cid, hs, vs, tq in comps:
+        body += bytes([cid, (hs << 4) | vs, tq])
+    return b"\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def test_jpeg_rejects_out_of_range_sampling_factors():
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    # the advisor's exact shape: 3-component SOF, all factors 0
+    payload = b"\xff\xd8" + _sof0(
+        8, 8, [(1, 0, 0, 0), (2, 0, 0, 0), (3, 0, 0, 0)]
+    )
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg_pixels(payload)
+    # a >4 factor is equally illegal per T.81 B.2.2
+    payload = b"\xff\xd8" + _sof0(
+        8, 8, [(1, 5, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    )
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg_pixels(payload)
+    # mixed: one zero among legal ones
+    payload = b"\xff\xd8" + _sof0(
+        8, 8, [(1, 2, 2, 0), (2, 1, 0, 1), (3, 1, 1, 1)]
+    )
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg_pixels(payload)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r12 item 2: forged SOF dimensions allocated tens-of-GiB
+# planes before any entropy data was read -> MemoryError
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_rejects_forged_frame_dimensions():
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    # SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) ...; SOF precedes
+    # SOS so the first FFC0 is the real frame header
+    k = enc.index(b"\xff\xc0")
+    enc[k + 5:k + 9] = (65535).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="entropy-coded data budget"):
+        decode_jpeg_pixels(bytes(enc))
+    # a real-but-patched moderate forgery dies the same way
+    enc[k + 5:k + 9] = (4096).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="entropy-coded data budget"):
+        decode_jpeg_pixels(bytes(enc))
+    # the unpatched payload still decodes (guard has headroom on
+    # legitimate geometry)
+    assert decode_jpeg_pixels(encode_jpeg(img)).shape == (16, 16)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r12 item 3: GIF logical-screen canvas was allocated straight
+# from the 13-byte header -> 12.9 GiB MemoryError on a 22-byte forgery
+# ---------------------------------------------------------------------------
+
+
+def test_gif_frames_rejects_forged_logical_screen():
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    # the advisor's exact shape: tiny payload claiming 60000x60000
+    payload = (
+        b"GIF89a"
+        + (60000).to_bytes(2, "little")
+        + (60000).to_bytes(2, "little")
+        + b"\x00\x00\x00"
+        + b"\x00" * 9
+    )
+    with pytest.raises(ValueError, match="LZW expansion"):
+        decode_gif_frames(payload)
+
+    # a legitimate animation still decodes: the 64 MiB small-canvas
+    # allowance plus the LZW-expansion bound must not reject real
+    # payloads
+    frames = [
+        np.full((4, 6), i, dtype=int) % 4 for i in range(3)
+    ]
+    pal = [(0, 0, 0), (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    enc = encode_gif_animation(frames, pal)
+    assert decode_gif_frames(enc).shape == (3, 4, 6, 3)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r12 item 4: decode_avi_frames claimed to cross-check idx1
+# entry sizes but only compared the entry count
+# ---------------------------------------------------------------------------
+
+
+def test_avi_idx1_entry_size_mismatch_is_loud():
+    from matrixinversion_spark.pipeline.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    img = np.full((8, 8), 120, dtype=np.uint8)
+    jpg = encode_jpeg(img)
+    enc = bytearray(encode_avi_mjpeg([jpg], 8, 8))
+    assert decode_avi_frames(bytes(enc)).shape == (1, 8, 8)
+    # idx1 entry layout: ckid(4) flags(4) offset(4) size(4)
+    k = enc.index(b"idx1")
+    size_off = k + 8 + 12
+    declared = int.from_bytes(enc[size_off:size_off + 4], "little")
+    assert declared == len(jpg)
+    enc[size_off:size_off + 4] = (declared + 1).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="idx1 entry 0"):
+        decode_avi_frames(bytes(enc))
