@@ -273,38 +273,54 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                # wall-clock on a shared host is noise-bound (see
-                # BENCH_NOTES round-4 variance caveat); the Spark job
-                # counts are the deterministic cross-round comparator —
-                # one fingerprint per headline query plus the matrix
-                # pipeline's orchestration cost (r2: 15 with AQE off).
-                "aux": {
-                    **aux,
-                    f"la_inverse_{INVERSE_N}_jobs": inverse_jobs,
-                },
-                # host fingerprint: start-of-run CPU/storage/load
-                # probes plus end-of-run load — ±25% wall swings are
-                # machine-adjudicated IN the artifact, not in prose
-                "machine": {
-                    **machine,
-                    "loadavg_1m_end": round(os.getloadavg()[0], 2),
-                },
-                # per-sample raw headline timings + fingerprints (the
-                # headline numbers in "queries" are per-query MINs
-                # across these; the matrix pipeline below them is its
-                # own internal median-of-3)
-                "samples": samples,
-            }
-        )
-    )
+    # wall-clock on a shared host is noise-bound (see BENCH_NOTES
+    # round-4 variance caveat); the Spark job counts are the
+    # deterministic cross-round comparator — one fingerprint per
+    # headline query plus the matrix pipeline's orchestration cost.
+    full_aux = {**aux, f"la_inverse_{INVERSE_N}_jobs": inverse_jobs}
+    # host fingerprint: start-of-run CPU/storage/load probes plus
+    # end-of-run load — ±25% wall swings are machine-adjudicated IN
+    # the artifact, not in prose
+    full_machine = {
+        **machine,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
+    }
+    report = {
+        "metric": "total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "aux": full_aux,
+        "machine": full_machine,
+        # per-sample raw headline timings + fingerprints live in the
+        # side file below (the headline numbers in "queries" are
+        # per-query MINs across these; the matrix pipeline below
+        # them is its own internal median-of-3)
+        "detail": "BENCH_SAMPLES.json",
+    }
+    # VERDICT r12 #1: the driver captures only the last 2000 chars of
+    # stdout and parses the final JSON line from that tail — r12's
+    # line (with the full two-sample payload inline) overran it and
+    # BENCH_r12.json recorded "parsed": null. Keep the printed line
+    # compact (headline mins + fingerprints + machine) and write the
+    # full per-sample detail to a side file; if future headline
+    # growth pushes the line past a 1900-char hard cap, degrade by
+    # dropping machine then aux from the LINE only — both always
+    # survive verbatim in the side file.
+    side = {**report, "samples": samples}
+    side_path = os.path.join(os.path.dirname(__file__) or ".",
+                             "BENCH_SAMPLES.json")
+    with open(side_path, "w") as f:
+        json.dump(side, f, indent=1)
+    line = json.dumps(report, separators=(",", ":"))
+    if len(line) > 1900:
+        report.pop("machine")
+        line = json.dumps(report, separators=(",", ":"))
+    if len(line) > 1900:
+        report.pop("aux")
+        line = json.dumps(report, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
