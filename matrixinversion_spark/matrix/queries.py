@@ -603,12 +603,19 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     product is κ₂. The matrix is Q·diag(d)·Qᵀ with
     d = max(1000·0.5^i, 1) — κ₂ = 1000 exactly, and both dominant
     ratios are ≥ 2, so the norm-ratio estimator converges ~0.25^i:
-    at 18 iterations the measured rel_err on this exact seed is
-    5.6e-11 (numpy twin of the chunked loop), four orders of
-    magnitude under the 5e-7 rounding gate — the earlier 30 was
-    1e-18, i.e. 12 wasted sequential stages per operand (the wall
-    IS the stage count; see the chunking note below). Extends the
-    reference's inversion surface
+    at 14 iterations the measured rel_err on this exact seed is
+    1.43e-08 (numpy twin of the chunked loop, confirmed by the
+    distributed run), a 35x margin under the 5e-7 rounding gate —
+    r12's 18 was 5.6e-11, i.e. 8 wasted sequential stages (the wall
+    IS the stage count). The other r13 stage-count lever: the
+    recursion bottoms out at leaf_size=128 (2x2 block groups), one
+    recursion level instead of two on the same 4x4 distributed
+    grid — measured 38s -> ~17s end-to-end at identical rel_err
+    (inverse build 18 -> 5s warm-JVM). Reusing a session-cached A⁻¹
+    was considered and rejected: at ~5s the build no longer
+    dominates and a memo would make the query stateful across the
+    driver gate's fresh-session runs for no standalone gain.
+    Extends the reference's inversion surface
     (LUInverse.java) with the diagnostic users run an inversion FOR:
     how close to singular the system is.
 
@@ -619,14 +626,14 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from matrixinversion_spark.matrix.lu import _checkpoint
 
-    n, bs, iters = 256, 64, 18
+    n, bs, iters = 256, 64, 14
     rng = np.random.default_rng(77)
     q_np, _ = np.linalg.qr(rng.standard_normal((n, n)))
     d = np.maximum(1000.0 * 0.5 ** np.arange(n), 1.0)
     a_np = (q_np * d) @ q_np.T
     a = BlockMatrixFrame.from_numpy(spark, a_np, block_size=bs)
     a.persist()
-    a_inv = invmod.inverse(a, leaf_size=bs)
+    a_inv = invmod.inverse(a, leaf_size=2 * bs)
     a_inv = _checkpoint(a_inv)
     a_inv.persist()
     # localCheckpoint(eager=False) is LAZY: force one action so A⁻¹
@@ -656,14 +663,15 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     # STAGE and stage latency, not the driver round-trip, dominates
     # at n=256; it is kept because fewer blocking collects is the
     # right shape at any n and costs nothing. The real wall lever is
-    # the iteration COUNT (stage count), trimmed 30→18 with measured
-    # 5.6e-11 rel_err (see docstring). Overflow-safe: within a chunk
-    # components grow <= lam^chunk <= 1000^5 = 1e15 of a unit
-    # vector. The burn-in only needs the DIRECTION — after it, one
+    # the iteration COUNT (stage count), trimmed 30→18→14 with
+    # measured 1.43e-08 rel_err (see docstring). Overflow-safe:
+    # within a chunk components grow <= lam^chunk <= 1000^9 = 1e27
+    # of a unit vector — 281 orders under the float64 ceiling. The
+    # burn-in only needs the DIRECTION — after it, one
     # classic step on the renormalized vector yields the eigenvalue
     # with the iterate error of the full `iters` straight steps
     # (dominant-ratio >= 2 => direction error ~0.5^(iters-1)).
-    def dominant(m: BlockMatrixFrame, chunk: int = 5) -> float:
+    def dominant(m: BlockMatrixFrame, chunk: int = 9) -> float:
         v = BlockMatrixFrame.from_numpy(
             spark,
             rng.standard_normal((n, 1)) / np.sqrt(n),
