@@ -1050,7 +1050,11 @@ SSSP_ROUNDS = 4
 
 
 def sssp_weighted(
-    edges: DataFrame, source: int, rounds: int = SSSP_ROUNDS
+    edges: DataFrame,
+    source: int,
+    rounds: int = SSSP_ROUNDS,
+    converged_stop: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Bounded Bellman-Ford: min path COST from ``source`` over
     walks of at most ``rounds`` edges, on an edge frame
@@ -1066,6 +1070,18 @@ def sssp_weighted(
     production guard: unbounded Bellman-Ford is V−1 rounds, and a
     100 TB edge list wants an explicit horizon, not a convergence
     loop that a negative-ish weight regression turns infinite.
+
+    ``converged_stop=True`` opts into early exit for callers whose
+    graphs settle before the horizon (the horizon still caps the
+    worst case): the same churn probe as
+    ``connected_components_hashmin`` — the distance set only grows
+    in nodes and only shrinks in costs, so equal count + an empty
+    (node, cost) anti-join ⇔ a Bellman-Ford fixed point, and a
+    fixed point is invariant under further relaxation, so the
+    output is identical to running every remaining round. The
+    probe's extra count/anti-join jobs only run on rounds whose
+    size is already stable. ``stats`` (optional dict) receives
+    ``rounds_run`` — the relaxation rounds actually executed.
 
     Scale shape: both the relax join and the min-combine shuffle on
     node id; per-round volume is O(|E| + |V|) with map-side partial
@@ -1084,7 +1100,10 @@ def sssp_weighted(
     dist = spark.createDataFrame(
         [(source, 0)], "node bigint, cost bigint"
     )
+    n_old = 1
+    rounds_run = 0
     for _ in range(rounds):
+        rounds_run += 1
         relaxed = (
             edges.join(
                 dist.select(
@@ -1098,11 +1117,30 @@ def sssp_weighted(
                 (F.col("acc") + F.col("cost")).alias("cost"),
             )
         )
-        dist = _fresh_stats_barrier(
+        new_dist = _fresh_stats_barrier(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
         )
+        if not converged_stop:
+            dist = new_dist
+            continue
+        n_new = new_dist.count()
+        # node count only grows and per-node cost only shrinks, so
+        # equal size + nothing new on (node, cost) ⇔ set equality ⇔
+        # Bellman-Ford fixed point; skip the anti-join on rounds
+        # whose size already moved (they can't have converged)
+        changed = (
+            new_dist.join(dist, ["node", "cost"], "left_anti").count()
+            if n_new == n_old
+            else 1
+        )
+        dist = new_dist
+        if changed == 0:
+            break
+        n_old = n_new
+    if stats is not None:
+        stats["rounds_run"] = rounds_run
     return dist
 
 

@@ -264,3 +264,57 @@ def test_third_party_progressive_jpegs_are_declared_tier():
         assert fmt == "jpeg" and w > 0 and h > 0, p
         with pytest.raises(UnsupportedImageError, match="progressive"):
             decode_jpeg_pixels(data)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 item 5: SSSP opt-in converged-stop (early-exit parity
+# with connected_components_hashmin's churn probe)
+# ---------------------------------------------------------------------------
+
+
+def test_sssp_converged_stop_drops_rounds_with_identical_output(
+    spark,
+):
+    """A fast-converging planted graph (diameter 3, horizon 12):
+    converged_stop must cut the executed rounds while returning the
+    exact frame the full horizon returns; on a graph that needs the
+    whole horizon it must not fire early."""
+    from matrixinversion_spark.relational.mining import sssp_weighted
+
+    # same planted detour graph as the r12 pin — settles in 3 rounds
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 3, 1), (3, 1, 1)],
+        "src bigint, dst bigint, cost bigint",
+    )
+    full = {
+        r["node"]: r["cost"]
+        for r in sssp_weighted(edges, source=0, rounds=12).collect()
+    }
+    stats = {}
+    early = {
+        r["node"]: r["cost"]
+        for r in sssp_weighted(
+            edges, source=0, rounds=12, converged_stop=True,
+            stats=stats,
+        ).collect()
+    }
+    assert early == full == {0: 0, 1: 3, 2: 1, 3: 2}
+    # 3 productive rounds + 1 fixed-point confirmation round
+    assert stats["rounds_run"] == 4
+
+    # a 6-edge chain must use every one of its 6 rounds — no false
+    # early exit while costs are still propagating
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(6)],
+        "src bigint, dst bigint, cost bigint",
+    )
+    stats = {}
+    got = {
+        r["node"]: r["cost"]
+        for r in sssp_weighted(
+            chain, source=0, rounds=6, converged_stop=True,
+            stats=stats,
+        ).collect()
+    }
+    assert got == {i: i for i in range(7)}
+    assert stats["rounds_run"] == 6
