@@ -210,7 +210,13 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events strictly closer than the gap (next.ts < prev.ts + 30min),
     so the islands replay uses ``>= 1800s`` for a session break —
     NOT ``> 1800s`` (which is q_events_sessionize's inclusive-merge
-    convention)."""
+    convention).
+
+    Composition note: do NOT semi/anti-join directly on this
+    aggregate's keys without materializing it first — Spark 4.1.2's
+    optimizer can push such a join below the session merge and
+    corrupt the result (see streaming/ops.py ``sessionized`` and
+    tests/test_round13_ops.py)."""
     e = read_table(spark, sf_dir, "events")
     return (
         e.groupBy(

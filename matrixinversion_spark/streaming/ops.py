@@ -120,7 +120,17 @@ def windowed_counts(events: DataFrame,
 def sessionized(events: DataFrame,
                 gap: str = "30 minutes",
                 watermark: str = "2 hours") -> DataFrame:
-    """Native session windows (30-min inactivity gap) per user."""
+    """Native session windows (30-min inactivity gap) per user.
+
+    BATCH-COMPOSITION HAZARD (Spark 4.1.2): when this aggregate is
+    evaluated in batch and then semi/anti-joined on
+    (user_id, session_start), Catalyst may push the join BELOW the
+    MergingSessions operator (the pre-merge per-event window start
+    looks like a grouping key but is not stable under merging),
+    silently corrupting the sessions. Materialize the result
+    (persist + count, or checkpoint) before joining on its keys —
+    pinned by tests/test_round13_ops.py
+    (test_session_window_join_pushdown_hazard)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

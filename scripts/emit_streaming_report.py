@@ -178,12 +178,196 @@ def run_scenario(spark) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_session_scenario(spark) -> dict:
+    """VERDICT r12 #8: the native session-window twin
+    (streaming/ops.py ``sessionized``), restart-proven live. Same
+    land-half/drain/land-half/restart protocol as the tumbling
+    scenario. Session-window streaming aggregation supports only
+    APPEND output mode (Spark rejects update for merging windows),
+    which makes the exactly-once claim sharper: a session row is
+    emitted exactly once, when the watermark finalizes it — so
+    across the restart the sink must hold (a) no duplicate
+    (user_id, session_start) keys, (b) only rows that exactly match
+    the batch ground truth (the SAME ``sessionized`` body run as a
+    batch query over the full table; withWatermark is a no-op in
+    batch), and (c) every truth session it is missing must still be
+    watermark-open (session_end beyond the final watermark) — the
+    tail the availableNow drain legitimately cannot flush. n_events
+    compares exactly; session_value within 0.015 (incremental state
+    merge may associate float additions differently than the batch
+    shuffle)."""
+    from matrixinversion_spark.session import read_table
+    from matrixinversion_spark.streaming import ops as sops
+
+    base = tempfile.mkdtemp(prefix="stream_sess_report_")
+    in_dir, out_dir, ckpt = (
+        f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    )
+    try:
+        ev = read_table(spark, SF_DIR, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        b = ev.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        cut = (b.lo + (b.hi - b.lo) / 2).replace(
+            minute=0, second=0, microsecond=0
+        )
+        halves = [
+            ev.filter(F.col("ts") < F.lit(cut)),
+            ev.filter(F.col("ts") >= F.lit(cut)),
+        ]
+
+        def land(df, name):
+            stage = f"{base}/stage_{name}"
+            df.coalesce(1).write.parquet(stage)
+            os.makedirs(in_dir, exist_ok=True)
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            shutil.move(part, f"{in_dir}/{name}.parquet")
+
+        def run_once():
+            stream = spark.readStream.schema(ev.schema).parquet(
+                in_dir
+            )
+            sess = sops.sessionized(stream)
+
+            def sink(batch_df, batch_id):  # noqa: ANN001
+                batch_df.withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").parquet(out_dir)
+
+            q = (
+                sess.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            runs = []
+            wm = None
+            for p in [p for p in q.recentProgress if p]:
+                st = (p.get("stateOperators") or [{}])[0]
+                runs.append(
+                    {
+                        "batch_id": p.get("batchId"),
+                        "input_rows": p.get("numInputRows"),
+                        "state_rows_total": st.get("numRowsTotal"),
+                        "state_rows_updated": st.get(
+                            "numRowsUpdated"
+                        ),
+                    }
+                )
+                pw = (p.get("eventTime") or {}).get("watermark")
+                wm = max(wm, pw) if wm and pw else (pw or wm)
+            return runs, wm
+
+        land(halves[0], "f1")
+        run1, _ = run_once()
+        land(halves[1], "f2")
+        run2, wm_iso = run_once()
+        wm_final = dt.datetime.strptime(
+            wm_iso, "%Y-%m-%dT%H:%M:%S.%fZ"
+        )
+
+        # MATERIALIZATION BARRIER — load-bearing, do not remove: in
+        # Spark 4.1.2 Catalyst pushes a semi/anti join below a
+        # session_window aggregation (the join keys look like a
+        # subset of the grouping keys, but the pre-merge per-event
+        # session_window is NOT stable under MergingSessions), which
+        # silently corrupts the session merge — observed here as the
+        # truth side splitting hundreds of sessions when compared
+        # unpersisted (BroadcastHashJoin LeftAnti planned BELOW
+        # MergingSessions). persist() + count() forces both sides to
+        # evaluate standalone before any join planning sees them.
+        # Pinned by tests/test_round13_ops.py
+        # (test_session_window_join_pushdown_hazard).
+        emitted = spark.read.parquet(out_dir).persist()
+        emitted.count()
+        dupes = (
+            emitted.groupBy("user_id", "session_start")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        truth = sops.sessionized(ev).persist()
+        truth.count()
+        joined = emitted.alias("a").join(
+            truth.alias("b"), ["user_id", "session_start"], "full"
+        )
+        # (b) an emitted row not exactly matching ground truth
+        wrong = joined.filter(
+            F.col("a.n_events").isNotNull()
+            & (
+                F.col("b.n_events").isNull()
+                | (F.col("a.n_events") != F.col("b.n_events"))
+                | (
+                    F.abs(
+                        F.col("a.session_value")
+                        - F.col("b.session_value")
+                    )
+                    > 0.015
+                )
+            )
+        ).count()
+        # (c) a truth session the sink is missing although the final
+        # watermark had already closed it (a legitimately-open tail
+        # session has session_end beyond the watermark)
+        missing = joined.filter(F.col("a.n_events").isNull())
+        missing_closed = missing.filter(
+            F.col("b.session_end") <= F.lit(wm_final)
+        ).count()
+        # adjudication detail: how far each unemitted session's end
+        # sits from the final watermark (negative = closed before it)
+        missing_deltas = sorted(
+            r["d"]
+            for r in missing.select(
+                (
+                    F.unix_micros(F.col("b.session_end"))
+                    - F.unix_micros(F.lit(wm_final))
+                ).alias("d")
+            ).collect()
+        )[:8]
+        n_sessions = truth.count()
+        n_emitted = emitted.count()
+        straddling = truth.filter(
+            (F.col("session_start") < F.lit(cut))
+            & (F.col("session_end") > F.lit(cut))
+        ).count()
+        batch_ids_1 = [r["batch_id"] for r in run1]
+        batch_ids_2 = [r["batch_id"] for r in run2]
+        resumed = bool(batch_ids_2) and (
+            min(batch_ids_2) > max(batch_ids_1)
+        )
+        mism = dupes + wrong + missing_closed
+        emitted.unpersist()
+        truth.unpersist()
+        return {
+            "run1": run1,
+            "run2": run2,
+            "n_sessions": n_sessions,
+            "n_emitted": n_emitted,
+            "straddling_sessions": straddling,
+            "duplicate_emissions": dupes,
+            "wrong_emissions": wrong,
+            "missing_closed_sessions": missing_closed,
+            "missing_end_minus_wm_micros": missing_deltas,
+            "session_mismatches": mism,
+            "final_watermark": wm_iso,
+            "checkpoint_resumed_batch_ids": resumed,
+            "exactly_once_ok": mism == 0 and resumed,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from matrixinversion_spark.session import get_spark
 
     spark = get_spark("streaming_report")
     spark.sparkContext.setLogLevel("ERROR")
     metrics = run_scenario(spark)
+    sess_metrics = run_session_scenario(spark)
     spark.stop()
 
     pt = subprocess.run(
@@ -231,6 +415,38 @@ Run 2 (restart from checkpoint, second half only):
 (no reprocessing): {metrics['checkpoint_resumed_batch_ids']}
 - **exactly-once: {'OK' if metrics['exactly_once_ok'] else 'FAILED'}**
 
+## Session-window checkpoint/restart scenario (live, \
+sf={SF_DIR.rsplit('sf', 1)[-1]})
+
+Native ``F.session_window`` sessionizer (streaming/ops.py
+``sessionized``, 30-min gap) through the same
+land/drain/land/restart protocol, APPEND mode (the only output mode
+Spark permits for merging session windows — each session is emitted
+exactly once, when the watermark finalizes it); ground truth is the
+same sessionizer body executed as a batch query over the full
+table.
+
+Run 1 (first half of events):
+{fmt_runs(sess_metrics['run1'])}
+
+Run 2 (restart from checkpoint, second half only):
+{fmt_runs(sess_metrics['run2'])}
+
+- sessions in ground truth: {sess_metrics['n_sessions']} \
+({sess_metrics['straddling_sessions']} straddle the restart cut); \
+emitted: {sess_metrics['n_emitted']} \
+(final watermark {sess_metrics['final_watermark']})
+- duplicate emissions across the restart: \
+{sess_metrics['duplicate_emissions']}
+- emitted sessions disagreeing with batch ground truth: \
+{sess_metrics['wrong_emissions']}
+- watermark-closed truth sessions missing from the sink: \
+{sess_metrics['missing_closed_sessions']}
+- restart resumed batch ids after run 1's \
+(no reprocessing): {sess_metrics['checkpoint_resumed_batch_ids']}
+- **exactly-once: \
+{'OK' if sess_metrics['exactly_once_ok'] else 'FAILED'}**
+
 ## Streaming pytest files
 
 `pytest tests/test_streaming.py tests/test_streaming_sink.py`:
@@ -246,7 +462,11 @@ batch semantics exist.
     with open(os.path.join(REPO, "STREAMING.md"), "w") as f:
         f.write(body)
     print(body)
-    ok = metrics["exactly_once_ok"] and pt.returncode == 0
+    ok = (
+        metrics["exactly_once_ok"]
+        and sess_metrics["exactly_once_ok"]
+        and pt.returncode == 0
+    )
     sys.exit(0 if ok else 1)
 
 

@@ -318,3 +318,62 @@ def test_sssp_converged_stop_drops_rounds_with_identical_output(
     }
     assert got == {i: i for i in range(7)}
     assert stats["rounds_run"] == 6
+
+
+# ---------------------------------------------------------------------------
+# Spark 4.1.2 hazard pin: Catalyst pushes a semi/anti join below a
+# batch session_window aggregation (join keys look like a subset of
+# the grouping keys, but the pre-merge per-event window is NOT
+# stable under MergingSessions) and silently corrupts the merge.
+# Found while building the STREAMING.md session attestation; the
+# engine-side rule is: MATERIALIZE (persist/checkpoint) a
+# session_window aggregate before joining on its keys.
+# ---------------------------------------------------------------------------
+
+
+def test_session_window_join_pushdown_hazard(spark):
+    import datetime as dt
+
+    from matrixinversion_spark.streaming import ops as sops
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = [
+        # user 1: two events 29 min apart -> ONE merged session
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=29), 2.0),
+        # user 2: control singleton
+        (2, t0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    keys = spark.createDataFrame(
+        [(1, t0)], "user_id bigint, session_start timestamp"
+    )
+
+    # the engine-level guarantee: a MATERIALIZED session aggregate
+    # anti-joins correctly — user 1's merged session matches the key
+    # and disappears entirely, leaving only user 2
+    s = sops.sessionized(df).persist()
+    s.count()
+    safe = s.join(
+        keys, ["user_id", "session_start"], "left_anti"
+    ).collect()
+    s.unpersist()
+    assert [(r["user_id"], r["n_events"]) for r in safe] == [(2, 1)]
+
+    # the raw (unmaterialized) path: either Spark plans the join
+    # above the merge (correct: same single row) or it pushes the
+    # anti join below MergingSessions and strips user 1's FIRST
+    # event pre-merge, resurrecting user 1 as a partial 1-event
+    # session starting at t0+29min (the corruption this pin
+    # documents). Any third behavior is a new regression.
+    raw = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sops.sessionized(df)
+        .join(keys, ["user_id", "session_start"], "left_anti")
+        .collect()
+    )
+    correct = [(2, t0, 1)]
+    corrupt = [(1, t0 + dt.timedelta(minutes=29), 1), (2, t0, 1)]
+    assert raw in (correct, corrupt), raw
