@@ -1182,3 +1182,48 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("src") * 3 + F.col("dst") * 7) % 10 + 1).alias("cost"),
     )
     return sssp_weighted(edges, source=0, rounds=SSSP_ROUNDS)
+
+
+@query(
+    "q_sssp_converged",
+    oracle=_BFS_EDGE_SQL + """,
+    walk AS (
+        WITH RECURSIVE step(node, c, r) AS (
+            SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS c,
+                   0 AS r
+            UNION
+            SELECT CAST(e.dst AS BIGINT),
+                   step.c + (e.src * 3 + e.dst * 7) % 10 + 1,
+                   step.r + 1
+            FROM step JOIN e ON e.src = step.node
+            WHERE step.r < 24
+        )
+        SELECT node, c FROM step
+    )
+    SELECT node, CAST(min(c) AS BIGINT) AS cost
+    FROM walk GROUP BY node
+    """,
+)
+def q_sssp_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY CONVERGED single-source weighted shortest paths — the
+    r13 ``converged_stop`` surface driven through the driver gate:
+    the horizon is set to V−1 = 24 (the Bellman-Ford convergence
+    bound for the ≤25-nation trade graph), and the churn probe exits
+    as soon as a relaxation round is a fixed point, so the executed
+    round count is the graph's actual settle depth (~5), not the
+    worst-case bound — with output provably identical to running all
+    24 rounds (a fixed point is invariant under further relaxation).
+    The oracle replays convergence with a UNION-distinct recursive
+    CTE on (node, cost, depth) states — distinct-bounded at
+    25 nodes x <=240 cost x 24 depths, so the bag-semantics blowup
+    of the bounded-horizon oracle's UNION ALL cannot occur — and
+    min-aggregates per node; at depth 24 the minimum over walks
+    equals the true shortest-path cost."""
+    edges = _sparsified_trade_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        ((F.col("src") * 3 + F.col("dst") * 7) % 10 + 1).alias("cost"),
+    )
+    return sssp_weighted(
+        edges, source=0, rounds=24, converged_stop=True
+    )
