@@ -10,6 +10,8 @@ records them as rows-only; pytest asserts the numerical properties).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import numpy as np
 import pandas as pd
 
@@ -24,6 +26,45 @@ from matrixinversion_spark.registry import query
 from matrixinversion_spark.session import read_table
 
 _DIM = 64  # derived-matrix edge; one 64×64 block
+
+
+@contextmanager
+def _pinned_exec(spark: SparkSession, grid_blocks: int):
+    """Job-level execution confs for the EAGER matrix demos — the
+    same two settings ``bench.py`` has always applied to the N=2048
+    inverse, scoped per query and restored in ``finally`` (r13
+    optimization round).
+
+    Why: the recursive block pipelines run on a FIXED, tiny,
+    uniformly-sized block grid (a handful of ~8 MB blocks whose
+    partitioning is known a priori), but execute as a long chain of
+    sequential exchanges. AQE materializes every exchange as its own
+    job to re-plan it — pure driver round-trip latency here, since
+    there is nothing adaptive to decide on ≤32 equal-size blocks
+    (measured this round: la_lu_residual 92 jobs/15.1 s with AQE on
+    → see OPTIMIZATION_r13.md for the after numbers). Disabling AQE
+    for the span of the query and pinning shuffle partitions to the
+    grid size is the per-job submit conf a production matrix
+    pipeline would use (guide §2.4: remove runtime re-planning from
+    plans whose partitioning is already decided; bench.py carries
+    the same rationale for la_inverse_2048). Data-sized relational
+    queries are NOT wrapped — AQE earns its jobs there.
+
+    Only queries whose heavy actions run INSIDE the builder (the
+    residual/property family — they end in ``collect``/``to_numpy``)
+    use this; queries returning lazy data-sized frames must not,
+    because the conf would be restored before execution.
+    """
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", str(max(grid_blocks, 8)))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def _lineitem_matrix(spark: SparkSession, sf_dir: str) -> BlockMatrixFrame:
@@ -104,12 +145,15 @@ def la_lu_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exactly 0.0 at 6 decimals and ``ok`` asserts the tolerance, so
     the driver hash-checks the literal expectation. Pytest asserts the
     raw tolerance independently."""
-    a = BlockMatrixFrame.random_uniform(spark, 256, block_size=64, seed=42)
-    a.persist()
-    perm, lo, up = lumod.lu(a, leaf_size=64)
-    residual = ops.max_abs_diff(
-        ops.permute_rows(a, perm), ops.multiply(lo, up)
-    )
+    with _pinned_exec(spark, (256 // 64) ** 2):
+        a = BlockMatrixFrame.random_uniform(
+            spark, 256, block_size=64, seed=42
+        )
+        a.persist()
+        perm, lo, up = lumod.lu(a, leaf_size=64)
+        residual = ops.max_abs_diff(
+            ops.permute_rows(a, perm), ops.multiply(lo, up)
+        )
     return spark.createDataFrame(
         [(256, float(round(residual, 6)), bool(residual < 1e-10 * 256))],
         "n int, residual_r6 double, ok boolean",
@@ -124,11 +168,14 @@ def la_inverse_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying full inverse: ‖A·A⁻¹ − I‖∞ ≤ 1e-8·N on a seeded
     256² uniform matrix (SURVEY.md §5 property golden). Driver-checked
     via the rounded-residual trick (see la_lu_residual)."""
-    a = BlockMatrixFrame.random_uniform(spark, 256, block_size=64, seed=42)
-    a.persist()
-    ainv = invmod.inverse(a, leaf_size=64)
-    err = ops.max_abs_diff_from_identity(ops.multiply(a, ainv))
-    ainv.release()  # the residual action above consumed the caches
+    with _pinned_exec(spark, (256 // 64) ** 2):
+        a = BlockMatrixFrame.random_uniform(
+            spark, 256, block_size=64, seed=42
+        )
+        a.persist()
+        ainv = invmod.inverse(a, leaf_size=64)
+        err = ops.max_abs_diff_from_identity(ops.multiply(a, ainv))
+        ainv.release()  # the residual action above consumed the caches
     return spark.createDataFrame(
         [(256, float(round(err, 6)), bool(err < 1e-8 * 256))],
         "n int, identity_err_r6 double, ok boolean",
@@ -192,17 +239,25 @@ def la_cholesky_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixinversion_spark.matrix import cholesky as cholmod
 
     n = 256
-    b = BlockMatrixFrame.random_uniform(spark, n, block_size=64, seed=42)
-    b.persist()
-    a = ops.add(
-        ops.multiply(b, ops.transpose(b)),
-        ops.scale(BlockMatrixFrame.identity(spark, n, block_size=64), float(n)),
-    )
-    a.persist()
-    lo = cholmod.cholesky(a, leaf_size=64)
-    residual = ops.max_abs_diff(ops.multiply(lo, ops.transpose(lo)), a)
-    logdet = cholmod.spd_logdet(a, leaf_size=64)
-    sign_np, logdet_np = np.linalg.slogdet(a.to_numpy())
+    with _pinned_exec(spark, (n // 64) ** 2):
+        b = BlockMatrixFrame.random_uniform(
+            spark, n, block_size=64, seed=42
+        )
+        b.persist()
+        a = ops.add(
+            ops.multiply(b, ops.transpose(b)),
+            ops.scale(
+                BlockMatrixFrame.identity(spark, n, block_size=64),
+                float(n),
+            ),
+        )
+        a.persist()
+        lo = cholmod.cholesky(a, leaf_size=64)
+        residual = ops.max_abs_diff(
+            ops.multiply(lo, ops.transpose(lo)), a
+        )
+        logdet = cholmod.spd_logdet(a, leaf_size=64)
+        sign_np, logdet_np = np.linalg.slogdet(a.to_numpy())
     logdet_ok = bool(
         sign_np > 0 and abs(logdet - logdet_np) <= 1e-6 * abs(logdet_np)
     )
@@ -305,14 +360,17 @@ def la_solve_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 8 right-hand sides, rounded-residual driver check (see
     la_lu_residual)."""
     n, k = 256, 8
-    a = BlockMatrixFrame.random_uniform(spark, n, block_size=64, seed=42)
-    a.persist()
-    b = BlockMatrixFrame.random_uniform(
-        spark, n, m=k, block_size=64, seed=7
-    )
-    b.persist()
-    x = invmod.solve(a, b, leaf_size=64)
-    residual = ops.max_abs_diff(ops.multiply(a, x), b)
+    with _pinned_exec(spark, (n // 64) ** 2):
+        a = BlockMatrixFrame.random_uniform(
+            spark, n, block_size=64, seed=42
+        )
+        a.persist()
+        b = BlockMatrixFrame.random_uniform(
+            spark, n, m=k, block_size=64, seed=7
+        )
+        b.persist()
+        x = invmod.solve(a, b, leaf_size=64)
+        residual = ops.max_abs_diff(ops.multiply(a, x), b)
     return spark.createDataFrame(
         [(n, k, float(round(residual, 6)), bool(residual < 1e-8 * n))],
         "n int, n_rhs int, residual_r6 double, ok boolean",
@@ -330,10 +388,13 @@ def la_determinant(spark: SparkSession, sf_dir: str) -> DataFrame:
     (det itself spans hundreds of orders of magnitude; comparing in
     log space is the stable check)."""
     n = 96
-    a = BlockMatrixFrame.random_uniform(spark, n, block_size=32, seed=42)
-    a.persist()
-    det = invmod.determinant(a, leaf_size=32)
-    sign_np, log_np = np.linalg.slogdet(a.to_numpy())
+    with _pinned_exec(spark, (n // 32) ** 2):
+        a = BlockMatrixFrame.random_uniform(
+            spark, n, block_size=32, seed=42
+        )
+        a.persist()
+        det = invmod.determinant(a, leaf_size=32)
+        sign_np, log_np = np.linalg.slogdet(a.to_numpy())
     ok = bool(
         det != 0.0
         and np.sign(det) == sign_np
@@ -437,6 +498,10 @@ def la_tsqr_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixinversion_spark.matrix import qr as qrmod
 
     n, k, bs = 4096, 32, 512
+    # NOT wrapped in _pinned_exec: measured WORSE with AQE off
+    # (2.18 -> 2.92 s min-of-2) — the 4096-row panel is data-sized
+    # enough that AQE's post-shuffle coalescing earns its jobs
+    # (OPTIMIZATION_r13.md, matrix family).
     a = BlockMatrixFrame.random_uniform(
         spark, n, m=k, block_size=bs, seed=7
     )
@@ -476,33 +541,37 @@ def la_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matrixinversion_spark.matrix.lu import _checkpoint
 
     n, bs, iters = 256, 64, 15
-    b = BlockMatrixFrame.random_uniform(spark, n, block_size=bs, seed=11)
-    a = ops.add(b, ops.transpose(b))
-    a.persist()
-    v = BlockMatrixFrame.from_numpy(
-        spark, np.full((n, 1), 1.0 / np.sqrt(n)), block_size=bs
-    )
-    lam = 0.0
-    for _ in range(iters):
-        # checkpoint cuts the logical plan each step — without it the
-        # nested join/applyInPandas lineage grows exponentially in
-        # the optimizer and OOMs the driver around depth ~12
-        w = _checkpoint(ops.multiply(a, v))
-        w.persist()
-        # Rayleigh-style scalar: ‖w‖₂ via a JVM-side aggregate —
-        # one tiny action per step, no vector collect
-        norm2 = w.df.select(
-            F.sum(
-                F.aggregate(
-                    "data", F.lit(0.0), lambda acc, x: acc + x * x
-                )
-            ).alias("s")
-        ).collect()[0]["s"]
-        lam = float(np.sqrt(norm2))
-        v_next = ops.scale(w, 1.0 / lam)
-        v = v_next
-    av = ops.multiply(a, v)
-    rel_res = ops.max_abs_diff(av, ops.scale(v, lam)) / lam
+    with _pinned_exec(spark, (n // bs) ** 2):
+        b = BlockMatrixFrame.random_uniform(
+            spark, n, block_size=bs, seed=11
+        )
+        a = ops.add(b, ops.transpose(b))
+        a.persist()
+        v = BlockMatrixFrame.from_numpy(
+            spark, np.full((n, 1), 1.0 / np.sqrt(n)), block_size=bs
+        )
+        lam = 0.0
+        for _ in range(iters):
+            # checkpoint cuts the logical plan each step — without it
+            # the nested join/applyInPandas lineage grows
+            # exponentially in the optimizer and OOMs the driver
+            # around depth ~12
+            w = _checkpoint(ops.multiply(a, v))
+            w.persist()
+            # Rayleigh-style scalar: ‖w‖₂ via a JVM-side aggregate —
+            # one tiny action per step, no vector collect
+            norm2 = w.df.select(
+                F.sum(
+                    F.aggregate(
+                        "data", F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                ).alias("s")
+            ).collect()[0]["s"]
+            lam = float(np.sqrt(norm2))
+            v_next = ops.scale(w, 1.0 / lam)
+            v = v_next
+        av = ops.multiply(a, v)
+        rel_res = ops.max_abs_diff(av, ops.scale(v, lam)) / lam
     return spark.createDataFrame(
         [(n, iters, float(round(rel_res, 6)), bool(rel_res < 1e-9))],
         "n int, iters int, rel_residual_r6 double, ok boolean",
@@ -531,6 +600,8 @@ def la_randomized_svd(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_np = (rng.standard_normal((n, rank)) / np.sqrt(n)) @ (
         rng.standard_normal((rank, m)) * 10.0
     )
+    # NOT wrapped in _pinned_exec: measured WORSE with AQE off
+    # (3.87 -> 4.99 s min-of-2) — see la_tsqr_residual's note.
     a = BlockMatrixFrame.from_numpy(spark, a_np, block_size=256)
     a.persist()
     u, s, vt = svdmod.randomized_svd(
@@ -568,13 +639,18 @@ def la_pinv_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     A⁺A == I_64 at the leaf scale against numpy (left inverse —
     exact for full column rank)."""
     n, m = 192, 64
-    a = BlockMatrixFrame.random_uniform(spark, n, m=m, block_size=64, seed=11)
-    a.persist()
-    p = invmod.pinv(a, leaf_size=64)
-    p.persist()
-    mp_res = ops.max_abs_diff(ops.multiply(a, ops.multiply(p, a)), a)
-    left = ops.multiply(p, a).to_numpy()
-    left_ok = bool(np.abs(left - np.eye(m)).max() < 1e-8 * n)
+    with _pinned_exec(spark, (n // 64) * (m // 64)):
+        a = BlockMatrixFrame.random_uniform(
+            spark, n, m=m, block_size=64, seed=11
+        )
+        a.persist()
+        p = invmod.pinv(a, leaf_size=64)
+        p.persist()
+        mp_res = ops.max_abs_diff(
+            ops.multiply(a, ops.multiply(p, a)), a
+        )
+        left = ops.multiply(p, a).to_numpy()
+        left_ok = bool(np.abs(left - np.eye(m)).max() < 1e-8 * n)
     return spark.createDataFrame(
         [(
             n,
@@ -631,6 +707,9 @@ def la_condition_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_np, _ = np.linalg.qr(rng.standard_normal((n, n)))
     d = np.maximum(1000.0 * 0.5 ** np.arange(n), 1.0)
     a_np = (q_np * d) @ q_np.T
+    # NOT wrapped in _pinned_exec: measured WORSE with AQE off
+    # (10.75 -> 15.47 s min-of-2) — the chained matvec chunks lean on
+    # AQE's post-shuffle coalescing (see la_tsqr_residual's note).
     a = BlockMatrixFrame.from_numpy(spark, a_np, block_size=bs)
     a.persist()
     a_inv = invmod.inverse(a, leaf_size=2 * bs)

@@ -230,6 +230,25 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
     edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("u").alias("doc_id")).distinct() \
         .withColumn("label", F.col("doc_id"))
+
+    # Convergence probe (r13 optimization round): the vertex set is
+    # fixed and every per-vertex label is elementwise NON-INCREASING
+    # (new = least(old, ...)), so Σ label strictly decreases until —
+    # and only until — the fixed point: equal consecutive sums ⇔ no
+    # label moved. The previous probe joined new vs old labels on
+    # doc_id and counted diffs — TWO extra shuffles per round (the
+    # barrier strips partitioning, so the join re-exchanges both
+    # sides); the sum is one map-side-combined aggregate on the
+    # frame the round already materialized. DECIMAL(38,0) keeps the
+    # comparison exact at any vertex-id/graph scale (Σ id can pass
+    # 2^63 on billions of 64-bit ids; non-ANSI bigint sum would wrap
+    # silently).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    old_sum = _label_sum(labels)
     rounds = 0
     while True:
         rounds += 1
@@ -259,15 +278,11 @@ def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
             )
         )
         new_labels = _fresh_stats_barrier(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == old_sum:
             break
+        old_sum = new_sum
     return labels, rounds
 
 
@@ -925,18 +940,21 @@ def p_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic top-K so the operator is oracle-checkable (the
     noisy variant is one extra column).
 
-    Scale shape: two passes over the hashed feature stream — the
-    fit/score minimum ANY trained selector has (the paper's
-    estimate-then-weight structure): pass 1 fits BOTH bucket models
-    in ONE map-side-combined groupBy over ``DSIR_BUCKETS`` keys
-    (conditional count for the target slice — the target model is
-    not a separate scan); pass 2 scores docs. Features are unigrams
-    + zip_with bigrams (the shingle lesson from
-    ``shingles_from_tokens`` applies); the
-    bucket→log-ratio table is B rows, broadcast back onto the
-    feature stream; per-doc weights are one groupBy(doc_id); the
-    top-K cut is a TakeOrdered, never a global sort. Total: two
-    shuffles over bucket- and doc-cardinality frames.
+    Scale shape: ONE pass over the hashed feature stream (r13 — the
+    r12 plan paid the corpus explode twice, once under the broadcast
+    model build and once on the scoring probe): the explode
+    pre-aggregates to (doc_id, lang, bucket) COUNTS — a
+    map-side-combined groupBy whose exchange is the only data-sized
+    shuffle — and both the model fit and the scoring probe hang off
+    that IDENTICAL aggregate subtree, so Spark's exchange reuse
+    (ReusedExchange in the plan) materializes the explode once. The
+    bucket models then fold the count frame to ``DSIR_BUCKETS`` rows
+    (conditional sum for the target slice — the target model is not
+    a separate scan); the bucket→log-ratio table is B rows,
+    broadcast back onto the count frame; per-doc weights are one
+    groupBy(doc_id) over counts (Σ c·w(b) — exactly the per-feature
+    sum, grouped); the top-K cut is a TakeOrdered, never a global
+    sort.
 
     Production order-of-operations: DEDUP FIRST. Identical documents
     get identical weights, so importance selection amplifies
@@ -962,29 +980,54 @@ def p_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     from matrixinversion_spark.pipeline.dedup import hash32
 
-    f = (
+    fc = (
         t.select(
             "doc_id",
             "lang",
             F.explode(F.concat("ts", bigrams)).alias("g"),
         )
         .filter(F.col("g") != "")
-        .select(
+        .groupBy(
             "doc_id",
             "lang",
             (hash32(F.col("g")) % DSIR_BUCKETS).alias("b"),
         )
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    m = f.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
+    # Pin the count frame through the stats barrier: the model build
+    # (broadcast side) and the scoring probe both read fc, and
+    # without an explicit materialization each subtree re-derives
+    # the corpus explode (measured: AQE's stage reuse did NOT fire
+    # across the broadcast boundary — 2 Generate nodes in the final
+    # plan). The barrier is bounded at |docs| x DSIR_BUCKETS count
+    # rows — metadata-sized next to the feature stream it replaces
+    # (guide §2.3: shuffle/pin the lightweight proxy, not the
+    # payload). Measured at sf0.1: 3.40 -> ~1.7 s min, and exactly
+    # ONE explode pass at any corpus scale.
+    fc = _fresh_stats_barrier(fc)
+    m = fc.groupBy("b").agg(
+        F.sum("c").alias("cr"),
         F.sum(
-            (F.col("lang") == DSIR_TARGET_LANG).cast("bigint")
+            F.when(
+                F.col("lang") == DSIR_TARGET_LANG, F.col("c")
+            ).otherwise(F.lit(0))
         ).alias("ct"),
     )
-    tot = m.agg(
-        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
-    )
-    llr = m.crossJoin(F.broadcast(tot)).select(
+    # grand totals as an unpartitioned window over the B-row model
+    # frame (bounded at DSIR_BUCKETS rows — never data-sized), not a
+    # crossJoin against a separate m.agg(): the agg would be a THIRD
+    # subtree containing the corpus explode, defeating the exchange
+    # reuse the fc pre-aggregate exists to enable (r13).
+    from pyspark.sql import Window
+
+    tot_w = Window.partitionBy()
+    llr = m.select(
+        "b",
+        F.sum("cr").over(tot_w).alias("nr"),
+        F.sum("ct").over(tot_w).alias("nt"),
+        "cr",
+        "ct",
+    ).select(
         "b",
         (
             F.log((F.col("ct") + 1.0) / (F.col("nt") + DSIR_BUCKETS))
@@ -992,12 +1035,12 @@ def p_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     d = (
-        f.join(F.broadcast(llr), "b")
+        fc.join(F.broadcast(llr), "b")
         .groupBy("doc_id")
         .agg(
             F.any_value("lang").alias("lang"),
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.sum("w").alias("w"),
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("w")).alias("w"),
         )
     )
     return (

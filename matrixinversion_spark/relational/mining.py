@@ -1073,15 +1073,16 @@ def sssp_weighted(
 
     ``converged_stop=True`` opts into early exit for callers whose
     graphs settle before the horizon (the horizon still caps the
-    worst case): the same churn probe as
-    ``connected_components_hashmin`` — the distance set only grows
-    in nodes and only shrinks in costs, so equal count + an empty
-    (node, cost) anti-join ⇔ a Bellman-Ford fixed point, and a
-    fixed point is invariant under further relaxation, so the
-    output is identical to running every remaining round. The
-    probe's extra count/anti-join jobs only run on rounds whose
-    size is already stable. ``stats`` (optional dict) receives
-    ``rounds_run`` — the relaxation rounds actually executed.
+    worst case): the distance set only grows in nodes and each
+    node's cost only shrinks, so an unchanged (count, Σ cost) pair
+    across a round ⇔ a Bellman-Ford fixed point, and a fixed point
+    is invariant under further relaxation, so the output is
+    identical to running every remaining round. The probe is ONE
+    map-side-combined aggregate action per round (r13: it replaced
+    a count() action plus a gated (node, cost) anti-join action
+    with identical stop semantics). ``stats`` (optional dict)
+    receives ``rounds_run`` — the relaxation rounds actually
+    executed.
 
     Scale shape: both the relax join and the min-combine shuffle on
     node id; per-round volume is O(|E| + |V|) with map-side partial
@@ -1100,7 +1101,7 @@ def sssp_weighted(
     dist = spark.createDataFrame(
         [(source, 0)], "node bigint, cost bigint"
     )
-    n_old = 1
+    n_old, sum_old = 1, 0
     rounds_run = 0
     for _ in range(rounds):
         rounds_run += 1
@@ -1125,20 +1126,26 @@ def sssp_weighted(
         if not converged_stop:
             dist = new_dist
             continue
-        n_new = new_dist.count()
-        # node count only grows and per-node cost only shrinks, so
-        # equal size + nothing new on (node, cost) ⇔ set equality ⇔
-        # Bellman-Ford fixed point; skip the anti-join on rounds
-        # whose size already moved (they can't have converged)
-        changed = (
-            new_dist.join(dist, ["node", "cost"], "left_anti").count()
-            if n_new == n_old
-            else 1
-        )
+        # Fixed-point probe (r13 optimization round): the node set
+        # only GROWS and each settled node's cost only SHRINKS, so
+        # (count, Σ cost) is a strictly-moving pair until — and only
+        # until — the Bellman-Ford fixed point: equal count ⇒ same
+        # node set (nodes are never dropped), and on the same node
+        # set with elementwise non-increasing costs, equal Σ cost ⇔
+        # every cost unchanged. ONE map-side-combined aggregate
+        # action per round, replacing r13-build's count() action PLUS
+        # the (node, cost) anti-join action it gated. DECIMAL(38,0)
+        # keeps the sum exact at any |V|·horizon·max-weight scale
+        # (non-ANSI bigint sum would wrap silently).
+        row = new_dist.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cost").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        n_new, sum_new = row["n"], row["s"]
         dist = new_dist
-        if changed == 0:
+        if n_new == n_old and sum_new == sum_old:
             break
-        n_old = n_new
+        n_old, sum_old = n_new, sum_new
     if stats is not None:
         stats["rounds_run"] = rounds_run
     return dist

@@ -377,3 +377,99 @@ def test_session_window_join_pushdown_hazard(spark):
     correct = [(2, t0, 1)]
     corrupt = [(1, t0 + dt.timedelta(minutes=29), 1), (2, t0, 1)]
     assert raw in (correct, corrupt), raw
+
+
+# ---------------------------------------------------------------------------
+# r13 OPTIMIZATION round: convergence-probe and single-pass internals
+# ---------------------------------------------------------------------------
+
+
+def test_cc_sum_probe_never_stops_early(spark):
+    """r13 optimization: connected_components' convergence probe is
+    now a Σ label aggregate (labels are elementwise non-increasing
+    over a fixed vertex set, so equal consecutive sums ⇔ fixed
+    point) instead of a new-vs-old join — this differential pins
+    that the aggregate criterion never stops BEFORE the fixed point:
+    labels on a random graph must match union-find ground truth."""
+    import random
+
+    from matrixinversion_spark.pipeline.curation import (
+        connected_components,
+    )
+
+    rng = random.Random(1313)
+    n = 200
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(160)
+        }
+    )
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs],
+        "u bigint, v bigint",
+    )
+    labels, rounds = connected_components(edges)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+
+    # driver-side union-find ground truth
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        parent[find(u)] = find(v)
+    comp_min: dict[int, int] = {}
+    touched = {x for p in pairs for x in p}
+    for x in touched:
+        root = find(x)
+        comp_min[root] = min(comp_min.get(root, x), x)
+    expect = {x: comp_min[find(x)] for x in touched}
+    assert got == expect
+    assert rounds >= 1
+
+
+def test_sssp_agg_probe_matches_antijoin_semantics(spark):
+    """r13 optimization: the converged-stop probe is ONE
+    (count, Σ cost) aggregate per round instead of count + gated
+    anti-join. Pin that the stop round and the output both match
+    running the full horizon (fixed-point invariance) on a graph
+    with a cost-refining detour (count stabilizes BEFORE costs do —
+    the case where a count-only probe would stop early)."""
+    from matrixinversion_spark.relational.mining import sssp_weighted
+
+    # 0→1→2→3 (cheap chain, 1 per hop) plus expensive direct edges
+    # 0→2 (10), 0→3 (10): every node is reached by round 1, but
+    # node 2's and 3's costs keep improving in rounds 2 and 3.
+    rows = [
+        (0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 2, 10), (0, 3, 10),
+    ]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint, cost bigint")
+    stats: dict = {}
+    early = sssp_weighted(
+        edges, source=0, rounds=10, converged_stop=True, stats=stats
+    )
+    full = sssp_weighted(edges, source=0, rounds=10)
+    got = sorted((r["node"], r["cost"]) for r in early.collect())
+    want = sorted((r["node"], r["cost"]) for r in full.collect())
+    assert got == want == [(0, 0), (1, 1), (2, 2), (3, 3)]
+    # settles at round 3 (chain costs reach 2/3), +1 probe round
+    assert stats["rounds_run"] == 4
+
+
+def test_dsir_single_pass_plan_has_no_generate(spark):
+    """r13 optimization: p_dsir_select pins its (doc, lang, bucket)
+    count frame through the stats barrier, so the corpus explode
+    runs exactly once AT BUILD TIME — the returned plan must contain
+    no Generate (explode) node at all (both the model build and the
+    scoring probe read the materialized count frame)."""
+    from matrixinversion_spark.pipeline.curation import p_dsir_select
+    from tests.conftest import SF_DIR
+
+    df = p_dsir_select(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in plan, plan
