@@ -235,6 +235,7 @@ def main() -> None:
     timings["la_generate_2048"] = round(time.time() - t0, 3)
 
     n_grid = (INVERSE_N // INVERSE_BLOCK) ** 2
+    _outer_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(max(n_grid * 2, 8)))
     inverse_jobs = None
@@ -266,7 +267,9 @@ def main() -> None:
         timings[f"la_inverse_{INVERSE_N}"] = round(sorted(runs)[1], 3)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # restore the session's own (core-count-derived) value, not a
+        # hard-coded 32 (r13: the default scales with SPARK_GRAFT_CPUS)
+        spark.conf.set("spark.sql.shuffle.partitions", _outer_parts)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -110,7 +110,7 @@ def prefix_sum(
     order_cols: list[Column],
     value_col: str | list[str],
     out_col: str | list[str] = "cum",
-    n_parts: int = 32,
+    n_parts: int | None = None,
     grand_total_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Inclusive running total of ``value_col`` over the total order
@@ -150,6 +150,19 @@ def prefix_sum(
     (``scripts/exp_100m_scale.py``). On a real cluster the same sort
     spreads across executors and needs no knob.
     """
+    if n_parts is None:
+        # scale-adaptive default (r13, guide §2.2): the range-
+        # partition count follows the session parallelism instead of
+        # a local[32] constant — the driver's lower-core bench runs
+        # stop paying 32 near-empty range partitions (and their
+        # 32-branch offset CASE) on 8 cores. At 32 cores this
+        # resolves to the historical 32, so existing plans are
+        # byte-identical there; bounded at 256 so a huge cluster's
+        # offset CASE stays codegen-friendly (the >256 broadcast
+        # fallback below covers wider).
+        n_parts = min(
+            256, max(8, df.sparkSession.sparkContext.defaultParallelism)
+        )
     multi = not isinstance(value_col, str)
     vcols = list(value_col) if multi else [value_col]
     if multi and isinstance(out_col, str):
@@ -1083,7 +1096,7 @@ def assign_global_ids(
     df: DataFrame,
     order_cols: list[Column],
     out_col: str = "rid",
-    n_parts: int = 32,
+    n_parts: int | None = None,
     grand_total_col: str | None = None,
 ) -> DataFrame:
     """Contiguous 1-based global row ids in ``order_cols`` order —
