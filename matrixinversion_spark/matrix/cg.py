@@ -53,13 +53,53 @@ def dot(a: BlockMatrixFrame, b: BlockMatrixFrame) -> float:
     return float(out) if out is not None else 0.0
 
 
-def _pin(frame: BlockMatrixFrame) -> BlockMatrixFrame:
+def dot_self_and(a: BlockMatrixFrame,
+                 c: BlockMatrixFrame) -> tuple[float, float]:
+    """(<a, a>, <a, c>) in ONE join + aggregate + collect — the
+    fused form for loops that take two dots against the same left
+    vector back-to-back (BiCGSTAB's ||t||² and <t, s> per
+    iteration); r13 optimization round: each saved collect is a
+    blocking driver round-trip per iteration. LEFT join on ``c`` so
+    a block absent from ``c`` contributes zero to <a, c> without
+    dropping its <a, a> term — bit-identical to two ``dot`` calls."""
+    la = a.df.select("bi", "bj", F.col("data").alias("a_data"))
+    rc = c.df.select("bi", "bj", F.col("data").alias("c_data"))
+    per = la.join(rc, ["bi", "bj"], "left").select(
+        F.aggregate(
+            F.zip_with("a_data", "a_data", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s_aa"),
+        F.coalesce(
+            F.aggregate(
+                F.zip_with("a_data", "c_data", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0.0),
+        ).alias("s_ac"),
+    )
+    row = per.agg(F.sum("s_aa"), F.sum("s_ac")).collect()[0]
+    return (
+        float(row[0]) if row[0] is not None else 0.0,
+        float(row[1]) if row[1] is not None else 0.0,
+    )
+
+
+def _pin(frame: BlockMatrixFrame, eager: bool = True) -> BlockMatrixFrame:
     """Materialize and truncate lineage — CG recurrences otherwise
     grow the plan by two joins per iteration until the driver chokes
     on analysis, the same failure mode the iterative
-    connected-components loop hit in round 6."""
+    connected-components loop hit in round 6.
+
+    ``eager=False`` (r13 optimization round) still truncates the
+    lineage but defers materialization to the frame's first consumer
+    — right for the solution vector x, which no in-loop dot ever
+    reads: the eager form paid one blocking checkpoint job per
+    iteration purely to materialize a vector nothing consumes until
+    the loop ends."""
     return BlockMatrixFrame(
-        frame.df.localCheckpoint(eager=True),
+        frame.df.localCheckpoint(eager=eager),
         frame.n_rows,
         frame.n_cols,
         frame.block_size,
@@ -102,10 +142,18 @@ def cg_solve(
     stop = (tol * tol) * max(rr, 1e-300)  # rr0 == ||b||^2 at x0 = 0
     it = 0
     while it < max_iter and rr > stop:
+        # A·p is consumed TWICE (the alpha dot and the r update);
+        # persist so the matvec — the iteration's dominant cost —
+        # executes once (r13 optimization round: the unpersisted form
+        # re-ran the SUMMA join per consumer, i.e. 2 matvecs per
+        # iteration). The dot's collect materializes the cache; the
+        # eager r pin below reads it; unpersist immediately after.
         ap = ops.multiply(a, p)
+        ap.df.persist()
         alpha = rz / dot(p, ap)
-        x = _pin(ops._axpy(x, p, alpha))
+        x = _pin(ops._axpy(x, p, alpha), eager=False)
         r = _pin(ops._axpy(r, ap, -alpha))
+        ap.df.unpersist()
         rr = dot(r, r)
         if dinv is not None:
             z = _pin(_ewise_mul(r, dinv))
@@ -216,22 +264,24 @@ def bicgstab_solve(
         s = _pin(ops._axpy(r, v, -alpha))
         ss = dot(s, s)
         if ss <= stop:  # converged at the half-step
-            x = _pin(ops._axpy(x, p, alpha))
+            x = _pin(ops._axpy(x, p, alpha), eager=False)
             rr = ss
             it += 1
             break
         t = _pin(ops.multiply(a, s))
-        tt = dot(t, t)
+        # fused (||t||², <t, s>) — one collect instead of two per
+        # iteration (r13 optimization round, see dot_self_and)
+        tt, ts = dot_self_and(t, s)
         if tt < 1e-300:
             raise RuntimeError(
                 f"BiCGSTAB breakdown: ||A·s|| vanished (iteration {it})"
             )
-        omega = dot(t, s) / tt
+        omega = ts / tt
         if abs(omega) < 1e-300:
             raise RuntimeError(
                 f"BiCGSTAB breakdown: omega vanished (iteration {it})"
             )
-        x = _pin(ops._axpy(ops._axpy(x, p, alpha), s, omega))
+        x = _pin(ops._axpy(ops._axpy(x, p, alpha), s, omega), eager=False)
         r = _pin(ops._axpy(s, t, -omega))
         rr = dot(r, r)
         rho = rho_new
