@@ -144,7 +144,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges — handled in production by the standard degree-ordering
     trick (orient edges low-degree → high-degree), which this
     canonical ordering approximates; AQE skew-join splits the rest.
-    Edge count rides along so the driver checks both stages."""
+    Edge count rides along so the driver checks both stages.
+
+    r13 optimization note: the plan references the derived edge list
+    four times (16 lineitem scans in the INITIAL plan), but a
+    stats-barrier pin measured WORSE (3.28 -> 3.65 s, jobs 10 -> 14)
+    — at runtime AQE's stage reuse already dedupes these identical
+    same-plan subtrees (unlike p_dsir_select, whose duplicate hid
+    behind a BroadcastExchange boundary where reuse does not fire),
+    so the pin only added materialization jobs. Left as-is."""
     edges = (
         q_copurchase_pairs(spark, sf_dir)
         .select(F.col("p1").alias("u"), F.col("p2").alias("v"))

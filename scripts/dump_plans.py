@@ -479,17 +479,21 @@ NOTES: dict[str, str] = {
         "unchanged."
     ),
     "p_dsir_select": (
-        "DSIR importance selection: ONE explode of the corpus into "
-        "hashed uni+bigram features; the bucket models are one "
-        "map-side-combined 64-key groupBy with a conditional count "
-        "(no second corpus scan); the 64-row log-ratio table comes "
-        "back as a BroadcastHashJoin onto the feature stream; "
-        "per-doc weights are one hash aggregate on doc_id; the "
+        "DSIR importance selection (r13 single-pass form): ONE "
+        "explode of the corpus into hashed uni+bigram features, "
+        "pre-aggregated to a (doc, lang, bucket) count frame that is "
+        "pinned through the stats barrier — the displayed tree is "
+        "therefore Scan-ExistingRDD with NO Generate node: both the "
+        "bucket-model build (64-row broadcast LLR table, grand "
+        "totals via a window over those 64 rows) and the per-doc "
+        "scoring aggregate read the one materialized count frame "
+        "(before the pin, the explode executed once per subtree — "
+        "AQE stage reuse does not fire across the broadcast "
+        "boundary; measured 3.40 -> ~1.7 s at sf0.1). Per-doc "
+        "weights are one hash aggregate on doc_id (sum c*w(b)); the "
         "top-K cut is TakeOrderedAndProject, never a global sort. "
-        "Two data-sized exchanges total (features->buckets partial, "
-        "features->doc_id), both on uniform keys. At 100 TB the "
-        "bucket count grows to the paper's 10^4 and the plan is "
-        "unchanged."
+        "At 100 TB the bucket count grows to the paper's 10^4 and "
+        "the plan is unchanged."
     ),
     "q_link_prediction": (
         "Adamic-Adar link prediction: the symmetrized edge list "
