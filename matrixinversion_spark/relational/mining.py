@@ -361,7 +361,17 @@ def q_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrdered — no full sort at the executors). At 1e9+ nodes
     the same loop runs with the frontier staying distributed;
     rounds are bounded by the diameter as in the reference-free
-    pointer-jumping CC operator (curation.py)."""
+    pointer-jumping CC operator (curation.py).
+
+    Each round ends in ``_fresh_stats_barrier`` (r13, guide §2.4):
+    ``dist`` is referenced twice per round (union side + frontier
+    filter), so the unbarriered loop nests 2^rounds copies of every
+    earlier round into one plan — measured same-session A/B at
+    sf0.1: jobs 30 → 19, wall min 4.66 → 2.76 s, rows identical."""
+    from matrixinversion_spark.pipeline.curation import (
+        _fresh_stats_barrier,
+    )
+
     edges = (
         _sparsified_trade_edges(spark, sf_dir)
         .select("src", "dst")
@@ -378,11 +388,14 @@ def q_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .withColumn("dist", F.lit(k))
         )
-        dist = (
+        dist = _fresh_stats_barrier(
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
+    # the barriered rounds materialized eagerly above, so the edge
+    # cache has served its purpose by the time we return
+    edges.unpersist()
     return dist
 
 
@@ -734,7 +747,18 @@ def label_propagation(
     two node-cardinality map-side-combined groupBys; the argmax
     window partitions per node (never global). Library core behind
     ``q_label_propagation`` — also drives the 1M-node planted-truth
-    scale smoke."""
+    scale smoke.
+
+    Each round ends in ``_fresh_stats_barrier`` (r13, guide §2.4):
+    ``labels`` is referenced twice per round (the candidate join and
+    the keep-own-label coalesce), so the unbarriered loop nests
+    2^rounds copies of every earlier round into one plan — measured
+    same-session A/B on the registered query at sf0.1: jobs 40 → 33,
+    wall neutral-to-better, rows identical."""
+    from matrixinversion_spark.pipeline.curation import (
+        _fresh_stats_barrier,
+    )
+
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(rounds):
         cand = (
@@ -756,9 +780,11 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("node", F.col("label").alias("new_label"))
         )
-        labels = labels.join(pick, "node", "left").select(
-            "node",
-            F.coalesce("new_label", "label").alias("label"),
+        labels = _fresh_stats_barrier(
+            labels.join(pick, "node", "left").select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
         )
     return labels
 
@@ -784,9 +810,17 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange shape to q_pagerank's power iteration, degrading
     gracefully from broadcast to shuffle join as the label table
     outgrows the threshold."""
+    from matrixinversion_spark.pipeline.curation import (
+        _fresh_stats_barrier,
+    )
+
     n = read_table(spark, sf_dir, "nation")
     e0 = _sparsified_trade_edges(spark, sf_dir)
-    ue = (
+    # barrier instead of persist (r13): the rounds inside
+    # label_propagation materialize eagerly against this frame, and
+    # the barrier both caches it (localCheckpoint) and stops the
+    # sparsification pipeline re-planning per round reference
+    ue = _fresh_stats_barrier(
         e0.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w")
         .unionAll(
             e0.select(
@@ -795,7 +829,6 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("a", "b")
         .agg(F.sum("w").cast("bigint").alias("w"))
-        .persist()
     )
     nodes = n.select(F.col("n_nationkey").cast("bigint").alias("node"))
     labels = label_propagation(ue, nodes, rounds=3)
