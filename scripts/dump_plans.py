@@ -415,7 +415,12 @@ NOTES: dict[str, str] = {
         "broadcast-to-shuffle degradation applies as the label "
         "table outgrows the threshold. Edge sparsification lowers "
         "to TakeOrdered; the per-node argmax window partitions on "
-        "node id (never a global window)."
+        "node id (never a global window). Since r13 every round "
+        "ends in the stats barrier (jobs 40 -> 33; the unbarriered "
+        "loop nested 2^rounds plan copies), so the rounds execute "
+        "eagerly and the final plan below is just the pinned "
+        "result — the per-round shape is in "
+        "plans/r13/q_label_propagation_after.txt."
     ),
     "p_kmv_source_jaccard": (
         "The corpus is scanned once into per-source bottom-k "
