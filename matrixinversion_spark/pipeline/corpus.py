@@ -942,9 +942,23 @@ def p_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5 hash makes every sketch membership deterministic, so the
     oracle verifies the full estimate bit-for-bit. Pair volume is
     |sources|² (dimension-bounded); the per-pair union re-rank runs
-    on ≤ 2k rows per pair."""
+    on ≤ 2k rows per pair.
+
+    The sketch frame is pinned through ``_fresh_stats_barrier`` (r13,
+    guide §2.4): it is referenced three times (source list + both
+    pair legs) and two of those references sit under
+    BroadcastExchange boundaries, across which AQE stage reuse does
+    not fire — unpinned, the corpus-sized explode+distinct+bottom-k
+    pipeline executed SIX times per run (plan census; the dsir
+    lesson). The pinned frame is ≤ k·|sources| rows — metadata-sized
+    next to the corpus, so the docstring's "corpus touched once"
+    contract now holds in the physical plan too. Same-session A/B at
+    sf0.1: min 0.836 → 0.757 s, jobs 6 → 9 (checkpoint round-trips),
+    rows identical."""
+    from .curation import _fresh_stats_barrier
+
     d = read_table(spark, sf_dir, "documents")
-    sk = _kmv_ranked(d).select("source", "u")
+    sk = _fresh_stats_barrier(_kmv_ranked(d).select("source", "u"))
     srcs = sk.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("s1"))

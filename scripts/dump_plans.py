@@ -426,9 +426,12 @@ NOTES: dict[str, str] = {
         "The corpus is scanned once into per-source bottom-k "
         "sketches (vocab-bounded distinct + per-source rank); "
         "everything after — the pair frame, the union re-rank, the "
-        "estimate — is arithmetic on k x |sources| rows. Adding a "
-        "source to a 100 TB corpus updates the matrix without "
-        "rescanning the other sources' text."
+        "estimate — is arithmetic on k x |sources| rows (the sketch "
+        "is barrier-pinned since r13: unpinned, its three references "
+        "re-derived the corpus pipeline six times, two of them under "
+        "BroadcastExchange boundaries where AQE reuse cannot fire). "
+        "Adding a source to a 100 TB corpus updates the matrix "
+        "without rescanning the other sources' text."
     ),
     "p_dedup_boilerplate_lines": (
         "Line fingerprints are md5 — the duplication-count groupBy "
