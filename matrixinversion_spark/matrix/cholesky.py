@@ -82,12 +82,12 @@ def cholesky(a: BlockMatrixFrame,
     return BlockMatrixFrame(l_df, n, n, bs)
 
 
-def spd_logdet(a: BlockMatrixFrame,
-               leaf_size: int | None = None) -> float:
-    """log det A = 2·Σ log diag(L) — the numerically-stable
-    determinant for SPD matrices (Gaussian likelihoods, GP kernels).
-    Only the diagonal blocks of L leave the cluster."""
-    lo = cholesky(a, leaf_size)
+def chol_logdet(lo: BlockMatrixFrame) -> float:
+    """log det A = 2·Σ log diag(L) from an ALREADY-COMPUTED Cholesky
+    factor — callers that need both the factor and the determinant
+    (la_cholesky_residual) reuse one factorization instead of paying
+    it twice (r14 optimization round, guide §1.2). Only the diagonal
+    blocks of L leave the cluster."""
     diag_blocks = lo.df.filter("bi = bj").select("bi", "rows", "cols", "data")
     total = 0.0
     for row in diag_blocks.collect():
@@ -96,3 +96,11 @@ def spd_logdet(a: BlockMatrixFrame,
         )
         total += float(np.sum(np.log(np.diag(blk))))
     return 2.0 * total
+
+
+def spd_logdet(a: BlockMatrixFrame,
+               leaf_size: int | None = None) -> float:
+    """log det A = 2·Σ log diag(L) — the numerically-stable
+    determinant for SPD matrices (Gaussian likelihoods, GP kernels).
+    Factors A, then delegates to :func:`chol_logdet`."""
+    return chol_logdet(cholesky(a, leaf_size))

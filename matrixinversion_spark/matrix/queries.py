@@ -139,8 +139,13 @@ def la_matmul_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT 256 AS n, 0.0 AS residual_r6, TRUE AS ok",
 )
 def la_lu_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-verifying LU: ‖P·A − L·U‖∞ on a seeded 256² matrix (two
-    recursion levels at leaf=64). No SQL engine can factor a matrix,
+    """Self-verifying LU: ‖P·A − L·U‖∞ on a seeded 256² matrix (one
+    recursion level at leaf=128 — two 2×2-block leaves factor inside
+    single executor tasks and the Schur complement stays a
+    distributed gemm; r14 optimization round raised the leaf from 64
+    per the r13 la_condition_number precedent: every extra recursion
+    level is a serial chain of Spark stages whose latency dwarfs the
+    leaf BLAS it replaces). No SQL engine can factor a matrix,
     but the PROPERTY is oracle-checkable: the residual (~1e-12) rounds
     to exactly 0.0 at 6 decimals and ``ok`` asserts the tolerance, so
     the driver hash-checks the literal expectation. Pytest asserts the
@@ -150,7 +155,7 @@ def la_lu_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, 256, block_size=64, seed=42
         )
         a.persist()
-        perm, lo, up = lumod.lu(a, leaf_size=64)
+        perm, lo, up = lumod.lu(a, leaf_size=128)
         residual = ops.max_abs_diff(
             ops.permute_rows(a, perm), ops.multiply(lo, up)
         )
@@ -167,13 +172,14 @@ def la_lu_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 def la_inverse_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying full inverse: ‖A·A⁻¹ − I‖∞ ≤ 1e-8·N on a seeded
     256² uniform matrix (SURVEY.md §5 property golden). Driver-checked
-    via the rounded-residual trick (see la_lu_residual)."""
+    via the rounded-residual trick (see la_lu_residual; leaf=128 for
+    the same one-recursion-level stage-count reason)."""
     with _pinned_exec(spark, (256 // 64) ** 2):
         a = BlockMatrixFrame.random_uniform(
             spark, 256, block_size=64, seed=42
         )
         a.persist()
-        ainv = invmod.inverse(a, leaf_size=64)
+        ainv = invmod.inverse(a, leaf_size=128)
         err = ops.max_abs_diff_from_identity(ops.multiply(a, ainv))
         ainv.release()  # the residual action above consumed the caches
     return spark.createDataFrame(
@@ -230,12 +236,18 @@ def la_add_transpose_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def la_cholesky_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying distributed Cholesky: build SPD
-    A = B·Bᵀ + n·I from a seeded uniform B (256², two recursion
-    levels at leaf=64), factor, check ‖L·Lᵀ − A‖∞ (rounded-residual
-    trick, see la_lu_residual) AND compare the stable distributed
-    log-determinant against driver numpy ``slogdet`` on the same
-    matrix — a cross-implementation differential the driver can
-    hash-check as a boolean."""
+    A = B·Bᵀ + n·I from a seeded uniform B (256², one recursion
+    level at leaf=128 — see la_lu_residual), factor, check
+    ‖L·Lᵀ − A‖∞ (rounded-residual trick, see la_lu_residual) AND
+    compare the stable distributed log-determinant against driver
+    numpy ``slogdet`` on the same matrix — a cross-implementation
+    differential the driver can hash-check as a boolean. r14
+    optimization round: the log-determinant reads the diagonal of
+    the factor the residual check already computed
+    (``chol_logdet(lo)``) instead of re-factoring A from scratch —
+    guide §1.2, don't compute the dominant work twice; the value is
+    identical by construction (spd_logdet is defined as exactly this
+    diagonal sum over cholesky's output)."""
     from matrixinversion_spark.matrix import cholesky as cholmod
 
     n = 256
@@ -252,11 +264,11 @@ def la_cholesky_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         a.persist()
-        lo = cholmod.cholesky(a, leaf_size=64)
+        lo = cholmod.cholesky(a, leaf_size=128)
         residual = ops.max_abs_diff(
             ops.multiply(lo, ops.transpose(lo)), a
         )
-        logdet = cholmod.spd_logdet(a, leaf_size=64)
+        logdet = cholmod.chol_logdet(lo)
         sign_np, logdet_np = np.linalg.slogdet(a.to_numpy())
     logdet_ok = bool(
         sign_np > 0 and abs(logdet - logdet_np) <= 1e-6 * abs(logdet_np)
@@ -358,7 +370,9 @@ def la_solve_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-verifying linear solve A·X = B (LU + two triangular
     solves, never forming A⁻¹): ‖A·X − B‖∞ on a seeded 256² system
     with 8 right-hand sides, rounded-residual driver check (see
-    la_lu_residual)."""
+    la_lu_residual; leaf=128 for the same one-recursion-level
+    stage-count reason — each triangular solve becomes two leaf
+    solves plus one Schur gemm instead of a deeper serial chain)."""
     n, k = 256, 8
     with _pinned_exec(spark, (n // 64) ** 2):
         a = BlockMatrixFrame.random_uniform(
@@ -369,7 +383,7 @@ def la_solve_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, n, m=k, block_size=64, seed=7
         )
         b.persist()
-        x = invmod.solve(a, b, leaf_size=64)
+        x = invmod.solve(a, b, leaf_size=128)
         residual = ops.max_abs_diff(ops.multiply(a, x), b)
     return spark.createDataFrame(
         [(n, k, float(round(residual, 6)), bool(residual < 1e-8 * n))],
@@ -386,14 +400,16 @@ def la_determinant(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign) differentialed against numpy slogdet on the same seeded 96²
     matrix — the cross-implementation boolean the driver hash-checks
     (det itself spans hundreds of orders of magnitude; comparing in
-    log space is the stable check)."""
+    log space is the stable check). leaf=64 (r14): the 96² demo
+    factors as one 32² leaf + solves + one 64² Schur leaf — one
+    recursion level instead of two (see la_lu_residual)."""
     n = 96
     with _pinned_exec(spark, (n // 32) ** 2):
         a = BlockMatrixFrame.random_uniform(
             spark, n, block_size=32, seed=42
         )
         a.persist()
-        det = invmod.determinant(a, leaf_size=32)
+        det = invmod.determinant(a, leaf_size=64)
         sign_np, log_np = np.linalg.slogdet(a.to_numpy())
     ok = bool(
         det != 0.0
