@@ -553,10 +553,34 @@ def la_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrized uniform matrix has a Perron-dominant spectrum (gap
     ≈ √n/n), so 15 iterations converge far past the 1e-9 check:
     rel_residual = ‖A·v − λ·v‖∞ / |λ| rounds to 0.0 at 6 decimals,
-    which the driver hash-checks as a literal."""
+    which the driver hash-checks as a literal.
+
+    r14 optimization round: the 15 steps run in CHUNKS of up to 7
+    lazy multiplies between normalizations — the la_condition_number
+    ``dominant`` pattern (guide §5, fewer blocking collects): the
+    per-step norm was only ever CONSUMED at the final step, so the
+    burn-in needs just the direction, renormalized often enough to
+    stay in float range (components grow ≤ λ^7 = 256^7 ≈ 7e16 per
+    chunk — 290 orders under the float64 ceiling), and one classic
+    step on the renormalized vector yields λ with the iterate error
+    of 15 straight steps (dominant ratio ≥ 2 ⇒ direction error
+    ~0.5^14). 15 blocking collects → 3."""
     from matrixinversion_spark.matrix.lu import _checkpoint
 
     n, bs, iters = 256, 64, 15
+
+    def norm_of(w: BlockMatrixFrame) -> float:
+        # ‖w‖₂ via a JVM-side aggregate — one tiny scalar action,
+        # no vector collect
+        norm2 = w.df.select(
+            F.sum(
+                F.aggregate(
+                    "data", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+        return float(np.sqrt(norm2))
+
     with _pinned_exec(spark, (n // bs) ** 2):
         b = BlockMatrixFrame.random_uniform(
             spark, n, block_size=bs, seed=11
@@ -566,26 +590,25 @@ def la_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = BlockMatrixFrame.from_numpy(
             spark, np.full((n, 1), 1.0 / np.sqrt(n)), block_size=bs
         )
-        lam = 0.0
-        for _ in range(iters):
-            # checkpoint cuts the logical plan each step — without it
-            # the nested join/applyInPandas lineage grows
-            # exponentially in the optimizer and OOMs the driver
-            # around depth ~12
-            w = _checkpoint(ops.multiply(a, v))
+        done = 0
+        while done < iters - 1:
+            take = min(7, iters - 1 - done)
+            w = v
+            for _ in range(take):
+                # chunk-boundary checkpoint (below) cuts the logical
+                # plan — without it the nested join/applyInPandas
+                # lineage grows exponentially in the optimizer and
+                # OOMs the driver around depth ~12; within a chunk
+                # the plan stays ≤7 multiplies deep
+                w = ops.multiply(a, w)
+            w = _checkpoint(w)
             w.persist()
-            # Rayleigh-style scalar: ‖w‖₂ via a JVM-side aggregate —
-            # one tiny action per step, no vector collect
-            norm2 = w.df.select(
-                F.sum(
-                    F.aggregate(
-                        "data", F.lit(0.0), lambda acc, x: acc + x * x
-                    )
-                ).alias("s")
-            ).collect()[0]["s"]
-            lam = float(np.sqrt(norm2))
-            v_next = ops.scale(w, 1.0 / lam)
-            v = v_next
+            v = ops.scale(w, 1.0 / norm_of(w))
+            done += take
+        w = _checkpoint(ops.multiply(a, v))
+        w.persist()
+        lam = norm_of(w)
+        v = ops.scale(w, 1.0 / lam)
         av = ops.multiply(a, v)
         rel_res = ops.max_abs_diff(av, ops.scale(v, lam)) / lam
     return spark.createDataFrame(
