@@ -58,10 +58,17 @@ def dot_self_and(a: BlockMatrixFrame,
     """(<a, a>, <a, c>) in ONE join + aggregate + collect — the
     fused form for loops that take two dots against the same left
     vector back-to-back (BiCGSTAB's ||t||² and <t, s> per
-    iteration); r13 optimization round: each saved collect is a
-    blocking driver round-trip per iteration. LEFT join on ``c`` so
-    a block absent from ``c`` contributes zero to <a, c> without
-    dropping its <a, a> term — bit-identical to two ``dot`` calls."""
+    iteration, CG's ||r||² and <r, z> — r14 per VERDICT r13 #5);
+    r13 optimization round: each saved collect is a blocking driver
+    round-trip per iteration. LEFT join on ``c`` so a block absent
+    from ``c`` contributes zero to <a, c> without dropping its
+    <a, a> term — bit-identical to two ``dot`` calls PROVIDED ``c``
+    has at most one row per (bi, bj): a duplicate block key in ``c``
+    would fan the left join out and inflate the <a, a> term, a
+    failure mode two separate ``dot`` calls never had (ADVICE r13).
+    BlockMatrixFrame enforces block-key uniqueness by construction —
+    every producer emits one row per coordinate — so this is a
+    documented precondition, not a runtime check."""
     la = a.df.select("bi", "bj", F.col("data").alias("a_data"))
     rc = c.df.select("bi", "bj", F.col("data").alias("c_data"))
     per = la.join(rc, ["bi", "bj"], "left").select(
@@ -97,13 +104,25 @@ def _pin(frame: BlockMatrixFrame, eager: bool = True) -> BlockMatrixFrame:
     — right for the solution vector x, which no in-loop dot ever
     reads: the eager form paid one blocking checkpoint job per
     iteration purely to materialize a vector nothing consumes until
-    the loop ends."""
+    the loop ends. Callers chaining MANY lazy pins (x across
+    hundreds of iterations) should force an eager pin every few
+    dozen steps — each lazy localCheckpoint keeps its parent's
+    blocks referenced until first materialization, so an unbounded
+    chain retains every iterate and materializes as one deep job
+    cascade at the end (ADVICE r13; see _X_PIN_EVERY below)."""
     return BlockMatrixFrame(
         frame.df.localCheckpoint(eager=eager),
         frame.n_rows,
         frame.n_cols,
         frame.block_size,
     )
+
+
+# Force an eager pin of the (otherwise lazily-pinned) solution vector
+# every K iterations: bounds the lazy-checkpoint chain depth and the
+# retained intermediate blocks at K while keeping ~(K-1)/K of the
+# saved per-iteration checkpoint jobs (ADVICE r13).
+_X_PIN_EVERY = 25
 
 
 def cg_solve(
@@ -151,14 +170,18 @@ def cg_solve(
         ap = ops.multiply(a, p)
         ap.df.persist()
         alpha = rz / dot(p, ap)
-        x = _pin(ops._axpy(x, p, alpha), eager=False)
+        x = _pin(ops._axpy(x, p, alpha),
+                 eager=(it % _X_PIN_EVERY == _X_PIN_EVERY - 1))
         r = _pin(ops._axpy(r, ap, -alpha))
         ap.df.unpersist()
-        rr = dot(r, r)
         if dinv is not None:
+            # fused (||r||², <r, z>) — one collect instead of two per
+            # preconditioned iteration (r14, VERDICT r13 #5; see
+            # dot_self_and)
             z = _pin(_ewise_mul(r, dinv))
-            rz_new = dot(r, z)
+            rr, rz_new = dot_self_and(r, z)
         else:
+            rr = dot(r, r)
             z, rz_new = r, rr
         p = _pin(ops._axpy(z, p, rz_new / rz))
         rz = rz_new
@@ -281,7 +304,8 @@ def bicgstab_solve(
             raise RuntimeError(
                 f"BiCGSTAB breakdown: omega vanished (iteration {it})"
             )
-        x = _pin(ops._axpy(ops._axpy(x, p, alpha), s, omega), eager=False)
+        x = _pin(ops._axpy(ops._axpy(x, p, alpha), s, omega),
+                 eager=(it % _X_PIN_EVERY == _X_PIN_EVERY - 1))
         r = _pin(ops._axpy(s, t, -omega))
         rr = dot(r, r)
         rho = rho_new

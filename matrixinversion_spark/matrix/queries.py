@@ -54,6 +54,13 @@ def _pinned_exec(spark: SparkSession, grid_blocks: int):
     residual/property family — they end in ``collect``/``to_numpy``)
     use this; queries returning lazy data-sized frames must not,
     because the conf would be restored before execution.
+
+    NOT thread-safe (ADVICE r13): the two confs are session-global
+    for the span of the query, so any OTHER query running
+    concurrently on the same SparkSession would silently execute
+    with AQE off and a tiny partition count. Fine for the driver's
+    serial gate/bench; guard with a lock before ever running matrix
+    queries concurrently on one session.
     """
     conf = spark.conf
     old_aqe = conf.get("spark.sql.adaptive.enabled")

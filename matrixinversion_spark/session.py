@@ -32,6 +32,17 @@ def _default_shuffle_partitions() -> str:
     try:
         return str(max(8, int(cpus)))
     except ValueError:
+        if cpus:
+            # malformed override (e.g. "16.0" or a typo): warn instead
+            # of silently benchmarking at the historical constant
+            # (ADVICE r13)
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_CPUS={cpus!r} is not an integer; "
+                "falling back to 32 shuffle partitions",
+                stacklevel=2,
+            )
         return "32"
 
 
