@@ -250,6 +250,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        # r14 (VERDICT r13 #4, guide §2.2 "stable partitioning across
+        # iterations"): hash-partition the persisted edge list on the
+        # per-round join key ONCE — the groupBy left it partitioned on
+        # (src, dst), so every round's rank join re-exchanged the edge
+        # side; with the cache already on src, only the node-sized
+        # rank table shuffles per round, and the outw aggregate
+        # becomes exchange-free too.
+        .repartition("src")
         .persist()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
