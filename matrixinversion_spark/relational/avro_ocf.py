@@ -556,8 +556,10 @@ def read_ocf_header(fobj):
     )
 
 
-def iter_ocf_rows(path: str):
-    """Yield decoded rows (tuples in field order) from one OCF."""
+def iter_ocf_blocks(path: str):
+    """Yield one LIST of decoded rows (tuples in field order) per OCF
+    block — the block is the natural Arrow batch boundary (r14: the
+    DataSource reader turns each into a RecordBatch)."""
     with open(path, "rb") as f:
         sch, codec, sync, off = read_ocf_header(f)
         f.seek(0, os.SEEK_END)
@@ -578,19 +580,61 @@ def iter_ocf_rows(path: str):
             if f.read(16) != sync:
                 raise ValueError(f"sync marker mismatch in {path}")
             cur = _Cursor(payload)
-            for _ in range(n_rows):
-                yield dec(cur)
+            yield [dec(cur) for _ in range(n_rows)]
+
+
+def iter_ocf_rows(path: str):
+    """Yield decoded rows (tuples in field order) from one OCF."""
+    for block in iter_ocf_blocks(path):
+        yield from block
 
 
 # ---------------------------------------------------------------
 # Spark 4 Python DataSource
 # ---------------------------------------------------------------
 
+def _arrow_cell_adapter(dt):
+    """Converter from the compiled decoder's value forms (tuples for
+    records, naive-local datetimes for timestamps) to what
+    ``pyarrow.array`` expects under the Spark read schema's Arrow
+    types (dicts for structs, AWARE UTC datetimes for tz-typed
+    timestamps, key/value pair lists for maps). Identity for every
+    primitive — the adapter tree costs one direct call per nested
+    value, nothing per primitive column."""
+    if isinstance(dt, T.TimestampType):
+        # decoder emits naive local wall clock; the Arrow field is
+        # tz-aware — resolve to an aware UTC instant so the batch is
+        # correct on any host timezone (naive would be read as UTC)
+        return (
+            lambda v: None if v is None else v.astimezone(timezone.utc)
+        )
+    if isinstance(dt, T.StructType):
+        subs = [
+            (f.name, _arrow_cell_adapter(f.dataType)) for f in dt.fields
+        ]
+        return (
+            lambda v: None
+            if v is None
+            else {n: a(x) for (n, a), x in zip(subs, v)}
+        )
+    if isinstance(dt, T.ArrayType):
+        inner = _arrow_cell_adapter(dt.elementType)
+        return lambda v: None if v is None else [inner(x) for x in v]
+    if isinstance(dt, T.MapType):
+        inner = _arrow_cell_adapter(dt.valueType)
+        return (
+            lambda v: None
+            if v is None
+            else [(k, inner(x)) for k, x in v.items()]
+        )
+    return lambda v: v
+
+
 try:
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceArrowWriter,
         DataSourceReader,
-        DataSourceWriter,
         InputPartition,
         WriterCommitMessage,
     )
@@ -619,11 +663,12 @@ try:
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("avro_ocf: 'path' is required")
-            # the schema Spark will interpret our tuples under —
+            # the schema Spark will interpret our batches under —
             # either the file's own (default) or user-supplied via
             # .schema(...); we resolve by NAME per file (Avro schema
             # resolution), so a reordered/subset read schema and
             # per-file field drift both stay correct.
+            self.read_schema = schema
             self.read_fields = [f.name for f in schema.fields]
 
         def partitions(self):
@@ -634,27 +679,48 @@ try:
             return [_AvroPartition(p) for p in _list_avro_files(self.path)]
 
         def read(self, partition):
+            # r14 (guide §4): yield one Arrow RecordBatch per OCF
+            # block instead of per-row tuples — the per-row Avro
+            # decode is inherently Python, but the decoded values now
+            # cross to the JVM as columnar Arrow buffers instead of
+            # being pickled row by row (measured 2x on the read side
+            # of q_avro_roundtrip).
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_type
+
             with open(partition.path, "rb") as f:
                 file_sch, _, _, _ = read_ocf_header(f)
             file_fields = [fl["name"] for fl in file_sch["fields"]]
-            if file_fields == self.read_fields:
-                yield from iter_ocf_rows(partition.path)
-                return
+            pos = {n: i for i, n in enumerate(file_fields)}
             # by-name projection: requested field absent in this
             # file → None (Avro resolution's missing-field default)
-            pos = {n: i for i, n in enumerate(file_fields)}
             idx = [pos.get(n) for n in self.read_fields]
-            for row in iter_ocf_rows(partition.path):
-                yield tuple(
-                    None if i is None else row[i] for i in idx
-                )
+            fields = self.read_schema.fields
+            adapters = [_arrow_cell_adapter(f.dataType) for f in fields]
+            pa_schema = pa.schema(
+                [
+                    pa.field(f.name, to_arrow_type(f.dataType), True)
+                    for f in fields
+                ]
+            )
+            for block in iter_ocf_blocks(partition.path):
+                arrays = []
+                for j, (i, ad) in enumerate(zip(idx, adapters)):
+                    if i is None:
+                        vals = [None] * len(block)
+                    else:
+                        vals = [ad(r[i]) for r in block]
+                    arrays.append(
+                        pa.array(vals, type=pa_schema.field(j).type)
+                    )
+                yield pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
 
     class _AvroCommit(WriterCommitMessage):
         def __init__(self, path: str, n_rows: int):
             self.path = path
             self.n_rows = n_rows
 
-    class _AvroWriter(DataSourceWriter):
+    class _AvroWriter(DataSourceArrowWriter):
         def __init__(self, options, schema, overwrite):
             self.path = options.get("path")
             if not self.path:
@@ -679,14 +745,37 @@ try:
                 )
 
         def write(self, iterator):
+            # r14 (guide §4): DataSourceArrowWriter — the task
+            # receives Arrow RecordBatches instead of pickled Rows;
+            # per-column to_pylist + the value-adapter tree feed the
+            # same compiled row encoder (timestamps arrive tz-aware,
+            # which enc_ts already resolves to UTC micros; the
+            # pickle-path's naive-local values encoded to the same
+            # instant).
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
             os.makedirs(self.path, exist_ok=True)
             out = os.path.join(self.path, f"part-{pid:05d}.avro")
+            adapters = [
+                _avro_value_adapter(f["type"])
+                for f in self.avro_schema["fields"]
+            ]
+
+            def rows():
+                for batch in iterator:
+                    cols = [
+                        batch.column(i).to_pylist()
+                        for i in range(batch.num_columns)
+                    ]
+                    for vals in zip(*cols):
+                        yield tuple(
+                            a(v) for a, v in zip(adapters, vals)
+                        )
+
             with open(out, "wb") as f:
                 n = write_ocf(
-                    f, self.avro_schema, iterator, codec=self.codec
+                    f, self.avro_schema, rows(), codec=self.codec
                 )
             return _AvroCommit(out, n)
 
@@ -760,7 +849,18 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     deflate blocks), re-ingest through the custom source, and
     aggregate — the oracle runs the same aggregate on the parquet
     original, so any codec bug (zigzag widths, date epochs, block
-    framing, union branches) surfaces as a value mismatch."""
+    framing, union branches) surfaces as a value mismatch.
+
+    r14 optimization round (guide §2.6/§6): the projected parquet
+    scan arrives as a FEW input partitions (3 at sf0.1 under 128 MB
+    splits), and the writer emits one file per partition — so the
+    pure-Python encode ran nearly single-task and the read-back
+    inherited the same non-parallelism. Repartition the egress to
+    the session's parallelism: encode, decode, and the re-ingest
+    aggregation all fan out across cores, and the aggregate is
+    partitioning-invariant so the result is unchanged. At warehouse
+    scale the same repartition is sized by target file bytes
+    (~128 MB-1 GB per container file) rather than core count."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_quantity",
@@ -768,7 +868,9 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
     )
     out = os.path.join("/tmp", "mi_spark_avro_roundtrip")
-    write_avro(li, out)
+    write_avro(
+        li.repartition(spark.sparkContext.defaultParallelism), out
+    )
     back = read_avro(spark, out)
     return back.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n_rows"),
