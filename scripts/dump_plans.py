@@ -231,9 +231,13 @@ NOTES: dict[str, str] = {
         "edge list (the only large input) joins the node-sized rank "
         "table — broadcast below threshold, shuffle-join above — "
         "and aggregates contributions per destination. Edge weights "
-        "and out-degrees are computed once and persisted; iteration "
-        "count is fixed, so the plan is 3 identical stages, not a "
-        "driver-side convergence loop."
+        "and out-degrees are computed once and persisted "
+        "hash-partitioned on the join key (r14: the groupBy left the "
+        "cache partitioned on (src, dst), so every round re-exchanged "
+        "the edge side; with the cache on src only the node-sized "
+        "rank table shuffles per round). Iteration count is fixed, "
+        "so the plan is 3 identical stages, not a driver-side "
+        "convergence loop."
     ),
     "q_incremental_agg": (
         "The refresh path: partial aggregates of base and delta "
@@ -385,10 +389,14 @@ NOTES: dict[str, str] = {
     "q_avro_roundtrip": (
         "The Avro files enter the plan as a PythonDataSource scan "
         "with one input partition per container file (write "
-        "parallelism round-trips into read parallelism), feeding a "
-        "partial+final hash aggregate. The codec itself is the "
-        "Python interchange path — at 100 TB the JVM spark-avro "
-        "package reads the same files with this same plan shape."
+        "parallelism round-trips into read parallelism; r14 the "
+        "egress repartitions to the session parallelism so the "
+        "Python codec fans out instead of running ~single-task, and "
+        "both directions cross the JVM boundary as Arrow "
+        "RecordBatches, not pickled rows), feeding a partial+final "
+        "hash aggregate. The codec itself is the Python interchange "
+        "path — at 100 TB the JVM spark-avro package reads the same "
+        "files with this same plan shape."
     ),
     "q_poisson_bootstrap_ci": (
         "One round-robin exchange of the 2-column pre-explosion "
@@ -668,10 +676,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
+    from scripts.measure_r14 import _git_head
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = [
         "# PLANS — physical plans of headline queries (generated)",
         "",
-        f"Regenerated by `python scripts/dump_plans.py` at sf_dir={SF_DIR}.",
+        f"Regenerated by `python scripts/dump_plans.py` at "
+        f"sf_dir={SF_DIR}, HEAD {_git_head(repo_root)}.",
         "Each entry: condensed `.explain(\"formatted\")` operator tree,",
         "plan markers, and why this is the plan we want at 100 TB.",
         "",

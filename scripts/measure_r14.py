@@ -34,6 +34,24 @@ HEADLINE = [
 ]
 
 
+def _git_head(repo_root: str) -> str:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo_root, capture_output=True, text=True, timeout=10,
+        )
+        sha = out.stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            cwd=repo_root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return f"{sha}{'+dirty' if dirty else ''}" if sha else "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -81,6 +99,10 @@ def main() -> None:
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as f:
+            # stamp the commit the dump was taken at, so stale
+            # intermediate dumps can't masquerade as HEAD evidence
+            # (VERDICT r13 #7)
+            f.write(f"-- dumped at HEAD {_git_head(here)}\n")
             f.write(formatted)
         results[name] = {"runs": runs, "min": min(runs), "jobs": n_jobs}
         print(f"{name:32s} min={min(runs):7.3f}  runs={runs}  jobs={n_jobs}",
